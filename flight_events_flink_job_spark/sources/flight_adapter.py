@@ -1,0 +1,141 @@
+"""Adapter: the driver's generic ``events`` table → flight-event JSON.
+
+The reference consumes JSON flight events from Kafka
+(KafkaUtils.java:15-28). The driver fixtures have no flight table, so
+this module defines ONE deterministic mapping events→flight-event and
+expresses it twice:
+
+- :func:`flight_event_json` — Spark Columns building the raw JSON
+  message (the Kafka ``value`` payload), fed into the REAL parse
+  pipeline (``operators/parse.py``). Even event_ids encode delay as the
+  ``delayed`` boolean, odd ones as the ``status`` string (mixed case),
+  so the oracle differential exercises both branches of quirk Q2.
+- :data:`FLIGHTS_CTE` — the equivalent DuckDB SQL producing the parsed
+  flight table directly, used as the prelude of every flight-query
+  oracle.
+
+Keep the two in lockstep — they are the same contract.
+
+Mapping (all arithmetic chosen to be engine-portable):
+    flight_id      = 'F'  || event_id
+    flight_number  = 'FL' || event_id % 1000
+    airline        = event_type
+    origin         = 'O' || user_id % 8
+    destination    = 'D' || event_id % 6
+    scheduled_time = date_trunc('second', ts)
+    offset_sec     = trunc(value)*60 + event_id % 90 - 300   -- some negative
+    actual_time    = scheduled_time + offset_sec seconds
+    delayed        = value > 15.0
+    user_id        = 'U' || user_id
+Derived downstream by the engine (parse.py): is_delayed 0/1,
+delay_minutes = trunc(offset_sec / 60) toward zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss"
+
+
+def flight_event_json(events: DataFrame) -> DataFrame:
+    """Build the raw flight-event JSON ``value`` column from ``events``.
+
+    Returns a single-column DataFrame (``value`` STRING) shaped exactly
+    like the Kafka topic payload the reference consumes.
+    """
+    e = events.select(
+        F.col("event_id"),
+        F.concat(F.lit("F"), F.col("event_id").cast("string")).alias("flight_id"),
+        F.concat(F.lit("FL"), (F.col("event_id") % 1000).cast("string")).alias(
+            "flight_number"
+        ),
+        F.col("event_type").alias("airline"),
+        F.concat(F.lit("O"), (F.col("user_id") % 8).cast("string")).alias("origin"),
+        F.concat(F.lit("D"), (F.col("event_id") % 6).cast("string")).alias(
+            "destination"
+        ),
+        F.date_trunc("second", F.col("ts")).alias("scheduled_time"),
+        (
+            F.expr("CAST(value AS BIGINT)") * 60 + F.col("event_id") % 90 - 300
+        ).alias("offset_sec"),
+        (F.col("value") > 15.0).alias("delayed_bool"),
+        F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("user_id"),
+    ).withColumn(
+        "actual_time", F.expr("scheduled_time + make_dt_interval(0, 0, 0, offset_sec)")
+    )
+
+    # Delay encoding split (quirk Q2 coverage): even ids → `delayed`
+    # boolean; odd ids → `status` string, lowercase for id%4==1 to hit
+    # the case-insensitive compare.
+    delayed_fragment = F.when(
+        F.col("event_id") % 2 == 0,
+        F.format_string(
+            '"delayed":%s', F.when(F.col("delayed_bool"), "true").otherwise("false")
+        ),
+    ).otherwise(
+        F.format_string(
+            '"status":"%s"',
+            F.when(F.col("delayed_bool") & (F.col("event_id") % 4 == 1), "delayed")
+            .when(F.col("delayed_bool"), "DELAYED")
+            .when(F.col("event_id") % 4 == 1, "on_time")
+            .otherwise("ON_TIME"),
+        )
+    )
+
+    value = F.format_string(
+        '{"flightId":"%s","flightNumber":"%s","airline":"%s","origin":"%s",'
+        '"destination":"%s","scheduledArrival":"%s","actualArrival":"%s",'
+        '%s,"userId":"%s"}',
+        F.col("flight_id"),
+        F.col("flight_number"),
+        F.col("airline"),
+        F.col("origin"),
+        F.col("destination"),
+        F.date_format("scheduled_time", TS_FMT),
+        F.date_format("actual_time", TS_FMT),
+        delayed_fragment,
+        F.col("user_id"),
+    )
+    return e.select(value.alias("value"))
+
+
+# DuckDB twin: parsed-flight table straight from `events` columns.
+# `CAST(value AS BIGINT)` in Spark truncates toward zero while DuckDB's
+# cast rounds — hence trunc() here. epoch arithmetic instead of
+# to_timestamp keeps everything time-zone-free.
+FLIGHTS_CTE = """
+flights AS (
+    SELECT
+        'F'  || CAST(event_id AS VARCHAR)          AS flight_id,
+        'FL' || CAST(event_id % 1000 AS VARCHAR)   AS flight_number,
+        event_type                                 AS airline,
+        'O'  || CAST(user_id % 8 AS VARCHAR)       AS origin,
+        'D'  || CAST(event_id % 6 AS VARCHAR)      AS destination,
+        date_trunc('second', ts)                   AS scheduled_time,
+        date_trunc('second', ts)
+          + to_seconds(CAST(trunc(value) AS BIGINT) * 60
+                       + event_id % 90 - 300)      AS actual_time,
+        CAST(value > 15.0 AS INTEGER)              AS is_delayed,
+        'U'  || CAST(user_id AS VARCHAR)           AS user_id,
+        CAST(trunc((CAST(trunc(value) AS BIGINT) * 60
+                    + event_id % 90 - 300) / 60.0) AS BIGINT)
+                                                   AS delay_minutes
+    FROM events
+)
+"""
+
+
+def flights_from_events(spark, sf_dir: str) -> DataFrame:
+    """events parquet → JSON payloads → REAL parse pipeline → flights.
+
+    This is the engine's canonical batch flight source: it exercises
+    P1 (from_json), P2 (timestamp parse), P3 (delay normalization, both
+    encodings), and P4 (delay_minutes truncation) end-to-end.
+    """
+    from ..operators.parse import parse_flight_events, valid_flights
+    from .fixtures import load_table
+
+    raw = flight_event_json(load_table(spark, sf_dir, "events"))
+    return valid_flights(parse_flight_events(raw))
