@@ -10,13 +10,12 @@ This engine re-expresses that surface Spark-first:
 
 - the relational core is pure ``DataFrame -> DataFrame`` functions
   (``operators/``) that Catalyst plans and optimizes;
-- streaming is Structured Streaming over the *same* transformation
-  functions (``streaming/``), with event-time windows + watermarks;
-- the ClickHouse serving layer becomes Parquet tables written via
-  ``foreachBatch`` (``streaming/sinks.py``);
-- beyond reference parity, large-scale training-data-pipeline operators
-  (dedup, similarity search, text analysis, multimodal plumbing) are
-  first-class (``operators/dedup.py`` etc.).
+- sources/sinks adapt the driver fixtures and the Kafka-shaped payload
+  contract (``sources/``);
+- the driver contract surface (queries + DuckDB oracles) lives in
+  ``plans/registry.py``.
+
+See SURVEY.md §7 for the build plan; modules land in that order.
 """
 
 __version__ = "0.1.0"

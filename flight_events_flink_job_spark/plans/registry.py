@@ -19,8 +19,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.aggregates import airline_stats, hourly_stats, route_stats
 from ..operators.notifications import delay_notifications
+from ..operators.parse import parse_flight_events, rejected_rows
 from ..session import ensure_engine_conf
-from ..sources.flight_adapter import FLIGHTS_CTE, flights_from_events
+from ..sources.fixtures import load_table
+from ..sources.flight_adapter import (
+    CORRUPT_EVERY,
+    FLIGHTS_CTE,
+    flight_event_json_with_corrupt,
+    flights_from_events,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -95,7 +102,10 @@ def q_delay_notifications(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {FLIGHTS_CTE}
     SELECT airline,
            count(*) AS total_flights,
-           sum(CASE WHEN is_delayed = 1 THEN 1 ELSE 0 END) AS delayed_flights,
+           -- CAST: DuckDB sum(int) is HUGEINT; Spark's is BIGINT and the
+           -- driver's value-hash is type-sensitive (round-1 red).
+           CAST(sum(CASE WHEN is_delayed = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS delayed_flights,
            round(avg(delay_minutes), 4) AS avg_delay_minutes,
            round(sum(CASE WHEN is_delayed = 1 THEN 1 ELSE 0 END) * 100.0
                  / count(*), 4) AS delay_rate,
@@ -137,7 +147,8 @@ def q_route_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {FLIGHTS_CTE}
     SELECT CAST(extract(hour FROM scheduled_time) AS INTEGER) AS hour_of_day,
            count(*) AS total_flights,
-           sum(CASE WHEN is_delayed = 1 THEN 1 ELSE 0 END) AS delayed_flights,
+           CAST(sum(CASE WHEN is_delayed = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS delayed_flights,
            round(avg(delay_minutes), 4) AS avg_delay_minutes,
            {_bucket_sql('scheduled_time', 300)} AS window_start,
            {_bucket_sql('scheduled_time', 300)} + INTERVAL 5 MINUTE AS window_end
@@ -149,3 +160,24 @@ def q_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: hour-of-day delay trends, 5-minute tumbling windows
     (FlightEventAggregator.java:135-155, 281-308)."""
     return hourly_stats(flights_from_events(spark, sf_dir))
+
+
+@register(
+    "rejected_rows",
+    oracle=f"""
+    SELECT '{{"flightId":"F' || CAST(event_id AS VARCHAR) || '","broken'
+               AS raw
+    FROM events
+    WHERE event_id % {CORRUPT_EVERY} = 0
+    """,
+)
+def q_rejected_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 semantic upgrade: dead-letter stream of unparseable payloads.
+
+    The reference crashes on malformed input (unguarded ``node.get``,
+    FlightEventAggregator.java:43-49,59); this engine parses PERMISSIVE
+    and surfaces rejects as a queryable stream. Input injects truncated
+    JSON for every ``event_id % {CORRUPT_EVERY} == 0``.
+    """
+    raw = flight_event_json_with_corrupt(load_table(spark, sf_dir, "events"))
+    return rejected_rows(parse_flight_events(raw))

@@ -39,11 +39,13 @@ from pyspark.sql import functions as F
 TS_FMT = "yyyy-MM-dd'T'HH:mm:ss"
 
 
-def flight_event_json(events: DataFrame) -> DataFrame:
+def flight_event_json(events: DataFrame, keep_event_id: bool = False) -> DataFrame:
     """Build the raw flight-event JSON ``value`` column from ``events``.
 
     Returns a single-column DataFrame (``value`` STRING) shaped exactly
-    like the Kafka topic payload the reference consumes.
+    like the Kafka topic payload the reference consumes
+    (``keep_event_id`` additionally carries the source id for callers
+    that post-process payloads, e.g. corrupt-row injection).
     """
     e = events.select(
         F.col("event_id"),
@@ -98,7 +100,32 @@ def flight_event_json(events: DataFrame) -> DataFrame:
         delayed_fragment,
         F.col("user_id"),
     )
-    return e.select(value.alias("value"))
+    cols = [value.alias("value")]
+    if keep_event_id:
+        cols.insert(0, F.col("event_id"))
+    return e.select(*cols)
+
+
+CORRUPT_EVERY = 97
+
+
+def flight_event_json_with_corrupt(events: DataFrame) -> DataFrame:
+    """Like :func:`flight_event_json` but every ``event_id % 97 == 0``
+    payload is replaced with truncated (unparseable) JSON.
+
+    Exercises the Q1 semantic upgrade: the reference NPEs on malformed
+    input (unguarded ``node.get``, FlightEventAggregator.java:43-49);
+    this engine routes such rows to the dead-letter stream instead.
+    Narrow single-pass transformation — same scan, one extra `when`.
+    """
+    keyed = flight_event_json(events, keep_event_id=True)
+    corrupt = F.format_string(
+        '{"flightId":"F%s","broken', F.col("event_id").cast("string")
+    )
+    value = F.when(F.col("event_id") % CORRUPT_EVERY == 0, corrupt).otherwise(
+        F.col("value")
+    )
+    return keyed.select(value.alias("value"))
 
 
 # DuckDB twin: parsed-flight table straight from `events` columns.

@@ -33,5 +33,5 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
         assert df.count() >= 0  # rows-only check (driver does the same)
         return
     rel = duck.sql(ORACLES[name])
-    errors = compare(name, df, rel.fetchall(), list(rel.columns))
+    errors = compare(name, df, rel)
     assert not errors, f"{name}: {errors}"

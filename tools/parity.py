@@ -1,8 +1,10 @@
 """Local oracle-differential harness — mimics the driver's t2 check.
 
 Runs every query in the registry at a given sf dir on Spark AND its
-DuckDB oracle, then compares row count, column names, and
-order-insensitive values. Usage:
+DuckDB oracle, then compares row count, column names, COLUMN TYPES, and
+order-insensitive EXACT values (no rounding — the driver's value-hash is
+type- and value-exact, so this harness must be too; round-1 shipped red
+because the old harness rounded). Usage:
 
     python tools/parity.py [sf_dir] [query ...]
 """
@@ -10,39 +12,78 @@ order-insensitive values. Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
+import time
 
 sys.path.insert(0, ".")
 
+# DuckDB column type -> the Spark dtype string it must hash-match.
+# Anything not in this map (HUGEINT, DECIMAL, UHUGEINT...) has no
+# same-width Spark twin and is reported as a type error outright.
+DUCK_TO_SPARK = {
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "TIMESTAMP": "timestamp",
+    "DATE": "date",
+    "BLOB": "binary",
+    "FLOAT[]": "array<float>",
+    "DOUBLE[]": "array<double>",
+    "BIGINT[]": "array<bigint>",
+    "VARCHAR[]": "array<string>",
+}
 
-def compare(name: str, spark_df, duck_rows, duck_cols) -> list[str]:
+
+def compare(name: str, spark_df, rel) -> list[str]:
     errors: list[str] = []
+    duck_cols = list(rel.columns)
+    duck_types = [str(t) for t in rel.types]
     spark_cols = sorted(spark_df.columns)
     if spark_cols != sorted(duck_cols):
         errors.append(f"schema: spark={spark_cols} duck={sorted(duck_cols)}")
         return errors
 
+    # Type-exact gate: every oracle column type must map onto the Spark
+    # dtype of the same-named column.
+    spark_dtypes = dict(spark_df.dtypes)
+    for c, t in zip(duck_cols, duck_types):
+        want = DUCK_TO_SPARK.get(t)
+        got = spark_dtypes[c]
+        if want is None:
+            errors.append(f"type: oracle column {c} is {t} (no Spark twin — "
+                          f"CAST it in the oracle SQL)")
+        elif want != got:
+            errors.append(f"type: column {c} oracle={t}→{want} spark={got}")
+    if errors:
+        return errors
+
     s_rows = [tuple(row[c] for c in spark_cols) for row in spark_df.collect()]
     idx = [duck_cols.index(c) for c in spark_cols]
-    d_rows = [tuple(r[i] for i in idx) for r in duck_rows]
+    d_rows = [tuple(r[i] for i in idx) for r in rel.fetchall()]
     if len(s_rows) != len(d_rows):
         errors.append(f"rowcount: spark={len(s_rows)} duck={len(d_rows)}")
         return errors
 
     def norm(v):
+        # Exact values; only canonicalize representations that collect()
+        # and fetchall() render differently for identical data.
         if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            return round(v, 6)
+            return "nan" if math.isnan(v) else repr(v)
         if hasattr(v, "isoformat"):
             return v.isoformat().replace("+00:00", "")
+        if isinstance(v, list):
+            return tuple(norm(x) for x in v)
         return v
 
     s_sorted = sorted(map(str, [tuple(norm(v) for v in r) for r in s_rows]))
     d_sorted = sorted(map(str, [tuple(norm(v) for v in r) for r in d_rows]))
-    mismatches = [
-        (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
-    ]
+    mismatches = [(a, b) for a, b in zip(s_sorted, d_sorted) if a != b]
     if mismatches:
         errors.append(f"values: {len(mismatches)} mismatched rows")
         for a, b in mismatches[:3]:
@@ -52,6 +93,11 @@ def compare(name: str, spark_df, duck_rows, duck_cols) -> list[str]:
 
 
 def main() -> int:
+    # PySpark collect() converts TimestampType via the process TZ; the
+    # oracles are TZ-naive UTC, so pin the process before the JVM starts.
+    os.environ["TZ"] = "UTC"
+    time.tzset()
+
     import duckdb
 
     from flight_events_flink_job_spark.plans import ORACLES, QUERIES
@@ -64,9 +110,9 @@ def main() -> int:
     spark = get_spark("parity")
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
 
     failed = []
     for name, fn in QUERIES.items():
@@ -78,7 +124,7 @@ def main() -> int:
             continue
         sdf = fn(spark, sf_dir)
         rel = con.sql(ORACLES[name])
-        errors = compare(name, sdf, rel.fetchall(), list(rel.columns))
+        errors = compare(name, sdf, rel)
         status = "OK" if not errors else "FAIL"
         print(f"{name:32s} {status}")
         for e in errors:
