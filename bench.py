@@ -1,0 +1,111 @@
+"""Benchmark harness — the driver's per-round perf signal.
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` following the
+BASELINE.md protocol: 1 warmup run, then median of 3 timed runs per
+query. Each run materializes the full result via the noop sink (all
+columns computed, nothing collected to the driver — measures the
+engine, not IPC).
+
+Prints exactly ONE JSON line:
+    {"metric": "sum_median_query_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Extra (non-contract) keys: ``materialized`` re-times the window
+aggregates over a pre-materialized flights table, separating the
+events→JSON→parse adapter cost from aggregation cost (VERDICT round 1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+WARMUPS = 1
+RUNS = 3
+
+
+def _materialize(df) -> None:
+    """Force full computation of every column without driver collect."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _time(df_fn) -> float:
+    for _ in range(WARMUPS):
+        _materialize(df_fn())
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        _materialize(df_fn())
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 3)
+
+
+def main() -> int:
+    os.environ["TZ"] = "UTC"
+    time.tzset()
+
+    from flight_events_flink_job_spark.operators.aggregates import (
+        airline_stats,
+        hourly_stats,
+        route_stats,
+    )
+    from flight_events_flink_job_spark.plans import QUERIES
+    from flight_events_flink_job_spark.session import get_spark
+    from flight_events_flink_job_spark.sources.flight_adapter import (
+        flights_from_events,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        timings[name] = _time(lambda: fn(spark, sf_dir))
+
+    # Adapter-cost separation: write the parsed flights table once,
+    # then time the three window aggregates over the parquet directly.
+    mat: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="bench_flights_")
+    try:
+        flights_from_events(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        flights = spark.read.parquet(tmp)
+        for name, op in [
+            ("airline_delay_stats", airline_stats),
+            ("route_delay_stats", route_stats),
+            ("hourly_delay_stats", hourly_stats),
+        ]:
+            mat[name] = _time(lambda: op(flights))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    out = {
+        "metric": "sum_median_query_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "materialized": mat,
+        "config": {
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "warmups": WARMUPS,
+            "runs": RUNS,
+        },
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
