@@ -6,16 +6,25 @@ flight events from Kafka, enriches them (delay flag normalization +
 derived ``delay_minutes``), and fans out into delay notifications plus
 three tumbling-window aggregations served from ClickHouse tables.
 
-This engine re-expresses that surface Spark-first:
+This engine re-expresses that surface Spark-first, and extends it with
+the operators a large-scale training-data pipeline needs:
 
-- the relational core is pure ``DataFrame -> DataFrame`` functions
-  (``operators/``) that Catalyst plans and optimizes;
-- sources/sinks adapt the driver fixtures and the Kafka-shaped payload
-  contract (``sources/``);
-- the driver contract surface (queries + DuckDB oracles) lives in
-  ``plans/registry.py``.
-
-See SURVEY.md §7 for the build plan; modules land in that order.
+- ``operators/parse.py`` / ``notifications.py`` / ``aggregates.py`` —
+  the reference-parity relational core: pure ``DataFrame -> DataFrame``
+  functions that Catalyst plans and optimizes;
+- ``operators/dedup.py`` — exact, MinHash+LSH, prefix-filter n-gram
+  Jaccard, SimHash, and bucketed embedding-cosine deduplication;
+- ``operators/similarity.py`` — exact broadcast cosine top-k and
+  hyperplane-LSH approximate nearest neighbors;
+- ``operators/text.py`` / ``props.py`` — per-doc quality stats, term
+  frequency, heuristic language ID, content fingerprints, JSON
+  property mining;
+- ``operators/multimodal.py`` — binary payload + metadata columns with
+  Arrow-batched (mapInPandas) feature extraction;
+- ``sources/`` — driver-fixture loaders and the Kafka-shaped payload
+  adapter;
+- ``plans/registry.py`` + ``plans/registry_ext.py`` — the driver
+  contract surface: every query paired with its DuckDB oracle.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -1,0 +1,56 @@
+"""Vector column expressions for the embedding operators.
+
+Dot products and norms fold left-to-right in DOUBLE via Spark's
+higher-order ``aggregate``/``zip_with`` — JVM-side, no UDF. DuckDB's
+``list_cosine_similarity(CAST(x AS DOUBLE[]), …)`` reproduces the exact
+same double-sequential accumulation (verified bit-identical on the
+fixture embeddings), so cosine columns are oracle-hashable without
+tolerance tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double(vec: Column) -> Column:
+    """ARRAY<FLOAT> -> ARRAY<DOUBLE> (all math happens in double)."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double dot product of two ARRAY<DOUBLE> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two ARRAY<DOUBLE> columns.
+
+    DuckDB twin: ``list_cosine_similarity(a, b)`` on DOUBLE[].
+    """
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sign_bucket(vec: Column, bits: int) -> Column:
+    """Coordinate-sign LSH bucket: an integer built from the signs of
+    the first ``bits`` coordinates.
+
+    A deterministic, engine-portable bucketing (DuckDB twin uses the
+    same ``CASE WHEN vec[i] >= 0`` bits), so bucketed near-dup results
+    are exactly reproducible by the oracle. For production-grade recall
+    use :func:`hyperplane_buckets` (random projections) instead — that
+    one is rows-only checkable.
+    """
+    acc = F.lit(0)
+    for i in range(bits):
+        acc = acc * 2 + F.when(F.element_at(vec, i + 1) >= 0, 1).otherwise(0)
+    return acc

@@ -1,0 +1,144 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Extension surface beyond the reference (SURVEY.md §2.6): the metrics a
+training-data curation pipeline computes per document — token counts,
+quality ratios, heuristic language ID, content fingerprints — plus the
+corpus-level term-frequency rollup. Everything is built-in Catalyst
+expressions (no Python UDFs): per-doc metrics are a narrow map stage,
+term_frequency is one explode + one hash aggregation. Each operator has
+a DuckDB twin in plans/registry_ext.py; functions/textual.py documents
+the expression-level correspondences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textual import distinct_tokens, poly_hash, tokens, word_shingles
+
+ROUND_DP = 4
+
+# Tiny per-language function-word lexicons for the n-gram-free heuristic
+# language ID. Deliberately minimal and hard-coded: langid here is a
+# deterministic, engine-portable scoring rule, not a trained model.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "en"),
+}
+
+# English stopwords for the quality ratio (superset of the 'en' lexicon).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+# BPE-ish subword segmentation: runs of letters, runs of digits, or a
+# single other non-space character. Same RE2-compatible pattern runs in
+# DuckDB's regexp_extract_all.
+SUBTOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document quality/statistics row (one narrow map stage).
+
+    Columns: token counts (whitespace + regex subword), type-token
+    ratio, mean token length, stopword ratio, and a composite
+    quality_score in [0,2] (lexical diversity + non-stopword density) —
+    the usual cheap pre-LLM quality gate.
+    """
+    t = tokens(F.col("text"))
+    types = distinct_tokens(F.col("text"))
+    n_tokens = F.size(t).cast("bigint")
+    n_types = F.size(types).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    n_stop = F.size(
+        F.filter(t, lambda x: x.isin(*STOPWORDS))
+    ).cast("bigint")
+    ttr = F.round(n_types.cast("double") / n_tokens.cast("double"), ROUND_DP)
+    stop_ratio = F.round(n_stop.cast("double") / n_tokens.cast("double"), ROUND_DP)
+    return docs.select(
+        "doc_id",
+        F.col("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(SUBTOKEN_RE), 0))
+        .cast("bigint")
+        .alias("n_subtokens"),
+        n_types.alias("n_types"),
+        ttr.alias("type_token_ratio"),
+        F.round(sum_len.cast("double") / n_tokens.cast("double"), ROUND_DP).alias(
+            "avg_token_len"
+        ),
+        stop_ratio.alias("stopword_ratio"),
+        # Sum, not mean-of-rounded: halving two 4dp-rounded terms lands
+        # exactly on .00005 boundaries where engines' round() disagree.
+        F.round(ttr + (1.0 - stop_ratio), ROUND_DP).alias("quality_score"),
+    )
+
+
+def term_frequency(docs: DataFrame, min_tf: int = 1) -> DataFrame:
+    """Corpus term/document frequency: (token, tf, df).
+
+    One explode + one hash aggregation (partial aggregation before the
+    shuffle keeps the exchange at vocabulary cardinality, not token
+    count). The standard first stage of tf-idf / vocabulary pruning.
+    """
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .filter(F.col("tf") >= min_tf)
+    )
+
+
+def text_langid(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: score = |token-set ∩ lexicon| per language,
+    argmax wins, ties broken by fixed language order, all-zero -> 'und'.
+
+    Output: (doc_id, lang_pred, lang_score BIGINT). Deterministic and
+    SQL-portable by construction — the point is the *operator shape*
+    (map-side lexicon intersection, no shuffle), not model quality.
+    """
+    types = distinct_tokens(F.col("text"))
+    scores = {
+        lang: F.size(F.array_intersect(types, F.array(*[F.lit(w) for w in lex])))
+        for lang, lex in LANG_LEXICONS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # Reverse fixed order so earlier languages win ties via later
+    # when() overwrites... build forward instead: first match wins.
+    expr = None
+    for lang in LANG_LEXICONS:
+        cond = (scores[lang] == best) & (best > 0)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    pred = expr.otherwise("und")
+    return docs.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        best.cast("bigint").alias("lang_score"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Content fingerprint: min polynomial rolling hash over word
+    n-gram shingles (a 1-permutation MinHash with an engine-portable
+    hash, so the oracle can recompute it exactly).
+
+    Output: (doc_id, fingerprint BIGINT, n_shingles BIGINT). Documents
+    sharing a fingerprint are candidate near-dups — this is the cheap
+    first-pass bucketing for incremental dedup at ingest.
+    """
+    sh = word_shingles(F.col("text"), n)
+    hashes = F.transform(sh, poly_hash)
+    return docs.select(
+        "doc_id",
+        F.array_min(hashes).alias("fingerprint"),
+        F.size(sh).cast("bigint").alias("n_shingles"),
+    ).filter(F.col("n_shingles") > 0)

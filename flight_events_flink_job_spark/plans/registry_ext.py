@@ -1,0 +1,329 @@
+"""Extension-operator registry: LLM-data-pipeline surface (SURVEY.md §2.6).
+
+Dedup / similarity / text-analysis / props-mining / multimodal queries
+over the driver's ``documents`` / ``embeddings`` / ``events`` fixtures,
+each paired with the DuckDB oracle that recomputes the same contract
+exactly (validated value-exact at sf0.01 AND the formulations chosen so
+the math is engine-portable: integer-ratio jaccard, double-sequential
+cosine, polynomial mod-hash fingerprints).
+
+Approximation policy: operators whose *semantics* are approximate
+(hyperplane-LSH top-k, SimHash blocks) register rows-only (no oracle) —
+pytest measures their recall against the exact twins instead. Operators
+that merely *use* LSH for candidate generation but verify exactly
+(minhash near-dup) keep exact oracles, with LSH parameters sized so the
+capture probability at threshold makes the plan exact on real data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    dedup_exact,
+    dedup_near_minhash,
+    dedup_ngram_jaccard,
+    embedding_neardup_cosine,
+    simhash_near_pairs,
+)
+from ..operators.multimodal import multimodal_features
+from ..operators.props import props_mining
+from ..operators.similarity import cosine_topk, cosine_topk_lsh
+from ..operators.text import (
+    LANG_LEXICONS,
+    STOPWORDS,
+    SUBTOKEN_RE,
+    doc_fingerprints,
+    term_frequency,
+    text_langid,
+    text_stats,
+)
+from ..sources.fixtures import load_table
+from .registry import register
+
+# DuckDB prelude: distinct word-trigram shingle sets per document
+# (1-based list indexing). The Spark twin is functions/textual.py
+# word_shingles — keep in lockstep.
+SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+sh AS (
+    SELECT doc_id,
+           list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                          for i in range(1, len(ts) - 1)]) sg
+    FROM toks WHERE len(ts) >= 3
+)
+"""
+
+# Exact all-pairs trigram-Jaccard (oracle side only — DuckDB at oracle
+# scale can afford the quadratic join the Spark plan must avoid).
+_PAIRS_SQL = """
+WITH {cte}
+SELECT * FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sg, b.sg)) * 1.0
+                 / len(list_distinct(list_concat(a.sg, b.sg))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jaccard >= {threshold}
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, n_members FROM (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (PARTITION BY key ORDER BY doc_id) rn,
+               count(*) OVER (PARTITION BY key) n_members
+        FROM (SELECT *, array_to_string(
+                  list_sort(list_distinct(string_split(text, ' '))), ' ') AS key
+              FROM documents)
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the canonical bag-of-words key (operators/dedup.py)."""
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_near_minhash",
+    oracle=_PAIRS_SQL.format(cte=SHINGLES_CTE, threshold=0.8),
+)
+def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands) candidates, exact-Jaccard verified
+    >= 0.8. Oracle is the exact all-pairs join; the banded plan captures
+    threshold-level pairs with prob ~1-8e-6 (1-(1-0.8^4)^16)."""
+    return dedup_near_minhash(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_PAIRS_SQL.format(cte=SHINGLES_CTE, threshold=0.7),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard >= 0.7 via complete prefix-filter candidates
+    (Bayardo et al. AllPairs) — deterministic-equal to all-pairs."""
+    return dedup_ngram_jaccard(_docs(spark, sf_dir))
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs, Hamming <= 3, complete via pigeonhole
+    block join. Fingerprint hash is Spark's xxhash64 (not reproducible
+    in DuckDB) -> rows-only driver check; semantics pytest-covered."""
+    return simhash_near_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+               8 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+             + 4 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
+             + 2 * (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)
+             +     (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+        FROM embeddings
+    )
+    SELECT * FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup: coordinate-sign LSH bucket join +
+    cosine >= 0.4 verify. The oracle mirrors the bucketing exactly, so
+    the check is value-exact (cosine is bit-identical cross-engine)."""
+    return embedding_neardup_cosine(_embs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "similarity_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 16),
+    scored AS (
+        SELECT q.vec_id q_id, c.vec_id n_id,
+               list_cosine_similarity(q.v, c.v) cos
+        FROM q JOIN e c ON q.vec_id <> c.vec_id
+    )
+    SELECT q_id, n_id, round(cos, 4) AS cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, n_id) rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 16 query vectors: broadcast
+    queries over one corpus scan (BroadcastNestedLoopJoin, no shuffle of
+    the corpus, no CartesianProduct)."""
+    return cosine_topk(_embs(spark, sf_dir))
+
+
+@register("similarity_topk_lsh")  # rows-only: approximate by design
+def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH (16 tables x 4
+    planes, fixed-seed literals), exact re-rank within candidate
+    buckets. pytest measures recall vs similarity_topk (~0.87 at
+    sf0.01); the driver check is rows-only because recall < 1."""
+    return cosine_topk_lsh(_embs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') ts,
+               list_distinct(string_split(text, ' ')) tys,
+               regexp_extract_all(text, '{SUBTOKEN_RE}') subs
+        FROM documents
+    )
+    SELECT doc_id, n_chars,
+        CAST(len(ts) AS BIGINT) AS n_tokens,
+        CAST(len(subs) AS BIGINT) AS n_subtokens,
+        CAST(len(tys) AS BIGINT) AS n_types,
+        round(len(tys) * 1.0 / len(ts), 4) AS type_token_ratio,
+        round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(ts, x -> CAST(length(x) AS BIGINT))),
+                  (a, c) -> a + c) * 1.0 / len(ts), 4) AS avg_token_len,
+        round(len(list_filter(ts, x -> list_contains([{_SW}], x)))
+              * 1.0 / len(ts), 4) AS stopword_ratio,
+        round(round(len(tys) * 1.0 / len(ts), 4)
+              + (1.0 - round(len(list_filter(ts, x -> list_contains([{_SW}], x)))
+                             * 1.0 / len(ts), 4)), 4) AS quality_score
+    FROM t
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (operators/text.py text_stats)."""
+    return text_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "term_frequency",
+    oracle="""
+    SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY token
+    """,
+)
+def q_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequency rollup."""
+    return term_frequency(_docs(spark, sf_dir))
+
+
+def _langid_oracle() -> str:
+    score = (
+        "len(list_intersect(list_distinct(string_split(text, ' ')), [{lex}]))"
+    )
+    scores = {
+        lang: score.format(lex=", ".join(f"'{w}'" for w in lex))
+        for lang, lex in LANG_LEXICONS.items()
+    }
+    best = f"greatest({', '.join(scores.values())})"
+    cases = "\n".join(
+        f"WHEN {expr} = best AND best > 0 THEN '{lang}'"
+        for lang, expr in scores.items()
+    )
+    return f"""
+    WITH s AS (
+        SELECT doc_id, text, {best} AS best FROM documents
+    )
+    SELECT doc_id,
+           CASE {cases} ELSE 'und' END AS lang_pred,
+           CAST(best AS BIGINT) AS lang_score
+    FROM s
+    """
+
+
+@register("text_langid", oracle=_langid_oracle())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic lexicon-overlap language ID (deterministic argmax)."""
+    return text_langid(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH {SHINGLES_CTE}
+    SELECT doc_id,
+        list_min(list_transform(sg, s -> list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+                [CAST(unicode(s[i]) AS BIGINT) for i in range(1, len(s)+1)]),
+            (a, c) -> (a * 31 + c) % 1000000007))) AS fingerprint,
+        CAST(len(sg) AS BIGINT) AS n_shingles
+    FROM sh
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable polynomial min-hash content fingerprint per document."""
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# JSON props mining + multimodal
+# ---------------------------------------------------------------------------
+
+@register(
+    "props_mining",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           min(k) AS min_k, max(k) AS max_k, round(avg(k), 4) AS avg_k
+    FROM (SELECT event_type, user_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_props_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property mining over events.props (operators/props.py)."""
+    return props_mining(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(unicode(text[i]) AS BIGINT)
+                for i in range(1, len(text)+1)]),
+               (a, c) -> a + c) % 997 AS checksum,
+           lower(hex(encode(substring(text, 1, 4)))) AS head_hex
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the real mapInPandas
+    plumbing (operators/multimodal.py); features are byte-deterministic
+    so even the Python path is value-oracle-checked. The oracle works on
+    codepoints == bytes because the corpus is ASCII."""
+    return multimodal_features(_docs(spark, sf_dir))

@@ -1,0 +1,107 @@
+"""Dedup operator semantics + plan-shape guarantees."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flight_events_flink_job_spark.operators.dedup import (
+    dedup_exact,
+    dedup_near_minhash,
+    dedup_ngram_jaccard,
+    embedding_neardup_cosine,
+    minhash_signatures,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+
+DOCS = [
+    # 0 and 1: same token set, different order/repeats -> exact-dup group
+    (0, "spark scan filter join spark", "en", "s0", 27),
+    (1, "join filter scan spark", "en", "s1", 22),
+    # 2: near-dup of 3 (one word changed in 12 -> high trigram jaccard)
+    (2, "a b c d e f g h i j k l", "en", "s2", 23),
+    (3, "a b c d e f g h i j k m", "en", "s3", 23),
+    # 4: unrelated
+    (4, "totally different content here now", "en", "s4", 34),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        DOCS, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def test_dedup_exact_collapses_token_set_duplicates(docs):
+    rows = {r["doc_id"]: r["n_members"] for r in dedup_exact(docs).collect()}
+    assert rows == {0: 2, 2: 1, 3: 1, 4: 1}  # keeps min doc_id of {0,1}
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in dedup_near_minhash(docs, 0.5).collect()}
+    assert (2, 3) in pairs
+    assert (0, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_signature_is_stable_and_sized(docs):
+    sigs = minhash_signatures(docs).collect()
+    assert all(len(r.sig) == 64 for r in sigs)
+    again = {r.doc_id: r.sig for r in minhash_signatures(docs).collect()}
+    assert all(r.sig == again[r.doc_id] for r in sigs)  # deterministic
+
+
+def test_ngram_jaccard_equals_bruteforce(docs):
+    """Prefix-filter candidates are COMPLETE: result == all-pairs truth."""
+    from flight_events_flink_job_spark.functions.textual import jaccard, word_shingles
+
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("s")).filter(
+        F.size("s") > 0
+    )
+    a = sh.selectExpr("doc_id doc_a", "s sa")
+    b = sh.selectExpr("doc_id doc_b", "s sb")
+    brute = {
+        (r.doc_a, r.doc_b, r.j)
+        for r in a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jaccard(F.col("sa"), F.col("sb")), 4).alias("j"))
+        .where(F.col("j") >= 0.5)
+        .collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_ngram_jaccard(docs, 0.5).collect()
+    }
+    assert fast == brute and len(brute) > 0
+
+
+def test_simhash_hamming_zero_for_identical_token_sets(docs):
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    assert fp[0] == fp[1]  # same token set -> identical fingerprint
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_pairs(docs, 8).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_no_cartesian_product_in_dedup_plans(docs, spark):
+    embs = spark.createDataFrame(
+        [(i, [float(i), 1.0, -1.0, 0.5], 0) for i in range(4)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    for df in (
+        dedup_near_minhash(docs),
+        dedup_ngram_jaccard(docs),
+        simhash_near_pairs(docs),
+        embedding_neardup_cosine(embs, sign_bits=2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+
+def test_dedup_fixture_near_dups(spark, sf_dir):
+    """The driver corpus plants trigram near-dups; both exact and
+    LSH-candidate paths must find the same pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mh = set(map(tuple, dedup_near_minhash(docs, 0.8).collect()))
+    ng = set(map(tuple, dedup_ngram_jaccard(docs, 0.8).collect()))
+    assert mh == ng

@@ -1,0 +1,56 @@
+"""Multimodal binary-column plumbing: schema, batching, determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from flight_events_flink_job_spark.operators.multimodal import (
+    CHECKSUM_MOD,
+    decode_image,
+    media_features,
+    multimodal_features,
+    with_binary_payload,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "hello world", "en", "s0", 11),
+        (1, "abc", "en", "s1", 3),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def test_payload_is_binary_with_meta(docs):
+    media = with_binary_payload(docs)
+    dtypes = dict(media.dtypes)
+    assert dtypes["payload"] == "binary"
+    assert dtypes["meta"].startswith("struct<mime:string")
+    row = media.filter("doc_id = 1").collect()[0]
+    assert bytes(row.payload) == b"abc"
+    assert row.meta.mime == "text/plain"
+
+
+def test_features_match_python_truth(docs):
+    out = {r.doc_id: r for r in multimodal_features(docs).collect()}
+    for doc_id, text in [(0, b"hello world"), (1, b"abc")]:
+        r = out[doc_id]
+        assert r.byte_len == len(text)
+        assert r.checksum == sum(text) % CHECKSUM_MOD
+        assert r.head_hex == text[:4].hex()
+        assert r.mime == "text/plain"
+
+
+def test_features_survive_repartition(docs):
+    """mapInPandas output must be partition-invariant (pure per-row)."""
+    a = sorted(map(tuple, multimodal_features(docs).collect()))
+    b = sorted(map(tuple, media_features(with_binary_payload(docs).repartition(7))
+                   .select("doc_id", "mime", "byte_len", "checksum", "head_hex")
+                   .collect()))
+    assert a == b
+
+
+def test_decode_stub_raises(docs):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

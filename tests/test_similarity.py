@@ -1,0 +1,60 @@
+"""Similarity-search semantics, recall, and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from flight_events_flink_job_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # Orthogonal-ish handmade vectors: neighbor structure is obvious.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # antipode of 0
+    ]
+    return spark.createDataFrame(
+        [(i, v, 0) for i, v in rows], "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+
+
+def test_topk_ranks_by_cosine(tiny):
+    out = {
+        (r.q_id, r.rank): r.n_id
+        for r in cosine_topk(tiny, tiny.filter("vec_id = 0"), k=3).collect()
+    }
+    assert out[(0, 1)] == 1  # 0.9-ish cosine
+    assert out[(0, 2)] == 2  # orthogonal (0.0)
+    assert out[(0, 3)] == 3  # antipodal (-1.0)
+
+
+def test_topk_excludes_self_and_respects_k(tiny):
+    rows = cosine_topk(tiny, k=2).collect()
+    assert all(r.q_id != r.n_id for r in rows)
+    assert all(r.rank <= 2 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, 0)
+        per_q[r.q_id] += 1
+    assert set(per_q.values()) == {2}
+
+
+def test_topk_plan_broadcasts_queries_no_cartesian(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = cosine_topk(embs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_lsh_recall_against_exact(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.q_id, r.n_id) for r in cosine_topk(embs).collect()}
+    approx = {(r.q_id, r.n_id) for r in cosine_topk_lsh(embs).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall {recall:.2f} below floor"

@@ -1,0 +1,78 @@
+"""Text-analysis and props-mining operator semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flight_events_flink_job_spark.operators.props import props_mining
+from flight_events_flink_job_spark.operators.text import (
+    doc_fingerprints,
+    term_frequency,
+    text_langid,
+    text_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat", "en", "s", 22),
+        (1, "der hund ist ein tier und das ist gut", "de", "s", 38),
+        (2, "xyzzy qwerty plugh", "??", "s", 18),
+        (3, "the cat sat on the mat", "en", "s", 22),  # identical to 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def test_text_stats_counts(docs):
+    r = {x.doc_id: x for x in text_stats(docs).collect()}
+    assert r[0].n_tokens == 6
+    assert r[0].n_types == 5  # 'the' twice
+    assert r[0].stopword_ratio == round(3 / 6, 4)  # the, on, the
+    assert r[2].stopword_ratio == 0.0
+    assert r[0].avg_token_len == round((3 + 3 + 3 + 2 + 3 + 3) / 6, 4)
+
+
+def test_term_frequency(docs):
+    tf = {r.token: (r.tf, r.df) for r in term_frequency(docs).collect()}
+    assert tf["the"] == (4, 2)  # twice in doc 0 and doc 3
+    assert tf["cat"] == (2, 2)
+    assert tf["xyzzy"] == (1, 1)
+
+
+def test_langid_argmax_and_unknown(docs):
+    out = {r.doc_id: (r.lang_pred, r.lang_score) for r in text_langid(docs).collect()}
+    assert out[0][0] == "en"
+    assert out[1][0] == "de"
+    assert out[2] == ("und", 0)
+
+
+def test_fingerprint_identical_docs_match(docs):
+    fp = {r.doc_id: r.fingerprint for r in doc_fingerprints(docs).collect()}
+    assert fp[0] == fp[3]
+    assert fp[0] != fp[1]
+    assert all(0 <= v < 1_000_000_007 for v in fp.values())
+
+
+def test_fingerprint_skips_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, "one two", "en", "s", 7)], ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    assert doc_fingerprints(docs).count() == 0  # < 3 tokens -> no shingle
+
+
+def test_props_mining(spark):
+    events = spark.createDataFrame(
+        [
+            (0, 1, "click", '{"k": 10}'),
+            (1, 1, "click", '{"k": 20}'),
+            (2, 2, "view", '{"k": 5}'),
+        ],
+        ["event_id", "user_id", "event_type", "props"],
+    ).withColumn("ts", F.current_timestamp()).withColumn("value", F.lit(1.0))
+    out = {r.event_type: r for r in props_mining(events).collect()}
+    assert out["click"].n_events == 2
+    assert out["click"].n_users == 1
+    assert out["click"].avg_k == 15.0
+    assert out["view"].min_k == 5 and out["view"].max_k == 5
