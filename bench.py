@@ -58,7 +58,7 @@ def main() -> int:
         hourly_stats,
         route_stats,
     )
-    from flight_events_flink_job_spark.plans import QUERIES
+    from flight_events_flink_job_spark.plans import BENCH_SKIP, QUERIES
     from flight_events_flink_job_spark.session import get_spark
     from flight_events_flink_job_spark.sources.flight_adapter import (
         flights_from_events,
@@ -71,6 +71,8 @@ def main() -> int:
     spark = get_spark("bench")
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
+        if name in BENCH_SKIP:
+            continue  # streaming round trips time tempdir IO, not the engine
         timings[name] = _time(lambda: fn(spark, sf_dir))
 
     # Adapter-cost separation: write the parsed flights table once,

@@ -1,0 +1,41 @@
+"""Driver-checked streaming query: the full file-stream round trip.
+
+Registers ``streaming_airline_stats``: stage the events as JSON text
+parts, drain them through the foreachBatch fan-out job (multiple
+micro-batches), then final-merge the persisted partial aggregates. The
+oracle is the SAME SQL as the batch ``airline_delay_stats`` — the
+batch/stream parity contract (SURVEY.md §7 design stance) checked by
+the driver itself, not just pytest.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.job import (
+    merge_airline_stats,
+    run_file_stream,
+    stage_flight_event_json,
+)
+from .registry import ORACLES, register
+
+# Streaming round trips stage files + run a query per call; exclude from
+# the timing harness (bench.py) where they'd measure tempdir IO, not
+# the engine. The driver's correctness gate still runs them.
+BENCH_SKIP = {"streaming_airline_stats"}
+
+
+@register("streaming_airline_stats", oracle=ORACLES["airline_delay_stats"])
+def q_streaming_airline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch/stream parity, driver-checked: availableNow drain of the
+    staged event stream in 2-file micro-batches -> partials -> merge.
+    Must hash-equal the batch oracle exactly."""
+    base = tempfile.mkdtemp(prefix="stream_roundtrip_")
+    staging, warehouse, ckpt = f"{base}/in", f"{base}/wh", f"{base}/ckpt"
+    stage_flight_event_json(spark, sf_dir, staging, parts=4)
+    run_file_stream(spark, staging, warehouse, ckpt, max_files_per_trigger=2)
+    return merge_airline_stats(
+        spark.read.parquet(f"{warehouse}/airline_delay_stats_partial")
+    )

@@ -1,0 +1,304 @@
+"""The streaming job: single-scan multi-sink fan-out, batch/stream parity.
+
+Reference topology (FlightEventAggregator.java:28-180): ONE Kafka
+source -> parse/enrich -> five branches (notifications FEA:75-85,
+airline stats FEA:89-110, route stats FEA:112-133, hourly trends
+FEA:135-155, raw archive FEA:157-178). Flink executes the shared prefix
+once because the branches live in one JobGraph.
+
+Spark translation (SURVEY.md §4 "shared scan fan-out", §7 step 4):
+five independent ``writeStream`` queries would re-read and re-parse the
+source five times — the one place a naive translation loses to the
+reference. Instead ONE streaming query runs ``foreachBatch``; each
+micro-batch is persisted once and fanned out to all five sinks:
+
+  readStream(text/Kafka) -> parse_flight_events (shared, the same
+  function batch uses) -> foreachBatch{ persist; flights archive,
+  dead-letters, notifications, 3x windowed PARTIAL aggregates }
+
+Window aggregates are written as *mergeable partials* per micro-batch
+(counts + delay sums per (window, key)) and finalized on read by
+``merge_*_stats`` — exactly Flink's AggregateFunction add (in-batch
+partial) / merge (serving-side final) split, FEA:224-247, externalized
+to storage. This keeps the multi-aggregate fan-out in ONE pass over the
+data with exact results and no cross-batch driver state; the serving
+merge is a small groupBy over (key, window) rows.
+
+:func:`streaming_airline_stats_watermarked` is the idiomatic
+single-aggregate alternative: event-time window + watermark + append
+mode + parquet sink with checkpointing — late data beyond the watermark
+is dropped, finalized windows are emitted exactly once (a strict
+upgrade over the reference's at-most-once, SURVEY.md §2.4).
+
+Kafka twin: swap ``readStream.text(dir)`` for ``readStream
+.format("kafka").option("subscribe", "flight-events")`` and select
+``CAST(value AS STRING)`` — the rest of the pipeline is unchanged
+(KafkaUtils.java:15-28 source config; notification sink KU:30-38 maps
+to ``to_json`` + Kafka sink on topic flight-delay-notifications).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.flight import hour_of_day, route_key
+from ..operators.aggregates import ROUND_DP
+from ..operators.notifications import delay_notifications
+from ..operators.parse import parse_flight_events, rejected_rows, valid_flights
+from ..schemas import (
+    AIRLINE_STATS_COLUMNS,
+    HOURLY_STATS_COLUMNS,
+    ROUTE_STATS_COLUMNS,
+)
+from ..sources.fixtures import load_table
+from ..sources.flight_adapter import flight_event_json
+from .sinks import write_serving_table
+
+
+def stage_flight_event_json(
+    spark: SparkSession, sf_dir: str, staging_dir: str, parts: int = 4
+) -> None:
+    """Materialize the Kafka-shaped JSON payloads as text part-files —
+    the replayable stand-in for the flight-events topic."""
+    flight_event_json(load_table(spark, sf_dir, "events")).repartition(
+        parts
+    ).write.mode("overwrite").text(staging_dir)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable partial aggregates (Flink add/merge split, externalized)
+# ---------------------------------------------------------------------------
+
+def partial_airline_stats(flights: DataFrame, window_size: str = "2 minutes") -> DataFrame:
+    w = F.window("scheduled_time", window_size)
+    return flights.groupBy(w.alias("w"), "airline").agg(
+        F.count("*").alias("total_flights"),
+        F.sum(F.when(F.col("is_delayed") == 1, 1).otherwise(0)).alias("delayed_flights"),
+        F.sum(F.col("delay_minutes").cast("double")).alias("sum_delay"),
+    ).select(
+        "airline", "total_flights", "delayed_flights", "sum_delay",
+        F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
+    )
+
+
+def merge_airline_stats(partials: DataFrame) -> DataFrame:
+    out = (
+        partials.groupBy("airline", "window_start", "window_end")
+        .agg(
+            F.sum("total_flights").alias("total_flights"),
+            F.sum("delayed_flights").alias("delayed_flights"),
+            F.sum("sum_delay").alias("sum_delay"),
+        )
+        .select(
+            "airline",
+            "total_flights",
+            "delayed_flights",
+            F.round(F.col("sum_delay") / F.col("total_flights"), ROUND_DP).alias(
+                "avg_delay_minutes"
+            ),
+            F.round(
+                F.col("delayed_flights") * 100.0 / F.col("total_flights"), ROUND_DP
+            ).alias("delay_rate"),
+            "window_start",
+            "window_end",
+        )
+    )
+    assert out.columns == AIRLINE_STATS_COLUMNS
+    return out
+
+
+def partial_route_stats(flights: DataFrame, window_size: str = "3 minutes") -> DataFrame:
+    w = F.window("scheduled_time", window_size)
+    return flights.groupBy(w.alias("w"), "origin", "destination").agg(
+        F.count("*").alias("total_flights"),
+        F.sum(F.col("delay_minutes").cast("double")).alias("sum_delay"),
+    ).select(
+        "origin", "destination", "total_flights", "sum_delay",
+        F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
+    )
+
+
+def merge_route_stats(partials: DataFrame) -> DataFrame:
+    out = (
+        partials.groupBy("origin", "destination", "window_start", "window_end")
+        .agg(
+            F.sum("total_flights").alias("total_flights"),
+            F.sum("sum_delay").alias("sum_delay"),
+        )
+        .select(
+            route_key(F.col("origin"), F.col("destination")).alias("route"),
+            "origin",
+            "destination",
+            "total_flights",
+            F.round(F.col("sum_delay") / F.col("total_flights"), ROUND_DP).alias(
+                "avg_delay_minutes"
+            ),
+            "window_start",
+            "window_end",
+        )
+    )
+    assert out.columns == ROUTE_STATS_COLUMNS
+    return out
+
+
+def partial_hourly_stats(flights: DataFrame, window_size: str = "5 minutes") -> DataFrame:
+    w = F.window("scheduled_time", window_size)
+    return flights.groupBy(
+        w.alias("w"), hour_of_day(F.col("scheduled_time")).alias("hour_of_day")
+    ).agg(
+        F.count("*").alias("total_flights"),
+        F.sum(F.when(F.col("is_delayed") == 1, 1).otherwise(0)).alias("delayed_flights"),
+        F.sum(F.col("delay_minutes").cast("double")).alias("sum_delay"),
+    ).select(
+        "hour_of_day", "total_flights", "delayed_flights", "sum_delay",
+        F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
+    )
+
+
+def merge_hourly_stats(partials: DataFrame) -> DataFrame:
+    out = (
+        partials.groupBy("hour_of_day", "window_start", "window_end")
+        .agg(
+            F.sum("total_flights").alias("total_flights"),
+            F.sum("delayed_flights").alias("delayed_flights"),
+            F.sum("sum_delay").alias("sum_delay"),
+        )
+        .select(
+            "hour_of_day",
+            "total_flights",
+            "delayed_flights",
+            F.round(F.col("sum_delay") / F.col("total_flights"), ROUND_DP).alias(
+                "avg_delay_minutes"
+            ),
+            "window_start",
+            "window_end",
+        )
+    )
+    assert out.columns == HOURLY_STATS_COLUMNS
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The streaming job
+# ---------------------------------------------------------------------------
+
+def run_file_stream(
+    spark: SparkSession,
+    source_dir: str,
+    warehouse_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    await_termination: bool = True,
+) -> StreamingQuery:
+    """Consume staged JSON text files as a stream and fan out to all
+    five sinks in one pass per micro-batch (see module docstring).
+
+    availableNow trigger: drains everything currently staged then stops
+    — the deterministic test/backfill mode. Drop the trigger for a
+    continuous tail of an arriving directory (or the Kafka twin).
+    """
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    parsed = parse_flight_events(reader.text(source_dir))
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            flights = valid_flights(batch_df)
+            flights.persist()
+            try:
+                # Branch 5: raw archive (FEA:157-178 -> flights table)
+                write_serving_table(flights, f"{warehouse_dir}/flights", "flights")
+                # Q1 upgrade: dead-letter stream
+                rejected_rows(batch_df).write.mode("append").parquet(
+                    f"{warehouse_dir}/rejected_rows"
+                )
+                # Branch 1: notifications (FEA:75-85; Kafka topic stand-in)
+                delay_notifications(flights).write.mode("append").parquet(
+                    f"{warehouse_dir}/notifications"
+                )
+                # Branches 2-4: windowed aggregates as mergeable partials
+                partial_airline_stats(flights).write.mode("append").parquet(
+                    f"{warehouse_dir}/airline_delay_stats_partial"
+                )
+                partial_route_stats(flights).write.mode("append").parquet(
+                    f"{warehouse_dir}/route_delay_stats_partial"
+                )
+                partial_hourly_stats(flights).write.mode("append").parquet(
+                    f"{warehouse_dir}/hourly_delay_stats_partial"
+                )
+            finally:
+                flights.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    query = (
+        parsed.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
+def streaming_airline_stats_watermarked(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    window_size: str = "2 minutes",
+    max_files_per_trigger: int | None = 1,
+    await_termination: bool = True,
+) -> StreamingQuery:
+    """Idiomatic single-aggregate streaming query: event-time tumbling
+    window + watermark, append output mode, checkpointed parquet sink.
+
+    Append mode emits each (airline, window) row exactly once, when the
+    watermark passes the window end — rows later than the watermark are
+    dropped (the late-data policy the reference cannot express with its
+    processing-time windows, SURVEY.md quirk Q3). Windows still open
+    when an availableNow drain finishes stay in state (unemitted) —
+    tests account for that.
+    """
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    flights = valid_flights(parse_flight_events(reader.text(source_dir)))
+    agg = (
+        flights.withWatermark("scheduled_time", watermark)
+        .groupBy(F.window("scheduled_time", window_size).alias("w"), "airline")
+        .agg(
+            F.count("*").alias("total_flights"),
+            F.sum(F.when(F.col("is_delayed") == 1, 1).otherwise(0)).alias(
+                "delayed_flights"
+            ),
+            F.round(F.avg("delay_minutes"), ROUND_DP).alias("avg_delay_minutes"),
+        )
+        .withColumn(
+            "delay_rate",
+            F.round(F.col("delayed_flights") * 100.0 / F.col("total_flights"), ROUND_DP),
+        )
+        .select(
+            "airline", "total_flights", "delayed_flights", "avg_delay_minutes",
+            "delay_rate",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+        )
+    )
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -1,0 +1,58 @@
+"""Serving-table writes: the ClickHouse MergeTree replacement.
+
+The reference serves analytics from ClickHouse MergeTree tables whose
+``ORDER BY (key, window_start)`` clustering (readme.txt:49,59,70) makes
+key-range scans cheap. The Spark-native equivalent (SURVEY.md §4
+storage row): Parquet tables partitioned by a coarse column (date
+bucket — partition pruning) and sorted within partitions by the
+clustering key (row-group min/max skipping inside each file).
+
+At 100 TB: ``partitionBy`` bounds each file to one partition value so
+readers prune entire directories; ``sortWithinPartitions`` runs as a
+per-task sort before write (no extra shuffle beyond the optional
+``repartition`` on the partition columns, which prevents the
+small-files explosion of writing P partition values from T tasks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Serving schemas (readme.txt:41-49, :51-59, :63-70, :18+73-74) keyed by
+# table name: (partition expression name, sort columns).
+SERVING_LAYOUT: dict[str, tuple[list[str], list[str]]] = {
+    "flights": (["flight_date"], ["airline", "scheduled_time"]),
+    "airline_delay_stats": (["window_date"], ["airline", "window_start"]),
+    "route_delay_stats": (["window_date"], ["route", "window_start"]),
+    "hourly_delay_stats": (["window_date"], ["hour_of_day", "window_start"]),
+}
+
+
+def with_partition_date(df: DataFrame, table: str) -> DataFrame:
+    """Attach the coarse partition column for a serving table."""
+    if table == "flights":
+        return df.withColumn("flight_date", F.to_date("scheduled_time"))
+    return df.withColumn("window_date", F.to_date("window_start"))
+
+
+def write_serving_table(
+    df: DataFrame, path: str, table: str, mode: str = "append"
+) -> None:
+    """Write one serving table with MergeTree-equivalent layout."""
+    partition_cols, sort_cols = SERVING_LAYOUT[table]
+    out = with_partition_date(df, table)
+    (
+        out.repartition(*[F.col(c) for c in partition_cols])
+        # Sort must LEAD with the partition columns: FileFormatWriter
+        # requires that prefix ordering and would otherwise inject its
+        # own partition-column-only sort, destroying the clustering.
+        .sortWithinPartitions(*partition_cols, *sort_cols)
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def read_serving_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
