@@ -21,10 +21,16 @@ the operators a large-scale training-data pipeline needs:
   property mining;
 - ``operators/multimodal.py`` — binary payload + metadata columns with
   Arrow-batched (mapInPandas) feature extraction;
-- ``sources/`` — driver-fixture loaders and the Kafka-shaped payload
-  adapter;
-- ``plans/registry.py`` + ``plans/registry_ext.py`` — the driver
-  contract surface: every query paired with its DuckDB oracle.
+- ``sources/`` — driver-fixture loaders, the Kafka-shaped payload
+  adapter, and the Kafka source/sink builders (``sources/kafka.py``);
+- ``streaming/`` — the single-scan multi-sink ``foreachBatch`` job,
+  watermarked append-mode aggregates, and partitioned serving-table
+  writes (``streaming/job.py`` / ``sinks.py``);
+- ``observability.py`` — the reference's per-record log taps as
+  executor-side observed metrics;
+- ``plans/`` — the driver contract surface: every query paired with
+  its DuckDB oracle (``registry.py``, ``registry_ext.py``,
+  ``registry_stream.py``).
 """
 
 __version__ = "0.2.0"

@@ -20,19 +20,30 @@ NOTIFICATION_FORMAT = (
 )
 
 
-def delay_flag(delayed: Column, status: Column) -> Column:
+def delay_flag(delayed: Column, status: Column, raw: Column | None = None) -> Column:
     """Normalize the dual delay encodings to int 0/1.
 
     Reference semantics (FlightEventAggregator.java:50-58, quirk Q2):
     a present ``delayed`` boolean wins; else ``status`` equal to
     "DELAYED" case-insensitively; else not delayed. Unknown status
     values are NOT delayed.
+
+    The reference checks key *presence* (``node.has("delayed")``,
+    FlightEventAggregator.java:52), so an explicit ``"delayed": null``
+    is present and ``asBoolean()`` on a JSON null yields false — NOT
+    delayed, even when ``status`` says "DELAYED". ``from_json`` maps
+    absent and explicit-null identically to NULL, so when the raw JSON
+    payload is supplied we recover key presence with
+    ``json_object_keys`` — evaluated lazily only on the delayed-IS-NULL
+    branch (CaseWhen short-circuits per row), so the common
+    boolean-present path pays nothing extra.
     """
-    return (
-        F.when(delayed.isNotNull(), delayed)
-        .otherwise(F.upper(F.coalesce(status, F.lit(""))) == F.lit("DELAYED"))
-        .cast("int")
-    )
+    status_delayed = F.upper(F.coalesce(status, F.lit(""))) == F.lit("DELAYED")
+    expr = F.when(delayed.isNotNull(), delayed.cast("int"))
+    if raw is not None:
+        has_key = F.array_contains(F.json_object_keys(raw), "delayed")
+        expr = expr.when(F.coalesce(has_key, F.lit(False)), F.lit(0))
+    return expr.otherwise(status_delayed.cast("int"))
 
 
 def delay_minutes(scheduled: Column, actual: Column) -> Column:

@@ -58,7 +58,10 @@ def parse_flight_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
             "scheduled_time", F.expr("try_cast(scheduledArrival AS TIMESTAMP)")
         )
         .withColumn("actual_time", F.expr("try_cast(actualArrival AS TIMESTAMP)"))
-        .withColumn("is_delayed", delay_flag(F.col("delayed"), F.col("status")))
+        .withColumn(
+            "is_delayed",
+            delay_flag(F.col("delayed"), F.col("status"), raw=F.col("_raw")),
+        )
         .withColumn(
             "delay_minutes",
             delay_minutes(F.col("scheduled_time"), F.col("actual_time")),

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.flight import hour_of_day, route_key
+from ..observability import observe_parse
 from ..operators.aggregates import ROUND_DP
 from ..operators.notifications import delay_notifications
 from ..operators.parse import parse_flight_events, rejected_rows, valid_flights
@@ -202,7 +203,9 @@ def run_file_stream(
     reader = spark.readStream
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    parsed = parse_flight_events(reader.text(source_dir))
+    # P8 log taps: per-micro-batch observed metrics instead of the
+    # reference's per-record LOG.info (see observability.py).
+    parsed = observe_parse(parse_flight_events(reader.text(source_dir)), "parse_metrics")
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()

@@ -1,0 +1,75 @@
+"""P8 (log taps → observed metrics) and S1/S2 (Kafka adapter plumbing)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Observation
+
+from flight_events_flink_job_spark.observability import observe_parse
+from flight_events_flink_job_spark.operators.parse import parse_flight_events
+from flight_events_flink_job_spark.sources.kafka import (
+    NOTIFICATION_TOPIC,
+    SOURCE_TOPIC,
+    kafka_source_reader,
+)
+
+
+def _payload(delayed: bool) -> str:
+    return json.dumps(
+        {
+            "flightId": "F1",
+            "flightNumber": "AA100",
+            "airline": "AA",
+            "origin": "NYC",
+            "destination": "LAX",
+            "scheduledArrival": "2024-01-01T10:00:00",
+            "actualArrival": "2024-01-01T10:30:00",
+            "userId": "u1",
+            "delayed": delayed,
+        }
+    )
+
+
+def test_observe_parse_batch_metrics(spark):
+    rows = [(_payload(True),), (_payload(False),), ("not json",)]
+    raw = spark.createDataFrame(rows, "value string")
+    obs = Observation("parse")
+    df = observe_parse(parse_flight_events(raw), obs)
+    df.write.format("noop").mode("overwrite").save()
+    metrics = obs.get
+    assert metrics["events_total"] == 3
+    assert metrics["events_rejected"] == 1
+    assert metrics["events_delayed"] == 1
+
+
+class _RecordingReader:
+    def __init__(self):
+        self.fmt = None
+        self.opts = {}
+
+    def format(self, fmt):
+        self.fmt = fmt
+        return self
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+
+class _StubSession:
+    def __init__(self, reader):
+        self.readStream = reader
+
+
+def test_kafka_reader_options_match_reference():
+    # KafkaUtils.java:15-28 — topic flight-events, value-only strings,
+    # latest offsets. The connector jar isn't in the sandbox (options
+    # live JVM-side), so assert the configured plumbing via a stub.
+    rec = _RecordingReader()
+    kafka_source_reader(_StubSession(rec))
+    assert rec.fmt == "kafka"
+    assert rec.opts["subscribe"] == SOURCE_TOPIC == "flight-events"
+    assert rec.opts["startingOffsets"] == "latest"
+    assert rec.opts["kafka.bootstrap.servers"] == "kafka:9092"
+    assert NOTIFICATION_TOPIC == "flight-delay-notifications"

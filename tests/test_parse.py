@@ -120,3 +120,18 @@ def test_malformed_rows_rejected_not_crash(spark):
     bad = [r.raw for r in rejected_rows(parsed).collect()]
     assert len(bad) == 3
     assert "not json at all {{{" in bad
+
+
+def test_explicit_null_delayed_forces_not_delayed(spark):
+    # node.has("delayed") is true for an explicit JSON null, and
+    # asBoolean() on NullNode is false — so {"delayed": null,
+    # "status": "DELAYED"} is NOT delayed in the reference
+    # (FlightEventAggregator.java:52-53). from_json can't see the
+    # difference; the raw-payload json_object_keys branch can.
+    explicit_null = _event().replace('"userId"', '"delayed":null,"userId"')
+    assert '"delayed":null' in explicit_null
+    row = _one(spark, explicit_null.replace("}", ',"status":"DELAYED"}'))
+    assert row.is_delayed == 0
+    # absent key still falls through to status (FEA:55-57)
+    row = _one(spark, _event(status="DELAYED"))
+    assert row.is_delayed == 1
