@@ -1,0 +1,169 @@
+"""Relational extension operators: joins, rollups, ranking, sliding and
+session windows.
+
+The reference has none of these (SURVEY.md §2.5 — "joins of any kind",
+"sorts / limits / top-k", "ranking/analytic window functions",
+"grouping sets / cube / rollup" are all explicitly absent and flagged
+as Spark built-ins to add when extending). Each operator here is the
+§2.5 checklist item expressed as the plan you'd want at 100 TB:
+
+- dimension joins broadcast the small side (no shuffle of the fact);
+- rollup is one pass (Spark expands grouping sets inside the
+  aggregate, partial-aggregated before the exchange);
+- top-k per group is partial-ranked inside each shuffle partition by
+  the window operator (no global sort);
+- session windows use Spark's native ``session_window`` (state-store
+  mergeable in streaming, gaps-and-islands in batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .aggregates import ROUND_DP
+
+
+def user_event_enrichment(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Enrich the event stream with the customer dimension and aggregate
+    per (market segment, event type).
+
+    The stream-static enrichment join the reference implies but never
+    implements (its ``users`` ClickHouse table, readme.txt:16, is joined
+    only at the serving layer). The dimension is broadcast — the event
+    fact table never shuffles for the join; the only exchange is the
+    final low-cardinality aggregate.
+    """
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct("c_nationkey").alias("n_nations"),
+            F.round(F.sum("value"), ROUND_DP).alias("sum_value"),
+        )
+    )
+
+
+def sliding_airline_stats(
+    flights: DataFrame, window_size: str = "4 minutes", slide: str = "2 minutes"
+) -> DataFrame:
+    """Airline delay stats over SLIDING event-time windows.
+
+    Same aggregate contract as operators/aggregates.py airline_stats
+    (FlightEventAggregator.java:219-248) but each event lands in
+    ``size/slide`` overlapping windows — the Spark ``window(ts, size,
+    slide)`` generalization the reference's tumbling-only surface lacks
+    (SURVEY.md §2.4 "window kinds"). Plan shape is identical to the
+    tumbling case: the window expression expands rows narrowly
+    (size/slide per event) before the partial aggregate, so shuffle
+    volume stays one row per (key, window) per partition.
+    """
+    w = F.window("scheduled_time", window_size, slide)
+    return (
+        flights.groupBy(w.alias("w"), "airline")
+        .agg(
+            F.count("*").alias("total_flights"),
+            F.sum(F.when(F.col("is_delayed") == 1, 1).otherwise(0)).alias(
+                "delayed_flights"
+            ),
+            F.round(F.avg("delay_minutes"), ROUND_DP).alias("avg_delay_minutes"),
+        )
+        .select(
+            "airline",
+            "total_flights",
+            "delayed_flights",
+            "avg_delay_minutes",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+        )
+    )
+
+
+def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Sessionize the event stream per user with a ``gap`` inactivity
+    timeout (native ``session_window``; merge semantics: an event
+    extends the session iff it arrives strictly before last_ts + gap,
+    session_end = last_ts + gap).
+
+    Batch twin of the streaming sessionization a training-data pipeline
+    uses for user-activity segmentation; in streaming the same
+    expression runs over the state store with watermark-based session
+    close. Oracle: classic gaps-and-islands (lag + cumulative sum).
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("event_type").alias("n_event_types"),
+            F.round(F.sum("value"), ROUND_DP).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "n_event_types",
+            "sum_value",
+        )
+    )
+
+
+def events_rollup(events: DataFrame) -> DataFrame:
+    """Multi-grain event totals via ROLLUP (event_type, hour-of-day).
+
+    One pass: Spark expands the grouping sets inside the aggregate
+    (partial-aggregated before the single exchange) — three GROUP BYs
+    for the price of one scan. Grand-total/subtotal rows surface the
+    rollup level via ``grouping_id``; null grouping keys are coalesced
+    to sentinels so the contract is null-free (and hash-stable).
+    """
+    return (
+        events.withColumn("hour_of_day", F.hour("ts"))
+        .rollup("event_type", "hour_of_day")
+        .agg(
+            F.grouping_id().cast("bigint").alias("level"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), ROUND_DP).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("hour_of_day"), F.lit(-1)).alias("hour_of_day"),
+            "level",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def top_routes_per_airline(flights: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k routes by traffic per airline (ranking window function,
+    SURVEY.md §2.5 "ranking/analytic").
+
+    Aggregate first (shrinks the input to one row per airline-route),
+    then rank within airline partitions — the rank shuffle moves only
+    the aggregated rows, never the fact table. Deterministic ordering:
+    ties broken by route key.
+    """
+    per_route = flights.groupBy("airline", "origin", "destination").agg(
+        F.count("*").alias("total_flights"),
+        F.round(F.avg("delay_minutes"), ROUND_DP).alias("avg_delay_minutes"),
+    )
+    w = Window.partitionBy("airline").orderBy(
+        F.col("total_flights").desc(), F.col("origin"), F.col("destination")
+    )
+    return (
+        per_route.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "airline",
+            F.concat_ws("-", "origin", "destination").alias("route"),
+            "total_flights",
+            "avg_delay_minutes",
+            "rank",
+        )
+    )

@@ -148,3 +148,95 @@ def cosine_topk_lsh(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbors
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(embeddings: DataFrame, stride: int = 61) -> list:
+    """Deterministic centroid sample: every ``stride``-th vector by id.
+
+    This is the "train" step of IVF. Like spark.ml KMeans, the trained
+    centroid set is a bounded, driver-held model parameter (|C| ~ N/stride
+    here; a real deployment caps |C| at a few thousand regardless of N) —
+    the one sanctioned collect in this module. A k-means refinement would
+    slot in here without touching the plan topology below.
+    """
+    rows = (
+        embeddings.filter(F.col("vec_id") % stride == 0)
+        .select("vec_id", to_double(F.col("embedding")).alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [(int(r["vec_id"]), list(r["v"])) for r in rows]
+
+
+def _centroid_rank_structs(vec, centroids) -> object:
+    """ARRAY<STRUCT<d2, cid>> sorted by (squared L2 distance, cid).
+
+    Distance folds left-to-right in double (zip_with + aggregate), the
+    same sequential order as the DuckDB oracle's list_reduce — distances
+    are bit-identical cross-engine, so assignment and probe order are
+    exactly reproducible. Struct sort = lexicographic (d2, cid): ties
+    break deterministically on centroid id.
+    """
+    structs = []
+    for cid, vals in centroids:
+        c = F.array(*[F.lit(float(x)) for x in vals])
+        d2 = F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        structs.append(
+            F.struct(d2.alias("d2"), F.lit(cid).cast("bigint").alias("cid"))
+        )
+    return F.array_sort(F.array(*structs))
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    k: int = 10,
+    num_queries: int = 16,
+    stride: int = 61,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are assigned to their
+    nearest centroid's posting list (a NARROW expression — no shuffle);
+    each query probes its ``nprobe`` nearest lists; candidates come from
+    an equi-join on centroid id; exact cosine re-rank within.
+
+    At 100 TB: assignment adds O(|C|) flops per row inside the scan,
+    the candidate join touches ~nprobe/|C| of the corpus per query, and
+    the only shuffles are the (small) candidate set by q_id. Unlike the
+    hyperplane-LSH variant the whole operator is deterministic, so the
+    driver check is value-exact (the DuckDB oracle replays the same
+    assignment/probing).
+    """
+    cents = ivf_centroids(embeddings, stride)
+    e = _prepared(embeddings, "n").withColumn(
+        "cid", F.element_at(_centroid_rank_structs(F.col("n_vec"), cents), 1)["cid"]
+    )
+    q = (
+        _prepared(embeddings.filter(F.col("vec_id") < num_queries), "q")
+        .withColumn(
+            "probes",
+            F.slice(_centroid_rank_structs(F.col("q_vec"), cents), 1, nprobe),
+        )
+        .select("q_id", "q_vec", F.explode("probes.cid").alias("cid"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id"))
+    return (
+        e.join(F.broadcast(q), "cid")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("_cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round(F.col("_cos"), 4).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -1,0 +1,215 @@
+"""Relational-extension registry: joins, rollup, ranking, sliding and
+session windows, IVF ANN (SURVEY.md §2.5 "not implemented in the
+reference" checklist + §2.6 scale path).
+
+Oracle notes:
+- sliding windows: DuckDB has no window() generalization, so the oracle
+  materializes each event's size/slide overlapping windows via
+  ``unnest([0, 1])`` — definitionally what Spark's sliding window
+  expansion does;
+- session windows: gaps-and-islands (lag + cumulative sum). Verified
+  empirically: Spark merges boundary-touching sessions (an event
+  exactly gap after the previous one extends the session), so a new
+  island starts strictly after last_ts + gap;
+- IVF: the oracle replays centroid assignment/probing exactly — the
+  squared-L2 fold is sequential left-to-right double in both engines
+  (bit-identical), ties broken by centroid id on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.relational import (
+    events_rollup,
+    sliding_airline_stats,
+    top_routes_per_airline,
+    user_event_enrichment,
+    user_sessions,
+)
+from ..operators.similarity import cosine_topk_ivf
+from ..sources.fixtures import load_table
+from ..sources.flight_adapter import FLIGHTS_CTE
+from .registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "user_event_enrichment",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT c_nationkey) AS n_nations,
+           round(sum(value), 4) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def q_user_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension join (events fact never shuffles for the
+    join) + segment/type aggregate — the stream-static enrichment the
+    reference's users table (readme.txt:16) implies."""
+    return user_event_enrichment(
+        _events(spark, sf_dir), load_table(spark, sf_dir, "customer")
+    )
+
+
+@register(
+    "airline_stats_sliding",
+    oracle=f"""
+    WITH {FLIGHTS_CTE},
+    slid AS (
+        SELECT f.*,
+               TIMESTAMP '1970-01-01' + to_seconds(
+                   CAST(floor(epoch(scheduled_time) / 120) * 120 AS BIGINT))
+               - to_seconds(s.i * 120) AS window_start
+        FROM flights f, (SELECT unnest([0, 1]) AS i) s
+    )
+    SELECT airline,
+           count(*) AS total_flights,
+           CAST(count(*) FILTER (WHERE is_delayed = 1) AS BIGINT)
+               AS delayed_flights,
+           round(avg(delay_minutes), 4) AS avg_delay_minutes,
+           window_start,
+           window_start + INTERVAL 4 MINUTE AS window_end
+    FROM slid
+    GROUP BY airline, window_start
+    """,
+)
+def q_airline_stats_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1's aggregate over 4-minute windows sliding by 2 — each event in
+    size/slide=2 windows (SURVEY.md §2.4 window-kinds extension)."""
+    from ..sources.flight_adapter import flights_from_events
+
+    return sliding_airline_stats(flights_from_events(spark, sf_dir))
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_type, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    islands AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_event_types,
+           round(sum(value), 4) AS sum_value
+    FROM islands
+    GROUP BY user_id, sid
+    """,
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization per user, 30-minute gap."""
+    return user_sessions(_events(spark, sf_dir))
+
+
+@register(
+    "events_rollup",
+    oracle="""
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(hour_of_day, -1) AS hour_of_day,
+           CAST(grouping(event_type) * 2 + grouping(hour_of_day) AS BIGINT)
+               AS level,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day, value
+          FROM events)
+    GROUP BY ROLLUP (event_type, hour_of_day)
+    """,
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain totals via ROLLUP in one aggregate pass."""
+    return events_rollup(_events(spark, sf_dir))
+
+
+@register(
+    "top_routes_per_airline",
+    oracle=f"""
+    WITH {FLIGHTS_CTE},
+    per_route AS (
+        SELECT airline, origin, destination,
+               count(*) AS total_flights,
+               round(avg(delay_minutes), 4) AS avg_delay_minutes
+        FROM flights
+        GROUP BY airline, origin, destination
+    )
+    SELECT airline, origin || '-' || destination AS route,
+           total_flights, avg_delay_minutes, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY airline
+            ORDER BY total_flights DESC, origin, destination) AS rank
+        FROM per_route
+    )
+    WHERE rank <= 3
+    """,
+)
+def q_top_routes_per_airline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 routes by traffic per airline (ranking window over the
+    pre-aggregated routes, never over the fact table)."""
+    from ..sources.flight_adapter import flights_from_events
+
+    return top_routes_per_airline(flights_from_events(spark, sf_dir))
+
+
+@register(
+    "similarity_topk_ivf",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 61 = 0),
+    d AS (
+        SELECT e.vec_id, c.cid,
+               list_reduce(list_prepend(0.0,
+                   [(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                    for i in range(1, 65)]),
+                   (a, x) -> a + x) AS d2
+        FROM e, c
+    ),
+    ranked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d
+    ),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, cid FROM ranked
+               WHERE vec_id < 16 AND rn <= 4),
+    cand AS (
+        SELECT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN assign a ON p.cid = a.cid
+        WHERE a.vec_id <> p.q_id
+    ),
+    scored AS (
+        SELECT q_id, n_id, list_cosine_similarity(qe.v, ne.v) AS cos
+        FROM cand
+        JOIN e qe ON qe.vec_id = q_id
+        JOIN e ne ON ne.vec_id = n_id
+    )
+    SELECT q_id, n_id, round(cos, 4) AS cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: narrow centroid assignment, nprobe=4 posting-list probe,
+    exact cosine re-rank — deterministic, hence value-oracle-checked
+    (unlike the random-hyperplane LSH variant)."""
+    return cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"))
