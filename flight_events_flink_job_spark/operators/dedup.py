@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textual import jaccard, token_set_key, word_shingles
 from ..functions.vectors import cosine, sign_bucket, to_double
+from .util import spread
 
 LONG_MAX = (1 << 63) - 1
 
@@ -56,7 +57,7 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingles) with distinct word n-gram shingles."""
-    return docs.select(
+    return spread(docs).select(
         "doc_id", word_shingles(F.col("text"), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
 
@@ -90,6 +91,11 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
     self-join. With b=16, r=4 the capture probability at jaccard j is
     1-(1-j^4)^16 (≈0.9998 at j=0.8) — tune bands/rows per threshold.
     """
+    # Materialization barrier: without it Catalyst inlines the (expensive
+    # O(shingles x hashes) fold) `sig` alias into every per-band slice,
+    # recomputing the signature `bands` times per row. The exchange also
+    # spreads the fold across cores when the input is a single split.
+    sigs = sigs.repartition(F.col("doc_id"))
     rows = F.size(F.col("sig")) / bands
     band_hashes = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -206,10 +212,17 @@ def dedup_ngram_jaccard(
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
+# NOTE: references `counters` exactly ONCE. A formulation that indexes
+# `counters` inside the fold lambda (element_at(counters, j+1) per
+# iteration) gets the counters alias inlined by Catalyst and recomputes
+# the full O(tokens x 64) counters fold on EVERY one of the 64
+# iterations — observed 64x slowdown (minutes -> seconds at sf0.1).
 _SIMHASH = """
 aggregate(
-  sequence(0, 63), 0L,
-  (acc, j) -> IF(element_at(counters, j + 1) > 0, acc | shiftleft(1L, j), acc)
+  zip_with(counters, sequence(0, 63),
+           (c, j) -> IF(c > 0, shiftleft(1L, j), 0L)),
+  0L,
+  (acc, b) -> acc | b
 )
 """
 
@@ -232,7 +245,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     ±1 according to bit j of xxhash64(token) — Charikar's scheme with
     unit weights, folded entirely in Catalyst expressions.
     """
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.expr(_COUNTERS).alias("counters"),
     ).select("doc_id", F.expr(_SIMHASH).alias("simhash"))
@@ -256,7 +269,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             for j in range(blocks)
         ]
     )
-    fp = simhash_fingerprints(docs)
+    # Barrier: materialize the fingerprint once per doc (see
+    # lsh_candidate_pairs) instead of letting the simhash fold inline
+    # into all `blocks` block-value expressions and the join keys.
+    fp = simhash_fingerprints(docs).repartition(F.col("doc_id"))
     banded = fp.select(
         "doc_id", "simhash", F.posexplode(block_vals).alias("block", "block_val")
     )

@@ -23,14 +23,20 @@ oracle-hashable.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.vectors import cosine, dot, to_double
+from .util import spread
 
 
 def _prepared(embeddings: DataFrame, prefix: str) -> DataFrame:
-    return embeddings.select(
+    # Corpus-side vector math is an interpreted higher-order fold; make
+    # sure a small single-split corpus still uses every core (no-op on
+    # real many-split scans).
+    return spread(embeddings).select(
         F.col("vec_id").alias(f"{prefix}_id"),
         to_double(F.col("embedding")).alias(f"{prefix}_vec"),
     )
@@ -79,22 +85,31 @@ def hyperplane_buckets(
 ):
     """ARRAY of ``num_tables`` LSH bucket codes from random hyperplanes.
 
-    Hyperplanes are a fixed-seed numpy draw embedded as literals — the
-    plan is deterministic across runs and executors (no RNG at execute
-    time). Bucket code t = sign bits of <v, H[t*P+j]> for j < P.
+    Hyperplanes are a fixed-seed numpy draw closed over by an
+    Arrow-vectorized pandas_udf: the whole batch's sign bits come from
+    ONE numpy matmul (V @ H.T). The dense dot-against-64-literal-planes
+    pattern is exactly where a vectorized Python UDF beats Catalyst:
+    higher-order folds are CodegenFallback (interpreted), and unrolled
+    literal chains of this width blow Janino's method-size limit (both
+    measured 10-100x slower). No RNG at execute time — the plan stays
+    deterministic across runs and executors. Bucket code t = sign bits
+    of <v, H[t*P+j]> for j < P, offset by table index so tables never
+    collide.
     """
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_tables * num_planes, dim))
-    codes = []
-    for t in range(num_tables):
-        acc = F.lit(0)
-        for j in range(num_planes):
-            h = F.array(*[F.lit(float(x)) for x in planes[t * num_planes + j]])
-            acc = acc * 2 + F.when(dot(vec_col, h) >= 0, 1).otherwise(0)
-        # Disambiguate tables: same sign pattern in different tables
-        # must not collide.
-        codes.append(acc + t * (1 << num_planes))
-    return F.array(*codes)
+    weights = 1 << np.arange(num_planes - 1, -1, -1)
+    offsets = np.arange(num_tables) << num_planes
+
+    @pandas_udf("array<bigint>")
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())
+        bits = (mat @ planes.T >= 0).astype(np.int64)
+        bits = bits.reshape(len(mat), num_tables, num_planes)
+        codes = (bits * weights).sum(axis=2) + offsets
+        return pd.Series(codes.tolist())
+
+    return buckets(vec_col)
 
 
 def cosine_topk_lsh(
@@ -172,27 +187,32 @@ def ivf_centroids(embeddings: DataFrame, stride: int = 61) -> list:
     return [(int(r["vec_id"]), list(r["v"])) for r in rows]
 
 
-def _centroid_rank_structs(vec, centroids) -> object:
-    """ARRAY<STRUCT<d2, cid>> sorted by (squared L2 distance, cid).
+def _ranked_centroids(vec_col, centroids, nprobe: int):
+    """ARRAY<BIGINT> of the ``nprobe`` nearest centroid ids by
+    (squared L2 distance, cid), Arrow-vectorized.
 
-    Distance folds left-to-right in double (zip_with + aggregate), the
-    same sequential order as the DuckDB oracle's list_reduce — distances
-    are bit-identical cross-engine, so assignment and probe order are
-    exactly reproducible. Struct sort = lexicographic (d2, cid): ties
-    break deterministically on centroid id.
+    Bit-exact with the DuckDB oracle's sequential fold: the distance
+    accumulates dimension-by-dimension left-to-right (the numpy loop
+    below runs ``d2 += (v_i - c_i)^2`` over dims in order; every numpy
+    elementwise op rounds per IEEE with no fusion), which is the exact
+    operation sequence of ``list_reduce``'s running sum. Ties break by
+    centroid id: cids are sorted ascending and the argsort is stable.
     """
-    structs = []
-    for cid, vals in centroids:
-        c = F.array(*[F.lit(float(x)) for x in vals])
-        d2 = F.aggregate(
-            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        structs.append(
-            F.struct(d2.alias("d2"), F.lit(cid).cast("bigint").alias("cid"))
-        )
-    return F.array_sort(F.array(*structs))
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    assert (np.diff(cids) > 0).all()
+    cmat = np.array([v for _, v in centroids])
+
+    @pandas_udf("array<bigint>")
+    def ranked(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())
+        d2 = np.zeros((len(mat), len(cids)))
+        for i in range(mat.shape[1]):
+            d = mat[:, i, None] - cmat[None, :, i]
+            d2 += d * d
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(cids[order].tolist())
+
+    return ranked(vec_col)
 
 
 def cosine_topk_ivf(
@@ -216,15 +236,12 @@ def cosine_topk_ivf(
     """
     cents = ivf_centroids(embeddings, stride)
     e = _prepared(embeddings, "n").withColumn(
-        "cid", F.element_at(_centroid_rank_structs(F.col("n_vec"), cents), 1)["cid"]
+        "cid", F.element_at(_ranked_centroids(F.col("n_vec"), cents, 1), 1)
     )
     q = (
         _prepared(embeddings.filter(F.col("vec_id") < num_queries), "q")
-        .withColumn(
-            "probes",
-            F.slice(_centroid_rank_structs(F.col("q_vec"), cents), 1, nprobe),
-        )
-        .select("q_id", "q_vec", F.explode("probes.cid").alias("cid"))
+        .withColumn("probes", _ranked_centroids(F.col("q_vec"), cents, nprobe))
+        .select("q_id", "q_vec", F.explode("probes").alias("cid"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id"))
     return (

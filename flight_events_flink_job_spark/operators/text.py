@@ -135,9 +135,11 @@ def doc_fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
     sharing a fingerprint are candidate near-dups — this is the cheap
     first-pass bucketing for incremental dedup at ingest.
     """
+    from .util import spread
+
     sh = word_shingles(F.col("text"), n)
     hashes = F.transform(sh, poly_hash)
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.array_min(hashes).alias("fingerprint"),
         F.size(sh).cast("bigint").alias("n_shingles"),
