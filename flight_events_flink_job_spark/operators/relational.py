@@ -140,6 +140,47 @@ def events_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def segment_revenue(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Revenue per market segment and order year across the TPC-H-ish
+    star schema — the multi-join shape the reference never has
+    (SURVEY.md §2.5 "joins of any kind").
+
+    Join strategy at scale: lineitem ⋈ orders is big-big — a shuffle
+    join co-partitioned on the order key (Catalyst picks SMJ/SHJ, AQE
+    re-plans on runtime sizes and handles key skew); the customer
+    dimension is then broadcast onto the joined fact. Aggregation is
+    partial before the final low-cardinality exchange.
+    """
+    # Revenue accumulates in DECIMAL: double sums are association-order
+    # dependent (a distributed partial-sum once landed a group exactly
+    # on a rounding quantum vs the oracle); decimal addition is exact
+    # and associative, so the result is partition-count independent.
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    fact = lineitem.select(
+        "l_orderkey",
+        rev.alias("rev"),
+    ).join(
+        orders.select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        fact.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_year")
+        .agg(
+            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
 def top_routes_per_airline(flights: DataFrame, k: int = 3) -> DataFrame:
     """Top-k routes by traffic per airline (ranking window function,
     SURVEY.md §2.5 "ranking/analytic").

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.relational import (
     events_rollup,
+    segment_revenue,
     sliding_airline_stats,
     top_routes_per_airline,
     user_event_enrichment,
@@ -167,6 +168,32 @@ def q_top_routes_per_airline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.flight_adapter import flights_from_events
 
     return top_routes_per_airline(flights_from_events(spark, sf_dir))
+
+
+@register(
+    "segment_revenue",
+    oracle="""
+    SELECT c_mktsegment, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4))
+                    - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)
+               AS revenue,
+           count(*) AS n_lineitems,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, year(o_orderdate)
+    """,
+)
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big shuffle join (lineitem x orders) + broadcast dimension
+    (customer) + partial-aggregated rollup per segment/year."""
+    return segment_revenue(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
 
 
 @register(
