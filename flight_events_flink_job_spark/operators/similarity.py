@@ -221,6 +221,7 @@ def cosine_topk_ivf(
     num_queries: int = 16,
     stride: int = 61,
     nprobe: int = 4,
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are assigned to their
     nearest centroid's posting list (a NARROW expression — no shuffle);
@@ -234,7 +235,7 @@ def cosine_topk_ivf(
     driver check is value-exact (the DuckDB oracle replays the same
     assignment/probing).
     """
-    cents = ivf_centroids(embeddings, stride)
+    cents = centroids if centroids is not None else ivf_centroids(embeddings, stride)
     e = _prepared(embeddings, "n").withColumn(
         "cid", F.element_at(_ranked_centroids(F.col("n_vec"), cents, 1), 1)
     )

