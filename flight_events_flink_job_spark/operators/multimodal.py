@@ -99,6 +99,100 @@ def media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_feature_batches, schema=MEDIA_FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Decode / resize / frame-sample (deterministic fakes over the real
+# mapInPandas plumbing; real codecs slot into the same iterators)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("thumb", T.ArrayType(T.LongType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def decode_fake(payload: bytes, width: int = 8) -> "object":
+    """Deterministic stand-in decoder: interpret the payload bytes as a
+    row-major ``width``-wide grayscale image (last partial row dropped).
+    Replaces :func:`decode_image` wherever a runnable fake is needed;
+    the real decoder swaps in without touching the callers."""
+    import numpy as np
+
+    n = (len(payload) // width) * width
+    if n == 0:
+        return np.zeros((0, width), dtype=np.uint8)
+    return np.frombuffer(payload[:n], dtype=np.uint8).reshape(-1, width)
+
+
+def resize_thumbnails(media: DataFrame, out: int = 2, width: int = 8) -> DataFrame:
+    """Decode (fake) + resize-by-block-mean to an ``out`` x ``out``
+    thumbnail per item — the image branch of a multimodal pipeline.
+
+    mapInPandas streams Arrow batches; per row the fake decode + numpy
+    block-mean is exactly where PIL/libjpeg would run. Deterministic
+    integer output (floor of block means) so tests can assert values.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_fake(bytes(payload), width)
+                h, w = img.shape
+                if h < out or w < out:
+                    continue
+                bh, bw = h // out, w // out
+                img = img[: bh * out, : bw * out]
+                blocks = img.reshape(out, bh, out, bw).astype(np.int64)
+                thumb = blocks.mean(axis=(1, 3)).astype(np.int64)
+                rows.append(
+                    (doc_id, w, h, float(img.mean()), thumb.ravel().tolist())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_pixel", "thumb"]
+            )
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, every: int = 4
+) -> DataFrame:
+    """Frame-sample the payload as a fake video: fixed-size byte frames,
+    keep every ``every``-th, emit a per-frame checksum — the video
+    branch (ffmpeg frame extraction slots into the same iterator).
+    One input row explodes to ~len/frame_bytes/every output rows.
+    """
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for fi in range(0, len(b) // frame_bytes, every):
+                    frame = b[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    sums.append(sum(frame) % CHECKSUM_MOD)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums}
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def multimodal_features(docs: DataFrame) -> DataFrame:
     """End-to-end: attach binary payload, extract features, stable order
     columns for the driver contract."""

@@ -26,7 +26,12 @@ from ..operators.dedup import (
     embedding_neardup_cosine,
     simhash_near_pairs,
 )
-from ..operators.multimodal import multimodal_features
+from ..operators.multimodal import (
+    multimodal_features,
+    resize_thumbnails,
+    sample_frames,
+    with_binary_payload,
+)
 from ..operators.props import props_mining
 from ..operators.similarity import cosine_topk, cosine_topk_lsh
 from ..operators.text import (
@@ -327,3 +332,40 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     so even the Python path is value-oracle-checked. The oracle works on
     codepoints == bytes because the corpus is ASCII."""
     return multimodal_features(_docs(spark, sf_dir))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH fr AS (
+        SELECT doc_id, text,
+               unnest([x for x in range(0,
+                   CAST(floor(length(text) / 64) AS INT)) if x % 4 = 0])
+               AS frame_idx
+        FROM documents
+    ),
+    sub AS (
+        SELECT doc_id, frame_idx,
+               substring(text, frame_idx * 64 + 1, 64) AS s
+        FROM fr
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(unicode(s[i]) AS BIGINT) for i in range(1, len(s)+1)]),
+               (a, c) -> a + c) % 997 AS frame_checksum
+    FROM sub
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-branch plumbing: payload -> fixed-size fake frames, keep
+    every 4th, per-frame checksum via the real mapInPandas iterator.
+    Deterministic byte math, so fully value-oracle-checked."""
+    return sample_frames(with_binary_payload(_docs(spark, sf_dir)))
+
+
+@register("multimodal_resize")  # rows-only: block-mean image math has no tidy SQL twin
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-branch plumbing: fake decode (bytes as 8-wide grayscale) +
+    block-mean resize to a 2x2 thumbnail via mapInPandas. pytest asserts
+    exact values on crafted payloads; driver check is rows-only."""
+    return resize_thumbnails(with_binary_payload(_docs(spark, sf_dir)))

@@ -54,3 +54,34 @@ def test_features_survive_repartition(docs):
 def test_decode_stub_raises(docs):
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_resize_thumbnail_exact(spark):
+    from flight_events_flink_job_spark.operators.multimodal import (
+        resize_thumbnails,
+    )
+
+    # 8x4 "image": rows of constant 0,8,16,24 -> 2x2 block means
+    payload = bytes(
+        [0] * 8 + [8] * 8 + [16] * 8 + [24] * 8
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    row = resize_thumbnails(media).collect()[0]
+    assert (row.width, row.height) == (8, 4)
+    assert row.thumb == [4, 4, 20, 20]  # means of 2x4-byte blocks
+    assert abs(row.mean_pixel - 12.0) < 1e-9
+
+
+def test_sample_frames_every_nth(spark):
+    from flight_events_flink_job_spark.operators.multimodal import sample_frames
+
+    payload = bytes(range(256)) * 2  # 512 bytes = 8 frames of 64
+    media = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = sample_frames(media).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 4]
+    assert rows[0].frame_checksum == sum(payload[:64]) % 997
+    assert rows[1].frame_checksum == sum(payload[256:320]) % 997
