@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textual import jaccard, token_set_key
-from ..functions.vectors import cosine, sign_bucket, to_double
+from ..functions.vectors import cosine_arrow, sign_bucket, to_double
 from .util import spread
 
 # ---------------------------------------------------------------------------
@@ -352,7 +352,7 @@ def embedding_neardup_cosine(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cosine"),
+            F.round(cosine_arrow(F.col("a.vec"), F.col("b.vec")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

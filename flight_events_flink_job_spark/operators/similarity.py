@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.vectors import cosine, dot, to_double
+from ..functions.vectors import cosine_arrow, to_double
 from .util import spread
 
 
@@ -64,7 +64,7 @@ def cosine_topk(
         .select(
             "q_id",
             "n_id",
-            cosine(F.col("q_vec"), F.col("n_vec")).alias("_cos"),
+            cosine_arrow(F.col("q_vec"), F.col("n_vec")).alias("_cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id"))
@@ -153,7 +153,7 @@ def cosine_topk_lsh(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id"))
     return (
-        cands.withColumn("_cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        cands.withColumn("_cos", cosine_arrow(F.col("q_vec"), F.col("n_vec")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -248,7 +248,7 @@ def cosine_topk_ivf(
     return (
         e.join(F.broadcast(q), "cid")
         .where(F.col("q_id") != F.col("n_id"))
-        .withColumn("_cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("_cos", cosine_arrow(F.col("q_vec"), F.col("n_vec")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(

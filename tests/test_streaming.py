@@ -182,3 +182,27 @@ def test_serving_table_layout(spark, sf_dir, tmp_path):
         fr = [(r.airline, r.window_start) for r in spark.read.parquet(f).collect()]
         assert fr == sorted(fr)
     assert sorted(got) == sorted(got)  # sanity
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, drained):
+    """Exactly-once across restarts: new staged files are consumed by a
+    fresh run over the same checkpoint; old files are not re-read (the
+    delivery upgrade over the reference's at-most-once fresh-group-id
+    restart, KafkaUtils.java:17,23-24)."""
+    wh = drained["warehouse"]
+    before = spark.read.parquet(f"{wh}/flights").count()
+    extra = [
+        _evt("RESUME1", "2024-06-01T08:00:00"),
+        _evt("RESUME2", "2024-06-01T08:01:00"),
+    ]
+    spark.createDataFrame([(v,) for v in extra], "value string").coalesce(
+        1
+    ).write.mode("append").text(drained["staging"])
+    run_file_stream(
+        spark, drained["staging"], wh, drained["ckpt"], max_files_per_trigger=1
+    )
+    flights = spark.read.parquet(f"{wh}/flights")
+    assert flights.count() == before + 2
+    assert (
+        flights.filter(F.col("flight_id").startswith("RESUME")).count() == 2
+    )
