@@ -1,0 +1,37 @@
+"""Plan-shape regression gate over EVERY registered query.
+
+The scale contract (SURVEY.md §2.6, README design stance): no
+all-pairs joins, no row-at-a-time Python UDFs, anywhere. A regression
+that introduces either would still pass value-correctness at fixture
+scale while being catastrophic at 100 TB — so the physical plans
+themselves are asserted here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flight_events_flink_job_spark.plans import BENCH_SKIP, QUERIES
+
+# BroadcastNestedLoopJoin is quadratic work (fine only when explicitly
+# chosen for a bounded broadcast side, as in exact brute-force top-k).
+BNLJ_ALLOWED = {"similarity_topk"}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in QUERIES if n not in BENCH_SKIP]
+)
+def test_plan_has_no_scale_antipatterns(spark, sf_dir, name):
+    plan = (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, name
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF on the data path "
+        "(use Arrow: pandas_udf / mapInPandas)"
+    )
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, name
