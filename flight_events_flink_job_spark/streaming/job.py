@@ -207,6 +207,23 @@ def run_file_stream(
     # reference's per-record LOG.info (see observability.py).
     parsed = observe_parse(parse_flight_events(reader.text(source_dir)), "parse_metrics")
 
+    query = (
+        parsed.writeStream.foreachBatch(make_fanout_batch(warehouse_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
+def make_fanout_batch(warehouse_dir: str):
+    """The five-way fan-out executed once per micro-batch — shared by
+    the file-stream job above and the Kafka job below (the source is
+    the only difference; the reference topology FEA:37->75/90/113/136/158
+    is this function)."""
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
@@ -238,10 +255,33 @@ def run_file_stream(
         finally:
             batch_df.unpersist()
 
+    return process_batch
+
+
+def run_kafka_stream(
+    spark: SparkSession,
+    warehouse_dir: str,
+    checkpoint_dir: str,
+    bootstrap: str | None = None,
+    await_termination: bool = False,
+) -> StreamingQuery:
+    """The Kafka twin of :func:`run_file_stream`: consume the
+    flight-events topic (KafkaUtils.java:15-28) and run the identical
+    five-way fan-out, continuously (no availableNow drain — this is the
+    deployment topology; the file twin is the deterministic test mode).
+
+    Requires the spark-sql-kafka connector on the classpath and a
+    reachable broker (neither is in the sandbox — the pipeline from
+    `parse_flight_events` onward is byte-identical to the tested file
+    path, sources/kafka.py documents the delivery semantics).
+    """
+    from ..sources.kafka import DEFAULT_BOOTSTRAP, kafka_events
+
+    raw = kafka_events(spark, bootstrap or DEFAULT_BOOTSTRAP)
+    parsed = observe_parse(parse_flight_events(raw), "parse_metrics")
     query = (
-        parsed.writeStream.foreachBatch(process_batch)
+        parsed.writeStream.foreachBatch(make_fanout_batch(warehouse_dir))
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
         .start()
     )
     if await_termination:
