@@ -100,6 +100,37 @@ def term_frequency(docs: DataFrame, min_tf: int = 1) -> DataFrame:
     )
 
 
+def tf_idf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k terms per document by tf-idf (score = tf * ln(N/df)).
+
+    Corpus size N is fetched as one scalar count at plan-build time and
+    embedded as a literal (the same bounded-model pattern as IVF
+    centroids — no per-row driver work). Ranking uses the ROUNDED score
+    (+ token tiebreak) so cross-engine libm ulp differences in ``ln``
+    can never flip a rank the oracle computes differently.
+    """
+    n_docs = docs.count()
+    exploded = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = exploded.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), ROUND_DP
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "score", "rank")
+    )
+
+
 def text_langid(docs: DataFrame) -> DataFrame:
     """Heuristic language ID: score = |token-set ∩ lexicon| per language,
     argmax wins, ties broken by fixed language order, all-zero -> 'und'.

@@ -1,0 +1,52 @@
+"""Vector/statistical aggregation operators.
+
+- :func:`label_centroids` — element-wise mean vector per label over the
+  ``embeddings`` table: the bulk "compute class centroids" step of an
+  embedding pipeline (and the aggregation half of a k-means iteration).
+- :func:`event_value_quantiles` — exact interpolated percentiles per
+  event type over ``events.value``.
+
+Scale shapes: centroids go long-form (explode to (label, dim, x) then
+hash-aggregate) — the shuffle carries partial sums only, one row per
+(label, dim) per partition, and no row ever holds more than one
+coordinate; percentiles use Spark's exact ``percentile`` aggregate
+(switch to ``percentile_approx`` when a single-pass sketch is wanted
+at extreme scale — kept exact here so the oracle can hash-match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .util import spread
+
+ROUND_DP = 4
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """(label, dim, centroid, n_vectors): element-wise mean embedding
+    per label, long form (dim is the 1-based coordinate index)."""
+    exploded = spread(embeddings).select(
+        "label", F.posexplode(F.col("embedding")).alias("dim0", "x")
+    )
+    return (
+        exploded.groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), ROUND_DP).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+        .select("label", F.col("dim").cast("int").alias("dim"), "centroid", "n_vectors")
+    )
+
+
+def event_value_quantiles(events: DataFrame) -> DataFrame:
+    """(event_type, n_events, p50, p95, p99) — exact linear-interpolated
+    percentiles of ``value`` per event type (DuckDB twin:
+    ``quantile_cont``)."""
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), ROUND_DP).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), ROUND_DP).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), ROUND_DP).alias("p99"),
+    )

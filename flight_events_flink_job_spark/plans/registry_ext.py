@@ -42,7 +42,9 @@ from ..operators.text import (
     term_frequency,
     text_langid,
     text_stats,
+    tf_idf_top_terms,
 )
+from ..operators.vectors_agg import event_value_quantiles, label_centroids
 from ..sources.fixtures import load_table
 from .registry import register
 
@@ -290,6 +292,68 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable polynomial min-hash content fingerprint per document."""
     return doc_fingerprints(_docs(spark, sf_dir))
+
+
+@register(
+    "tf_idf_top_terms",
+    oracle="""
+    WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM ex
+           GROUP BY doc_id, token),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+        SELECT doc_id, tf.token, tf,
+               round(tf * ln(nd * 1.0 / df), 4) AS score
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, score, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms per doc (rank on rounded score — libm-safe)."""
+    return tf_idf_top_terms(_docs(spark, sf_dir))
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    SELECT label, CAST(dim AS INT) AS dim,
+           round(avg(CAST(x AS DOUBLE)), 4) AS centroid,
+           count(*) AS n_vectors
+    FROM (SELECT label, unnest(embedding) AS x,
+                 unnest(range(1, len(embedding) + 1)) AS dim
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label, long form — the class-
+    centroid / k-means-aggregation shape (partial sums per (label, dim)
+    before one exchange)."""
+    return label_centroids(_embs(spark, sf_dir))
+
+
+@register(
+    "event_value_quantiles",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark
+    ``percentile`` == DuckDB ``quantile_cont`` linear interpolation)."""
+    return event_value_quantiles(load_table(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------

@@ -76,3 +76,23 @@ def test_props_mining(spark):
     assert out["click"].n_users == 1
     assert out["click"].avg_k == 15.0
     assert out["view"].min_k == 5 and out["view"].max_k == 5
+
+
+def test_tf_idf_rank_bounded_and_positive_scores(spark, sf_dir):
+    from flight_events_flink_job_spark.operators.text import tf_idf_top_terms
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    out = tf_idf_top_terms(load_table(spark, sf_dir, "documents"))
+    agg = out.groupBy("doc_id").agg(F.max("rank").alias("mx")).collect()
+    assert all(r.mx <= 5 for r in agg)
+    # a corpus-universal term has idf=ln(1)=0; top terms should beat it
+    assert out.filter(F.col("rank") == 1).filter(F.col("score") < 0).count() == 0
+
+
+def test_label_centroids_shape(spark, sf_dir):
+    from flight_events_flink_job_spark.operators.vectors_agg import label_centroids
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    out = label_centroids(load_table(spark, sf_dir, "embeddings"))
+    dims = out.groupBy("label").count().collect()
+    assert all(r["count"] == 64 for r in dims)
