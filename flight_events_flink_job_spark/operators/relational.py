@@ -181,6 +181,49 @@ def segment_revenue(
     )
 
 
+def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> DataFrame:
+    """TPC-H Q1-shape pricing summary over lineitem: one scan, one
+    low-cardinality aggregate, every money sum in DECIMAL (exact,
+    association-order independent — see segment_revenue) cast to
+    double at the edge. The ship-date filter reaches the parquet scan
+    as a pushed predicate (row-group pruning at scale).
+    """
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        lineitem.filter(F.col("l_shipdate") < F.lit(ship_before).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(
+                F.sum(dec("l_extendedprice") * (one - dec("l_discount"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    dec("l_extendedprice")
+                    * (one - dec("l_discount"))
+                    * (one + dec("l_tax"))
+                ).cast("double"),
+                2,
+            ).alias("sum_charge"),
+            F.round(
+                F.sum(dec("l_quantity")).cast("double") / F.count("*"), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(dec("l_discount")).cast("double") / F.count("*"), 4
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def top_routes_per_airline(flights: DataFrame, k: int = 3) -> DataFrame:
     """Top-k routes by traffic per airline (ranking window function,
     SURVEY.md §2.5 "ranking/analytic").

@@ -196,6 +196,39 @@ def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+            AS sum_qty,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+            AS sum_base_price,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+              AS DOUBLE), 2) AS sum_disc_price,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+              * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))
+              AS DOUBLE), 2) AS sum_charge,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+              / count(*), 4) AS avg_qty,
+        round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+              / count(*), 4) AS avg_disc,
+        count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape scan+aggregate with pushed-down date filter and
+    DECIMAL-exact money sums."""
+    from ..operators.relational import pricing_summary
+
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
 _IVF_MODELS: dict[str, list] = {}
 
 

@@ -90,3 +90,13 @@ def test_ivf_no_cartesian_and_recall(spark, sf_dir):
     # nprobe=4 of ~9 lists on the near-uniform fixture corpus: expect to
     # rediscover a solid fraction of the true neighbors.
     assert recall >= 0.3, recall
+
+
+def test_pricing_summary_filter_pushed_to_scan(spark, sf_dir):
+    from flight_events_flink_job_spark.operators.relational import pricing_summary
+
+    plan = _plan(pricing_summary(load_table(spark, sf_dir, "lineitem")))
+    # the ship-date predicate must reach the parquet scan (row-group
+    # pruning at scale), and the scan must not read unused columns
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    assert "l_partkey" not in plan.split("ReadSchema:")[1].split("\n")[0]
