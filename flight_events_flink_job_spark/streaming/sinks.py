@@ -56,3 +56,32 @@ def write_serving_table(
 
 def read_serving_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write a bucketed (hash-clustered) Parquet table.
+
+    Bucketing persists the hash partitioning INTO the storage layout:
+    two tables bucketed the same way join (and aggregate on the bucket
+    key) with NO exchange — the classic 100 TB trick for a fact table
+    repeatedly joined on the same key. Registered as an external table
+    (data lives under ``path``); Spark's in-memory catalog carries the
+    bucket spec for the session. On a cluster, back this with a real
+    metastore — the write itself is identical.
+    """
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -100,3 +100,18 @@ def test_pricing_summary_filter_pushed_to_scan(spark, sf_dir):
     # pruning at scale), and the scan must not read unused columns
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
     assert "l_partkey" not in plan.split("ReadSchema:")[1].split("\n")[0]
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from flight_events_flink_job_spark.operators.util import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = events.join(dim, "user_id")
+    salted = salted_join(events, dim, "user_id", salt=8)
+    assert salted.count() == plain.count()
+    a = plain.groupBy("c_mktsegment").count().collect()
+    b = salted.groupBy("c_mktsegment").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -206,3 +206,32 @@ def test_checkpoint_resume_processes_only_new_files(spark, drained):
     assert (
         flights.filter(F.col("flight_id").startswith("RESUME")).count() == 2
     )
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key: the join plan must contain
+    no Exchange — the bucket layout IS the shuffle, paid once at write
+    time (the SURVEY §4 'bucketing for co-located joins' row)."""
+    from flight_events_flink_job_spark.streaming.sinks import write_bucketed_table
+
+    flights = flights_from_events(spark, sf_dir)
+    per_airline = flights.groupBy("airline").count()
+    write_bucketed_table(
+        flights.select("flight_id", "airline", "delay_minutes"),
+        "b_flights", str(tmp_path / "b_flights"), ["airline"],
+    )
+    write_bucketed_table(
+        per_airline, "b_airlines", str(tmp_path / "b_airlines"), ["airline"]
+    )
+    # With a tiny dim Catalyst rightly prefers broadcast; disable it to
+    # exercise the big-big case bucketing exists for.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_flights").join(spark.table("b_airlines"), "airline")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == flights.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
