@@ -181,6 +181,47 @@ def segment_revenue(
     )
 
 
+def inactive_customers(customer: DataFrame, events: DataFrame) -> DataFrame:
+    """Customers with NO events, counted per market segment — the
+    anti-join (SURVEY §2.5 set-ops/joins family).
+
+    LEFT ANTI join: the build side is the DISTINCT event user ids (far
+    smaller than the event stream), broadcast onto the customer scan —
+    no shuffle of either full table.
+    """
+    active = events.select(F.col("user_id").alias("c_custkey")).distinct()
+    return (
+        customer.join(F.broadcast(active), "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_inactive"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+def user_event_gaps(events: DataFrame) -> DataFrame:
+    """Inter-event gap statistics per user (lag analytic, SURVEY §2.5
+    ranking/analytic family).
+
+    Gaps are computed in integer microseconds (exact in both engines),
+    aggregated, and converted to seconds at the edge. One hash exchange
+    by user_id shared by the window sort and the final aggregate.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
+    return (
+        events.withColumn("gap_us", gap_us)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("gap_us").alias("n_gaps"),
+            F.round(F.avg("gap_us") / 1e6, 4).alias("avg_gap_sec"),
+            F.round(F.max("gap_us") / 1e6, 4).alias("max_gap_sec"),
+        )
+    )
+
+
 def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> DataFrame:
     """TPC-H Q1-shape pricing summary over lineitem: one scan, one
     low-cardinality aggregate, every money sum in DECIMAL (exact,

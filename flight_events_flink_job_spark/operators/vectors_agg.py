@@ -30,10 +30,19 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     exploded = spread(embeddings).select(
         "label", F.posexplode(F.col("embedding")).alias("dim0", "x")
     )
+    # Exact mean: double `avg` is summation-order-dependent, so two
+    # engines disagree in the last ulps and a 4-dp round flips on
+    # boundary values. Summing in DECIMAL is exact and associative;
+    # the single double division + round afterwards is deterministic.
+    sum_dec = F.sum(F.col("x").cast("decimal(20,10)"))
     return (
         exploded.groupBy("label", (F.col("dim0") + 1).alias("dim"))
         .agg(
-            F.round(F.avg(F.col("x").cast("double")), ROUND_DP).alias("centroid"),
+            # `+ 0.0` folds IEEE negative zero to +0.0 (round(-1e-9, 4)
+            # stringifies as "-0.0" in one engine and "0.0" in the other).
+            (F.round(sum_dec.cast("double") / F.count("*"), ROUND_DP) + F.lit(0.0)).alias(
+                "centroid"
+            ),
             F.count("*").alias("n_vectors"),
         )
         .select("label", F.col("dim").cast("int").alias("dim"), "centroid", "n_vectors")

@@ -324,7 +324,8 @@ def q_tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label_centroids",
     oracle="""
     SELECT label, CAST(dim AS INT) AS dim,
-           round(avg(CAST(x AS DOUBLE)), 4) AS centroid,
+           round(CAST(sum(CAST(x AS DECIMAL(20, 10))) AS DOUBLE) / count(*), 4)
+               + 0.0 AS centroid,
            count(*) AS n_vectors
     FROM (SELECT label, unnest(embedding) AS x,
                  unnest(range(1, len(embedding) + 1)) AS dim

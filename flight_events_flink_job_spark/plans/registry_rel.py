@@ -22,10 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.relational import (
     events_rollup,
+    inactive_customers,
     segment_revenue,
     sliding_airline_stats,
     top_routes_per_airline,
     user_event_enrichment,
+    user_event_gaps,
     user_sessions,
 )
 from ..operators.similarity import cosine_topk_ivf
@@ -194,6 +196,46 @@ def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+@register(
+    "inactive_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_inactive,
+           round(avg(c_acctbal), 4) AS avg_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no events, per segment (broadcast of
+    the distinct active-user set; neither full table shuffles)."""
+    return inactive_customers(
+        load_table(spark, sf_dir, "customer"), _events(spark, sf_dir)
+    )
+
+
+@register(
+    "user_event_gaps",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts) AS gap_us
+        FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           count(gap_us) AS n_gaps,
+           round(avg(gap_us) / 1e6, 4) AS avg_gap_sec,
+           round(max(gap_us) / 1e6, 4) AS max_gap_sec
+    FROM g GROUP BY user_id
+    """,
+)
+def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap stats via the lag analytic (exact
+    integer-microsecond gaps)."""
+    return user_event_gaps(_events(spark, sf_dir))
 
 
 @register(

@@ -47,7 +47,13 @@ def flight_event_json(events: DataFrame, keep_event_id: bool = False) -> DataFra
     (``keep_event_id`` additionally carries the source id for callers
     that post-process payloads, e.g. corrupt-row injection).
     """
-    e = events.select(
+    # The JSON build + downstream from_json parse are the per-row hot
+    # path of every flight query; a small single-split events file
+    # would otherwise run them on one core (spread is a no-op on real
+    # many-split scans).
+    from ..operators.util import spread
+
+    e = spread(events).select(
         F.col("event_id"),
         F.concat(F.lit("F"), F.col("event_id").cast("string")).alias("flight_id"),
         F.concat(F.lit("FL"), (F.col("event_id") % 1000).cast("string")).alias(
