@@ -1,0 +1,222 @@
+"""Training-data pipeline operators: deterministic sampling/splitting,
+sequence packing, PII redaction, and benchmark decontamination.
+
+These are the curation steps a 100 TB LLM-data pipeline runs between
+raw ingest and tokenization (none exist in the reference — its surface
+stops at windowed aggregates, FlightEventAggregator.java:89-155; this
+module is the SURVEY §2.6 / brief "training-data pipeline" extension
+family, sitting alongside operators/dedup.py and operators/text.py).
+
+Scale stance shared by every operator here:
+
+- **Sampling and splitting are hash-deterministic, not rand().** A
+  `rand(seed)` sample is partitioning-dependent (seed is per-partition)
+  and unreproducible across engines; keying the decision on
+  `md5(doc_id)` makes the sample a pure projection — re-runnable,
+  resumable mid-pipeline, identical on any cluster layout, and
+  auditable row-by-row in the oracle. It is also a narrow plan: no
+  shuffle at all, filters stack under the scan.
+- **Packing** uses offset-based assignment (exclusive prefix sum of
+  token counts ÷ budget) — one hash exchange by shard + an in-partition
+  sort, instead of the sequential greedy packer that cannot be
+  expressed as a distributed plan. Packs can overflow the budget by at
+  most one document's tokens, the standard trade in distributed
+  pre-tokenization batching.
+- **Redaction** is pure `regexp_replace` — JVM codegen, no UDF.
+- **Decontamination** broadcasts the (small) benchmark n-gram set and
+  semi-joins the corpus against it: the corpus never shuffles; the
+  plan is scan → explode → broadcast hash join → aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# deterministic hash bucketing (shared by sampling + splitting)
+# ---------------------------------------------------------------------------
+
+HASH_SPACE = 16**4  # first 4 hex chars of md5 → 65536 uniform buckets
+
+
+def _hash_bucket(key: Column) -> Column:
+    """Uniform [0, 65536) bucket from the first 4 hex chars of
+    ``md5(key)`` — identical in any engine with md5 (the DuckDB oracle
+    compares the hex substring lexicographically; '0'-'9' < 'a'-'f'
+    holds in ASCII, so string comparison IS numeric comparison here).
+    """
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+
+
+def hex_threshold(fraction: float) -> str:
+    """The 4-hex-digit string t such that
+    ``substr(md5(k),1,4) < t`` keeps ~``fraction`` of keys."""
+    n = max(0, min(HASH_SPACE, round(fraction * HASH_SPACE)))
+    return format(n, "04x")
+
+
+def stratified_sample(documents: DataFrame, rates: dict[str, float]) -> DataFrame:
+    """Per-language deterministic sample of the corpus.
+
+    ``rates`` maps lang → keep-fraction (languages absent from the map
+    are dropped). The keep decision is a pure function of ``doc_id``:
+    no rand(), no shuffle, no state — the plan is a single filtered
+    scan, and the same rows are kept on 1 executor or 1000.
+    """
+    hex4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    keep = F.lit(False)
+    for lang, frac in sorted(rates.items()):
+        keep = keep | ((F.col("lang") == lang) & (hex4 < hex_threshold(frac)))
+    return documents.filter(keep).select("doc_id", "lang", "source", "n_chars")
+
+
+def train_test_split(
+    documents: DataFrame, val_frac: float = 0.1, test_frac: float = 0.1
+) -> DataFrame:
+    """Assign every document a deterministic train/val/test split and
+    report per-(split, lang) counts.
+
+    Buckets come from the md5 hash space: [0, val) → val,
+    [val, val+test) → test, rest → train. Disjoint and exhaustive by
+    construction; membership survives reruns and corpus appends
+    (existing docs never change split when new docs arrive — the
+    property that keeps eval sets stable as a crawl grows).
+    """
+    b = _hash_bucket(F.col("doc_id"))
+    v = round(val_frac * HASH_SPACE)
+    t = round((val_frac + test_frac) * HASH_SPACE)
+    split = (
+        F.when(b < v, F.lit("val")).when(b < t, F.lit("test")).otherwise(F.lit("train"))
+    )
+    return (
+        documents.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(documents: DataFrame, budget: int = 512) -> DataFrame:
+    """Assign documents to fixed-token-budget packs and summarize packs.
+
+    Within each ``source`` shard, documents are laid out in ``doc_id``
+    order at their exclusive-prefix-sum token offset; pack id =
+    offset ÷ budget. One exchange (hash by source) + one in-partition
+    sort; the cumulative sum is a window aggregate, not a sequential
+    loop. A document whose span crosses a pack boundary belongs to the
+    pack its offset falls in (packs overflow by < 1 document — the
+    deterministic, distributable packing used before tokenizer-level
+    splitting).
+
+    Token count = whitespace tokens (the tokenizer-independent
+    pre-count; operators/text.py owns the BPE-ish subtoken count).
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_offset = documents.select(
+        "doc_id", "source", toks.alias("n_tokens")
+    ).withColumn("offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        with_offset.groupBy(
+            "source", (F.col("offset") / budget).cast("long").alias("pack_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d{3}[-. ]\d{3,4}[-. ]?\d{0,4}"
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """Scrub email addresses and phone-shaped digit runs from text.
+
+    Pure ``regexp_replace`` chain — whole-stage-codegen'd, zero UDFs,
+    narrow (the 100 TB plan is scan → project → write). The synthetic
+    corpus carries no natural PII, so the operator first appends a
+    deterministic contact line per document (making the redaction
+    observable and oracle-checkable end-to-end), then strips it.
+    Output reports per-document match counts plus a digest of the
+    redacted text so the oracle verifies the actual rewritten bytes.
+    """
+    contact = F.format_string(
+        "%s contact: user%d@example.com or +1-555-010%d",
+        F.col("text"),
+        F.col("doc_id"),
+        F.pmod(F.col("doc_id"), F.lit(10)),
+    )
+    n_emails = F.size(F.regexp_extract_all(contact, F.lit(EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(contact, F.lit(PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(contact, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return documents.select(
+        "doc_id",
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    documents: DataFrame, n: int = 5, eval_mod: int = 97
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with the
+    held-out benchmark set (docs where ``doc_id % eval_mod == 0`` —
+    the stand-in for an external eval corpus).
+
+    The canonical pre-training decontamination pass (n-gram collision
+    against benchmark text, à la GPT-3 appendix C / Dolma). Plan shape
+    at scale: the benchmark side is tiny → its distinct n-grams are
+    broadcast; the corpus side explodes to n-grams and semi-joins —
+    the corpus never shuffles, and the aggregate that follows groups
+    by doc_id within the exploded stream.
+
+    Returns (doc_id, n_hits, sample_ngram): contaminated training docs,
+    how many distinct benchmark n-grams they collide on, and the
+    lexicographically-first colliding n-gram (for audit).
+    """
+    from .dedup import exploded_shingles
+
+    # explode + lead, not a per-row transform() fold — higher-order
+    # functions are CodegenFallback (BASELINE.md §3 finding 1).
+    with_grams = exploded_shingles(documents, n).withColumnRenamed(
+        "shingle", "ngram"
+    )
+    is_eval = F.col("doc_id") % eval_mod == 0
+    eval_grams = with_grams.filter(is_eval).select("ngram").distinct()
+    return (
+        with_grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("ngram").alias("n_hits"),
+            F.min("ngram").alias("sample_ngram"),
+        )
+    )

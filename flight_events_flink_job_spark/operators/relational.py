@@ -222,6 +222,127 @@ def user_event_gaps(events: DataFrame) -> DataFrame:
     )
 
 
+def orders_asof_join(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """AS-OF join: each event picks the customer's most recent order
+    with ``o_orderdate <= ts`` (LEFT semantics — events with no prior
+    order keep nulls).
+
+    Spark has no asof-join operator; the scalable formulation is the
+    union trick: tag order rows side=0 at their effective time and
+    event rows side=1, union, then ``last(..., ignorenulls)`` over
+    (key ORDER BY time, side) carries the latest order attributes
+    forward onto each event row. ONE hash exchange by user + one
+    in-partition sort — same cost as a sort-merge join, no range
+    explosion, no per-key driver loop. Equal timestamps: the order
+    sorts first (side 0), so an order placed exactly at the event
+    time matches — `<=` semantics, like DuckDB/kdb ASOF JOIN.
+
+    Orders are pre-thinned to one row per (customer, date) — the max
+    orderkey wins, making the tie deterministic in both engines.
+    """
+    one_per_day = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    o = (
+        orders.withColumn("_rn", F.row_number().over(one_per_day))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("t"),
+            F.lit(0).alias("side"),
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+        )
+    )
+    e = events.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        "event_id",
+        "ts",
+    )
+    u = o.unionByName(e, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(c, ignorenulls=True).over(w).alias(f"last_{c}")
+        for c in ("o_orderkey", "o_orderdate", "o_totalprice")
+    ]
+    return (
+        u.select("user_id", "side", "event_id", "ts", *carried)
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("last_o_orderkey").alias("o_orderkey"),
+            # parquet NTZ → session-TZ timestamp (session pinned UTC)
+            F.col("last_o_orderdate").cast("timestamp").alias("o_orderdate"),
+            F.round("last_o_totalprice", 4).alias("o_totalprice"),
+        )
+    )
+
+
+def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Per-event-type cardinality via HyperLogLog++ sketches
+    (``approx_count_distinct``), alongside the exact event count.
+
+    The sketch path for 100 TB cardinality questions: the shuffle
+    carries one fixed-size HLL register block per (group, partition)
+    instead of every distinct user id — constant memory per group, no
+    distinct-expansion exchange, mergeable across partitions (and
+    across time, the streaming rollup case). rsd=2% default. Driver
+    check is rows-only (the estimate is engine-specific by design);
+    the accuracy bound vs exact count_distinct is pytest-asserted.
+    """
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+    )
+
+
+VALUE_BANDS: list[tuple[str, float, float]] = [
+    ("p00_tiny", 0.0, 10.0),
+    ("p10_low", 10.0, 25.0),
+    ("p25_mid", 25.0, 50.0),
+    ("p50_high", 50.0, 100.0),
+    ("p75_big", 100.0, 250.0),
+    ("p90_huge", 250.0, float("inf")),
+]
+
+
+def value_band_join(events: DataFrame) -> DataFrame:
+    """Range (band) join: classify each event's ``value`` into static
+    half-open bands [lo, hi) and aggregate per (band, event_type).
+
+    The non-equi join SURVEY §2.5 lists as absent from the reference.
+    The band table is tiny → broadcast; Catalyst plans a
+    BroadcastNestedLoopJoin whose inner side is the handful of band
+    rows — effectively a codegen'd CASE per event, with zero shuffle
+    of the fact side (the only exchange is the final aggregate). At
+    100 TB the same shape holds for any small interval dimension
+    (IP-range geo lookup, SLA tiers); big-big interval joins need the
+    bucketing decomposition instead, which dedup.py's banded LSH
+    demonstrates.
+    """
+    spark = events.sparkSession
+    bands = spark.createDataFrame(
+        [(n, lo, hi) for n, lo, hi in VALUE_BANDS], "band STRING, lo DOUBLE, hi DOUBLE"
+    )
+    joined = events.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return joined.groupBy("band", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), ROUND_DP).alias("sum_value"),
+    )
+
+
 def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> DataFrame:
     """TPC-H Q1-shape pricing summary over lineitem: one scan, one
     low-cardinality aggregate, every money sum in DECIMAL (exact,

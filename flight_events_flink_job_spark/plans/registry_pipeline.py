@@ -1,0 +1,167 @@
+"""Training-data pipeline registry: deterministic sampling/splitting,
+sequence packing, PII redaction, benchmark decontamination
+(operators/pipeline.py — the SURVEY §2.6 / brief curation family).
+
+Oracle notes:
+- sampling/splitting reuse the md5-prefix hash space: DuckDB compares
+  the 4-char hex substring lexicographically (ASCII '0'-'9' < 'a'-'f'
+  makes string order = numeric order), Spark compares the conv()'d
+  integer — same decision boundary by construction;
+- DuckDB ``sum(BIGINT)`` is HUGEINT → every count-ish sum is CAST to
+  BIGINT (VERDICT round 1);
+- DuckDB ``regexp_replace`` is first-match-only by default → 'g' flag
+  to mirror Spark's replace-all;
+- ``offset`` is a DuckDB keyword → the packing CTE names it
+  ``tok_offset``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.pipeline import (
+    EMAIL_RE,
+    PHONE_RE,
+    decontaminate,
+    hex_threshold,
+    pack_sequences,
+    redact_pii,
+    stratified_sample,
+    train_test_split,
+)
+from ..sources.fixtures import load_table
+from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.4, "es": 0.25, "fr": 0.25, "zh": 0.1}
+
+_RATE_PREDICATES = " OR ".join(
+    f"(lang = '{lang}' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+    f" < '{hex_threshold(frac)}')"
+    for lang, frac in sorted(SAMPLE_RATES.items())
+)
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_RATE_PREDICATES}
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic md5-hash sample — a pure filtered
+    scan (no rand(), no shuffle; identical rows on any cluster)."""
+    return stratified_sample(_docs(spark, sf_dir), SAMPLE_RATES)
+
+
+@register(
+    "train_test_split",
+    oracle=f"""
+    SELECT CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  < '{hex_threshold(0.1)}' THEN 'val'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  < '{hex_threshold(0.2)}' THEN 'test'
+             ELSE 'train'
+           END AS split,
+           lang, count(*) AS n_docs
+    FROM documents
+    GROUP BY split, lang
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split assignment (stable under corpus
+    appends) + per-(split, lang) counts."""
+    return train_test_split(_docs(spark, sf_dir), val_frac=0.1, test_frac=0.1)
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), o AS (
+        SELECT *,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS tok_offset
+        FROM t
+    )
+    SELECT source,
+           CAST(floor(tok_offset / 512) AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM o
+    GROUP BY source, pack_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-based sequence packing into 512-token packs per source
+    shard (one exchange + in-partition sort; no sequential packer)."""
+    return pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+@register(
+    "redact_pii",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id,
+               printf('%s contact: user%d@example.com or +1-555-010%d',
+                      text, doc_id, doc_id % 10) AS contact
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(contact, '{EMAIL_RE}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(contact, '{PHONE_RE}')) AS INT)
+               AS n_phones,
+           length(regexp_replace(
+               regexp_replace(contact, '{EMAIL_RE}', '[EMAIL]', 'g'),
+               '{PHONE_RE}', '[PHONE]', 'g')) AS redacted_len,
+           md5(regexp_replace(
+               regexp_replace(contact, '{EMAIL_RE}', '[EMAIL]', 'g'),
+               '{PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+    FROM c
+    """,
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction as a pure regexp_replace projection; the
+    oracle re-derives the redacted bytes and digests them."""
+    return redact_pii(_docs(spark, sf_dir))
+
+
+@register(
+    "decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                              || ' ' || ts[i+3] || ' ' || ts[i+4]
+                              for i in range(1, len(ts) - 3)]) gs
+        FROM toks WHERE len(ts) >= 5
+    ),
+    eg AS (SELECT DISTINCT unnest(gs) AS ngram FROM g WHERE doc_id % 97 = 0),
+    tg AS (SELECT doc_id, unnest(gs) AS ngram FROM g WHERE doc_id % 97 <> 0)
+    SELECT tg.doc_id,
+           count(DISTINCT tg.ngram) AS n_hits,
+           min(tg.ngram) AS sample_ngram
+    FROM tg JOIN eg USING (ngram)
+    GROUP BY tg.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    5-gram with the held-out set (broadcast semi-join; the corpus
+    side never shuffles)."""
+    return decontaminate(_docs(spark, sf_dir), n=5, eval_mod=97)

@@ -21,14 +21,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.relational import (
+    approx_distinct_users,
     events_rollup,
     inactive_customers,
+    orders_asof_join,
     segment_revenue,
     sliding_airline_stats,
     top_routes_per_airline,
     user_event_enrichment,
     user_event_gaps,
     user_sessions,
+    value_band_join,
+    VALUE_BANDS,
 )
 from ..operators.similarity import cosine_topk_ivf
 from ..sources.fixtures import load_table
@@ -236,6 +240,65 @@ def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event gap stats via the lag analytic (exact
     integer-microsecond gaps)."""
     return user_event_gaps(_events(spark, sf_dir))
+
+
+@register(
+    "orders_asof",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey, o_orderdate
+                ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 4) AS o_totalprice
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def q_orders_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each event matched to the user's most recent order
+    at or before the event time (union + last-ignorenulls carry-forward
+    — one exchange + one sort, no range explosion)."""
+    return orders_asof_join(
+        _events(spark, sf_dir), load_table(spark, sf_dir, "orders")
+    )
+
+
+_INF = "CAST('infinity' AS DOUBLE)"
+_BANDS_VALUES = ", ".join(
+    f"('{n}', {lo}, {_INF if hi == float('inf') else hi})"
+    for n, lo, hi in VALUE_BANDS
+)
+
+
+@register(
+    "value_band_join",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES})
+    SELECT band, event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band, event_type
+    """,
+)
+def q_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join against a broadcast interval dimension —
+    the non-equi join family (SURVEY §2.5); fact side never shuffles."""
+    return value_band_join(_events(spark, sf_dir))
+
+
+@register("approx_distinct_users")  # rows-only: HLL estimate is engine-specific
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type (sketch
+    shuffle: fixed-size registers, not distinct ids). Accuracy vs the
+    exact count is pytest-asserted; driver check is rows-only."""
+    return approx_distinct_users(_events(spark, sf_dir))
 
 
 @register(
