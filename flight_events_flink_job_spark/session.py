@@ -41,6 +41,12 @@ def get_spark(
         # convert in sources/fixtures.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Reuse Python workers across Arrow-UDF stages. Without this,
+        # this pyspark build respawns every worker per stage — measured
+        # 2.5-4 s of fork+import overhead for a NOOP pandas_udf over 32
+        # partitions vs 0.7 s with reuse (core conf: context-creation
+        # time only, hence set here and not in ensure_engine_conf).
+        .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
