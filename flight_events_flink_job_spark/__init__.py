@@ -24,8 +24,9 @@ the operators a large-scale training-data pipeline needs:
 - ``sources/`` — driver-fixture loaders, the Kafka-shaped payload
   adapter, and the Kafka source/sink builders (``sources/kafka.py``);
 - ``streaming/`` — the single-scan multi-sink ``foreachBatch`` job,
-  watermarked append-mode aggregates, and partitioned serving-table
-  writes (``streaming/job.py`` / ``sinks.py``);
+  watermarked append-mode aggregates, partitioned serving-table
+  writes, and the ``applyInPandasWithState`` custom stateful operator
+  (``streaming/job.py`` / ``sinks.py`` / ``stateful.py``);
 - ``observability.py`` — the reference's per-record log taps as
   executor-side observed metrics;
 - ``plans/`` — the driver contract surface: every query paired with

@@ -356,3 +356,87 @@ def embedding_neardup_cosine(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node touching an edge, where
+    component = min node id reachable in the undirected pair graph —
+    the canonical-representative labeling that turns near-dup PAIRS
+    into dedup CLUSTERS (keep one doc per component).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds (duplicate clusters are near-cliques, so
+    2-4 rounds in practice). Scale notes: each round is one hash join
+    edges-to-labels plus one aggregate — both shuffle on node id, and
+    AQE reuses the exchange partitioning round to round. Lineage is
+    truncated per round with ``localCheckpoint`` (an iterative plan
+    otherwise doubles in depth each round and overwhelms the planner
+    long before data size matters). Driver involvement is one boolean
+    (converged?) per round — no data is collected.
+    """
+    sym = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nbr")
+    ).unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select("node").distinct().withColumn("component", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.nbr == labels.node)
+            .groupBy(sym.node)
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                "component",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("new_component"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = not stepped.filter(
+            F.col("new_component") != F.col("component")
+        ).isEmpty()
+        labels = stepped.select("node", F.col("new_component").alias("component"))
+        if not changed:
+            break
+    return labels
+
+
+def neardup_components(
+    docs: DataFrame, threshold: float = 0.7, n: int = 3
+) -> DataFrame:
+    """Cluster-level dedup over ``documents``: exact n-gram-Jaccard
+    near-dup pairs (complete prefix-filter candidates) -> connected
+    components -> every doc labeled with its cluster representative
+    (min doc_id in component; singletons label themselves) and the
+    cluster size. Downstream keep-one-per-cluster is then a trivial
+    ``filter(doc_id == component)``.
+    """
+    pairs = dedup_ngram_jaccard(docs, threshold, n)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    return (
+        docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+        .withColumn(
+            "n_members", F.count("*").over(Window.partitionBy("component"))
+        )
+    )

@@ -14,17 +14,19 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..sources.fixtures import load_table
 from ..streaming.job import (
     merge_airline_stats,
     run_file_stream,
     stage_flight_event_json,
 )
+from ..streaming.stateful import user_activity_from_staged
 from .registry import ORACLES, register
 
 # Streaming round trips stage files + run a query per call; exclude from
 # the timing harness (bench.py) where they'd measure tempdir IO, not
 # the engine. The driver's correctness gate still runs them.
-BENCH_SKIP = {"streaming_airline_stats"}
+BENCH_SKIP = {"streaming_airline_stats", "user_activity_state"}
 
 
 @register("streaming_airline_stats", oracle=ORACLES["airline_delay_stats"])
@@ -39,3 +41,28 @@ def q_streaming_airline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_airline_stats(
         spark.read.parquet(f"{warehouse}/airline_delay_stats_partial")
     )
+
+
+@register(
+    "user_activity_state",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_user_activity_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (applyInPandasWithState), driver-checked:
+    the per-user tracker's FINAL state after an availableNow drain over
+    rate-limited micro-batches must equal the batch aggregate — the
+    snapshot keeps only the batch-order-independent fields, so the SQL
+    oracle is exact (streak semantics are pytest-covered)."""
+    base = tempfile.mkdtemp(prefix="stateful_roundtrip_")
+    staging, ckpt = f"{base}/in", f"{base}/ckpt"
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).repartition(4).write.mode("overwrite").parquet(staging)
+    return user_activity_from_staged(spark, staging, ckpt, files_per_trigger=2)

@@ -1,0 +1,154 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference's stateful surface is per-key-per-window accumulators
+(FlightEventAggregator.java:219-308) — fully covered by Spark's
+built-in streaming aggregation state. This module adds the operator
+class the built-ins CANNOT express: arbitrary per-key state that lives
+ACROSS windows/micro-batches with user-defined transition logic —
+Spark's ``applyInPandasWithState`` (the Arrow-vectorized analogue of
+Flink's ``KeyedProcessFunction``).
+
+:func:`track_user_activity` keeps one running (event count, value sum,
+last event time, current streak of same-type events) record per user
+and emits the updated totals every time the user appears in a
+micro-batch (``update`` output mode). The streak-of-consecutive-types
+transition is the part no windowed aggregate expresses: it depends on
+the ORDER of events across batch boundaries.
+
+Scale notes: state is hash-partitioned by user_id into the state store
+(one shuffle per micro-batch, same exchange a groupBy would need);
+per-group work is Arrow-batched pandas, not row-at-a-time; state size
+is O(1) per key. At 100 TB key-space, pair with state-store TTL
+(``GroupStateTimeout.ProcessingTimeTimeout`` + ``state.setTimeout...``)
+to retire idle users — the transition function receives timed-out keys
+with an empty batch iterator exactly like Flink timers.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = (
+    "n_events LONG, sum_value DOUBLE, last_ts TIMESTAMP, "
+    "last_type STRING, streak LONG"
+)
+OUTPUT_SCHEMA = (
+    "user_id LONG, n_events LONG, sum_value DOUBLE, last_ts TIMESTAMP, "
+    "last_type STRING, streak LONG"
+)
+
+
+def _update_user(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Transition function: fold this batch's events (in event-time
+    order) into the running per-user state, emit the updated record."""
+    if state.exists:
+        n_events, sum_value, last_ts, last_type, streak = state.get
+    else:
+        n_events, sum_value, last_ts, last_type, streak = 0, 0.0, None, None, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        n_events += len(pdf)
+        sum_value += float(pdf["value"].sum())
+        for t in pdf["event_type"]:
+            streak = streak + 1 if t == last_type else 1
+            last_type = t
+        batch_last = pdf["ts"].iloc[-1].to_pydatetime()
+        if last_ts is None or batch_last > last_ts:
+            last_ts = batch_last
+    state.update((n_events, sum_value, last_ts, last_type, streak))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n_events],
+            "sum_value": [sum_value],
+            "last_ts": [last_ts],
+            "last_type": [last_type],
+            "streak": [streak],
+        }
+    )
+
+
+def track_user_activity(events: DataFrame) -> DataFrame:
+    """Running per-user activity tracker over a STREAMING events frame
+    (columns: user_id, ts, event_type, value). Emits one updated row
+    per user per micro-batch the user appears in."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+EVENT_STREAM_SCHEMA = "user_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+
+
+def drain_user_activity(
+    events: DataFrame, checkpoint_dir: str
+) -> DataFrame:
+    """Run the stateful tracker over a STREAMING events frame to
+    completion (availableNow) into a memory sink; return ALL update-mode
+    emissions (one row per user per micro-batch the user appeared in)."""
+    name = f"user_activity_{uuid.uuid4().hex}"
+    query = (
+        track_user_activity(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return events.sparkSession.table(name)
+
+
+def final_user_state(updates: DataFrame) -> DataFrame:
+    """Reduce the update-mode emission log to the FINAL state per user.
+    ``n_events`` strictly increases on every emission for a user, so the
+    max-``n_events`` row is the last one — no batch-id column needed.
+
+    Only the batch-order-INDEPENDENT state fields are returned
+    (count / sum / max-ts form a commutative monoid over micro-batches),
+    which is what makes this snapshot exactly SQL-checkable; the
+    order-dependent ``streak`` transition is covered by pytest instead.
+    ``sum_value`` is rounded to 2 dp: inputs carry 2 decimals, so the
+    true sum has 2 decimals and rounding absorbs FP association order.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+            "last_ts",
+        )
+    )
+
+
+def user_activity_from_staged(
+    spark: SparkSession,
+    staging_dir: str,
+    checkpoint_dir: str,
+    files_per_trigger: int = 2,
+) -> DataFrame:
+    """File-source twin of the Kafka deployment: stream staged parquet
+    parts in rate-limited micro-batches through the stateful tracker,
+    then snapshot the final per-user state."""
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(staging_dir)
+    )
+    return final_user_state(drain_user_activity(stream, checkpoint_dir))

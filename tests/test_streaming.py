@@ -7,6 +7,8 @@ staged stream must reproduce batch results exactly.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -235,3 +237,61 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         assert joined.count() == flights.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_stateful_tracker_streak_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user state must survive micro-batch
+    boundaries — the same-type streak continues from batch 1 into
+    batch 2, which no windowed aggregate can express. File mtimes are
+    pinned so the file source processes batch 1 strictly first."""
+    import shutil
+    from datetime import datetime
+
+    from flight_events_flink_job_spark.streaming.stateful import (
+        EVENT_STREAM_SCHEMA,
+        drain_user_activity,
+        final_user_state,
+    )
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    batches = [
+        [(1, t(0), "a", 1.0), (1, t(1), "a", 2.0), (2, t(0), "x", 5.0)],
+        [(1, t(2), "a", 3.0), (1, t(3), "b", 4.0)],
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(batches):
+        staged = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, EVENT_STREAM_SCHEMA).coalesce(1).write.parquet(
+            str(staged)
+        )
+        part = next(staged.glob("part-*.parquet"))
+        dest = in_dir / f"batch{i}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    updates = drain_user_activity(stream, str(tmp_path / "ckpt")).collect()
+
+    by_user = {}
+    for r in updates:
+        by_user.setdefault(r.user_id, []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r.n_events)
+    # Two emissions for user 1 proves the work spanned two micro-batches.
+    assert len(u1) == 2
+    assert (u1[0].n_events, u1[0].streak, u1[0].last_type) == (2, 2, "a")
+    # Batch 2 starts with another "a": streak carries 2 -> 3, then "b" resets.
+    assert (u1[1].n_events, u1[1].streak, u1[1].last_type) == (4, 1, "b")
+    assert u1[1].sum_value == 10.0 and u1[1].last_ts == t(3)
+    (u2,) = by_user[2]
+    assert (u2.n_events, u2.streak, u2.last_type) == (1, 1, "x")
+
+    final = {
+        r.user_id: r
+        for r in final_user_state(spark.createDataFrame(updates)).collect()
+    }
+    assert final[1].n_events == 4 and final[1].sum_value == 10.0
