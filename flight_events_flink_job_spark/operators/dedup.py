@@ -392,10 +392,13 @@ def connected_components(
         sym.select("node").distinct().withColumn("component", F.col("node"))
     ).localCheckpoint(eager=True)
     for _ in range(max_iter):
+        nbr_labels = labels.select(
+            F.col("node").alias("lnode"), F.col("component").alias("lcomponent")
+        )
         nbr_min = (
-            sym.join(labels, sym.nbr == labels.node)
-            .groupBy(sym.node)
-            .agg(F.min("component").alias("nbr_component"))
+            sym.join(nbr_labels, F.col("nbr") == F.col("lnode"))
+            .groupBy("node")
+            .agg(F.min("lcomponent").alias("nbr_component"))
         )
         stepped = (
             labels.join(nbr_min, "node", "left")

@@ -24,6 +24,7 @@ from ..operators.dedup import (
     dedup_near_minhash,
     dedup_ngram_jaccard,
     embedding_neardup_cosine,
+    neardup_components,
     simhash_near_pairs,
 )
 from ..operators.multimodal import (
@@ -123,6 +124,45 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard >= 0.7 via complete prefix-filter candidates
     (Bayardo et al. AllPairs) — deterministic-equal to all-pairs."""
     return dedup_ngram_jaccard(_docs(spark, sf_dir))
+
+
+@register(
+    "neardup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {SHINGLES_CTE.strip().rstrip()},
+    pairs AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.sg, b.sg)) * 1.0
+                         / len(list_distinct(list_concat(a.sg, b.sg))), 4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.7
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           count(*) OVER (
+               PARTITION BY COALESCE(c.component, d.doc_id)) AS n_members
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup: exact trigram-Jaccard pairs -> iterative
+    min-label connected components -> (doc, cluster representative,
+    cluster size). Oracle replays the labeling as a recursive-CTE
+    reachability closure (component = min reachable doc_id)."""
+    return neardup_components(_docs(spark, sf_dir))
 
 
 @register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin

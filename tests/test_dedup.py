@@ -105,3 +105,17 @@ def test_dedup_fixture_near_dups(spark, sf_dir):
     mh = set(map(tuple, dedup_near_minhash(docs, 0.8).collect()))
     ng = set(map(tuple, dedup_ngram_jaccard(docs, 0.8).collect()))
     assert mh == ng
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation must cross multi-hop chains (needs >1
+    iteration) and keep disjoint islands separate."""
+    from flight_events_flink_job_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 9), (1, 7), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {2: 2, 3: 2, 4: 2, 9: 2, 1: 1, 7: 1, 5: 5, 6: 5}
