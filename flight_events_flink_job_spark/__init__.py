@@ -25,8 +25,9 @@ the operators a large-scale training-data pipeline needs:
   adapter, and the Kafka source/sink builders (``sources/kafka.py``);
 - ``streaming/`` — the single-scan multi-sink ``foreachBatch`` job,
   watermarked append-mode aggregates, partitioned serving-table
-  writes, and the ``applyInPandasWithState`` custom stateful operator
-  (``streaming/job.py`` / ``sinks.py`` / ``stateful.py``);
+  writes, the ``applyInPandasWithState`` custom stateful operator, and
+  watermarked stream-stream interval joins (``streaming/job.py`` /
+  ``sinks.py`` / ``stateful.py`` / ``joins.py``);
 - ``observability.py`` — the reference's per-record log taps as
   executor-side observed metrics;
 - ``plans/`` — the driver contract surface: every query paired with

@@ -20,13 +20,18 @@ from ..streaming.job import (
     run_file_stream,
     stage_flight_event_json,
 )
+from ..streaming.joins import drain_conversions_from_staged
 from ..streaming.stateful import user_activity_from_staged
 from .registry import ORACLES, register
 
 # Streaming round trips stage files + run a query per call; exclude from
 # the timing harness (bench.py) where they'd measure tempdir IO, not
 # the engine. The driver's correctness gate still runs them.
-BENCH_SKIP = {"streaming_airline_stats", "user_activity_state"}
+BENCH_SKIP = {
+    "streaming_airline_stats",
+    "user_activity_state",
+    "stream_interval_join",
+}
 
 
 @register("streaming_airline_stats", oracle=ORACLES["airline_delay_stats"])
@@ -66,3 +71,32 @@ def q_user_activity_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_type", "value"
     ).repartition(4).write.mode("overwrite").parquet(staging)
     return user_activity_from_staged(spark, staging, ckpt, files_per_trigger=2)
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS signup_event,
+           b.event_id AS purchase_event,
+           a.ts AS signup_ts,
+           b.ts AS purchase_ts,
+           b.value AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'signup' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (Flink interval-join analogue),
+    driver-checked: signup->purchase conversion pairs from a real
+    watermarked stream-stream join over micro-batches must equal the
+    batch range join exactly (over-wide watermark -> lossless drain;
+    see streaming/joins.py determinism contract)."""
+    base = tempfile.mkdtemp(prefix="stream_join_")
+    staging, ckpt = f"{base}/in", f"{base}/ckpt"
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).repartition(4).write.mode("overwrite").parquet(staging)
+    return drain_conversions_from_staged(spark, staging, ckpt)

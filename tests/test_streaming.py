@@ -295,3 +295,39 @@ def test_stateful_tracker_streak_across_batches(spark, tmp_path):
         for r in final_user_state(spark.createDataFrame(updates)).collect()
     }
     assert final[1].n_events == 4 and final[1].sum_value == 10.0
+
+
+def test_stream_stream_join_matches_across_batches(spark, tmp_path):
+    """Stream-stream interval join: a signup seen in micro-batch 1 must
+    still match a purchase arriving in micro-batch 2 — join state is
+    retained across batches (and the non-converting user emits nothing)."""
+    import shutil
+    from datetime import datetime
+
+    from flight_events_flink_job_spark.streaming.joins import (
+        drain_conversions_from_staged,
+    )
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    batches = [
+        [(10, 1, t(0), "signup", 0.0), (11, 2, t(0), "purchase", 9.0)],
+        [(12, 1, t(1), "purchase", 42.5), (13, 2, t(2), "signup", 0.0)],
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(batches):
+        staged = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(staged))
+        dest = in_dir / f"batch{i}.parquet"
+        shutil.copy(next(staged.glob("part-*.parquet")), dest)
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+
+    rows = drain_conversions_from_staged(
+        spark, str(in_dir), str(tmp_path / "ckpt"), files_per_trigger=1
+    ).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r.user_id, r.signup_event, r.purchase_event, r.purchase_value) == (
+        1, 10, 12, 42.5,
+    )
