@@ -20,6 +20,7 @@ from ..streaming.job import (
     run_file_stream,
     stage_flight_event_json,
 )
+from ..streaming.dedup import drain_deduped_from_staged
 from ..streaming.joins import drain_conversions_from_staged
 from ..streaming.stateful import user_activity_from_staged
 from .registry import ORACLES, register
@@ -31,6 +32,7 @@ BENCH_SKIP = {
     "streaming_airline_stats",
     "user_activity_state",
     "stream_interval_join",
+    "stream_dedup_redelivery",
 }
 
 
@@ -100,3 +102,26 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "event_type", "value"
     ).repartition(4).write.mode("overwrite").parquet(staging)
     return drain_conversions_from_staged(spark, staging, ckpt)
+
+
+@register(
+    "stream_dedup_redelivery",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value FROM events
+    """,
+)
+def q_stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup, driver-checked: every event staged
+    TWICE (redelivery twin-files in different micro-batches), drained
+    through dropDuplicatesWithinWatermark -> exactly the batch DISTINCT
+    (see streaming/dedup.py determinism contract)."""
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    staging, ckpt = f"{base}/in", f"{base}/ckpt"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).repartition(4)
+    ev.write.mode("overwrite").parquet(staging)
+    # Redelivery: a second full copy, as distinct files the rate limit
+    # pushes into later micro-batches.
+    ev.write.mode("append").parquet(staging)
+    return drain_deduped_from_staged(spark, staging, ckpt)

@@ -331,3 +331,35 @@ def test_stream_stream_join_matches_across_batches(spark, tmp_path):
     assert (r.user_id, r.signup_event, r.purchase_event, r.purchase_value) == (
         1, 10, 12, 42.5,
     )
+
+
+def test_stream_dedup_drops_cross_batch_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state must survive micro-batch
+    boundaries: a redelivered event in a LATER batch is dropped, a new
+    event with a fresh key passes."""
+    import shutil
+    from datetime import datetime
+
+    from flight_events_flink_job_spark.streaming.dedup import (
+        drain_deduped_from_staged,
+    )
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    t0 = datetime(2024, 1, 1)
+    batches = [
+        [(1, 7, t0, "click", 1.0), (2, 7, t0, "view", 2.0)],
+        [(1, 7, t0, "click", 1.0), (3, 8, t0, "click", 3.0)],  # 1 redelivered
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(batches):
+        staged = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(staged))
+        dest = in_dir / f"batch{i}.parquet"
+        shutil.copy(next(staged.glob("part-*.parquet")), dest)
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+
+    out = drain_deduped_from_staged(
+        spark, str(in_dir), str(tmp_path / "ckpt"), files_per_trigger=1
+    ).collect()
+    assert sorted(r.event_id for r in out) == [1, 2, 3]
