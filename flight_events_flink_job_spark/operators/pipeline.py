@@ -30,7 +30,7 @@ Scale stance shared by every operator here:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -218,5 +218,53 @@ def decontaminate(
         .agg(
             F.count_distinct("ngram").alias("n_hits"),
             F.min("ngram").alias("sample_ngram"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle (training-order randomization)
+# ---------------------------------------------------------------------------
+
+def corpus_shuffle(
+    documents: DataFrame, seed: str = "42", parts: int | None = None
+) -> DataFrame:
+    """Assign every document its position in a deterministic
+    pseudo-random global ordering — the "shuffle the corpus before
+    training" step, reproducible across reruns and cluster layouts
+    because the order key is ``md5(seed || doc_id)``, not ``rand()``.
+
+    Scale design: a naive ``row_number() OVER (ORDER BY key)`` collapses
+    ranking into ONE partition. Instead the classic distributed total
+    order: range-repartition on the key (ordered partitions), rank
+    WITHIN each partition in parallel, then add per-partition offsets
+    (an exclusive prefix sum over the tiny partition-count vector,
+    broadcast back). Positions are a pure function of the key ordering,
+    so range-boundary sampling nondeterminism cannot change the output.
+    """
+    sk = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
+    n = parts or documents.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        documents.withColumn("sk", sk)
+        .repartitionByRange(n, "sk")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_part = Window.partitionBy("pid").orderBy("sk")
+    counts = ranged.groupBy("pid").count()
+    w_prefix = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # tiny frame: one row per partition, never data-sized
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("count").over(w_prefix), F.lit(0)).alias("offset"),
+    )
+    return (
+        ranged.withColumn("rn", F.row_number().over(w_part))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            (F.col("offset") + F.col("rn")).cast("long").alias("position"),
         )
     )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.pipeline import (
     EMAIL_RE,
+    corpus_shuffle,
     PHONE_RE,
     decontaminate,
     hex_threshold,
@@ -165,3 +166,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-gram with the held-out set (broadcast semi-join; the corpus
     side never shuffles)."""
     return decontaminate(_docs(spark, sf_dir), n=5, eval_mod=97)
+
+
+@register(
+    "corpus_shuffle",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CAST(row_number() OVER (
+               ORDER BY md5('42:' || CAST(doc_id AS VARCHAR))) AS BIGINT
+           ) AS position
+    FROM documents
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random training order: distributed ranking
+    over md5(seed || doc_id) must equal the oracle's single global
+    row_number over the same key."""
+    return corpus_shuffle(_docs(spark, sf_dir))

@@ -220,3 +220,22 @@ def test_approx_distinct_users_within_rsd(spark, sf_dir):
     }
     for k, est in approx.items():
         assert abs(est - exact[k]) <= max(3, 0.1 * exact[k])
+
+
+def test_corpus_shuffle_permutation_and_range_partitioned(spark, sf_dir):
+    """Positions must be exactly 1..N (a permutation), and the ranking
+    must be range-partitioned — not a single global sort of the data."""
+    from flight_events_flink_job_spark.operators.pipeline import corpus_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_shuffle(docs, parts=8)
+    n = docs.count()
+    agg = out.agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("position").alias("distinct_pos"),
+        F.min("position").alias("lo"),
+        F.max("position").alias("hi"),
+    ).collect()[0]
+    assert (agg.cnt, agg.distinct_pos, agg.lo, agg.hi) == (n, n, 1, n)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(sk" in plan, plan
