@@ -268,3 +268,67 @@ def corpus_shuffle(
             (F.col("offset") + F.col("rn")).cast("long").alias("position"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline (composition flagship)
+# ---------------------------------------------------------------------------
+
+def curation_pipeline(
+    documents: DataFrame,
+    min_tokens: int = 5,
+    min_quality: float = 1.0,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> DataFrame:
+    """The whole curation chain in ONE declarative plan: quality gate →
+    exact dedup (bag-of-words key, keep lowest doc_id) → deterministic
+    split assignment → per-(split, lang) doc and token totals.
+
+    Composability is the point: quality scoring and split assignment
+    are pure projections, so Catalyst fuses them around the single
+    dedup shuffle — the full pipeline costs one exchange plus the final
+    aggregation, exactly what a 100 TB curation pass should cost.
+    """
+    from ..functions.textual import token_set_key
+    from .text import ROUND_DP, STOPWORDS, distinct_tokens, tokens
+
+    t = tokens(F.col("text"))
+    n_tokens = F.size(t).cast("bigint")
+    ttr = F.round(
+        F.size(distinct_tokens(F.col("text"))).cast("double")
+        / n_tokens.cast("double"),
+        ROUND_DP,
+    )
+    stop_ratio = F.round(
+        F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / n_tokens.cast("double"),
+        ROUND_DP,
+    )
+    quality = F.round(ttr + (1.0 - stop_ratio), ROUND_DP)
+
+    kept = documents.select(
+        "doc_id", "lang", "text", n_tokens.alias("n_tokens")
+    ).filter((F.col("n_tokens") >= min_tokens) & (quality >= min_quality))
+
+    w = Window.partitionBy("key").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("key", token_set_key(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+
+    b = _hash_bucket(F.col("doc_id"))
+    v = round(val_frac * HASH_SPACE)
+    tt = round((val_frac + test_frac) * HASH_SPACE)
+    split = (
+        F.when(b < v, F.lit("val")).when(b < tt, F.lit("test")).otherwise(F.lit("train"))
+    )
+    return (
+        deduped.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )

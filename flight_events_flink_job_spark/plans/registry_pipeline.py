@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.pipeline import (
     EMAIL_RE,
     corpus_shuffle,
+    curation_pipeline,
     PHONE_RE,
     decontaminate,
     hex_threshold,
@@ -183,3 +184,56 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     over md5(seed || doc_id) must equal the oracle's single global
     row_number over the same key."""
     return corpus_shuffle(_docs(spark, sf_dir))
+
+
+_SW_LIST = "'the','a','of','and','to','in','is','it','on','for'"
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               string_split(text, ' ') ts,
+               list_distinct(string_split(text, ' ')) tys
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, text,
+               CAST(len(ts) AS BIGINT) AS n_tokens,
+               round(round(len(tys) * 1.0 / len(ts), 4)
+                     + (1.0 - round(len(list_filter(ts,
+                            x -> list_contains([{_SW_LIST}], x)))
+                            * 1.0 / len(ts), 4)), 4) AS quality_score
+        FROM t
+    ),
+    kept AS (
+        SELECT * FROM scored WHERE n_tokens >= 5 AND quality_score >= 1.0
+    ),
+    dd AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY array_to_string(
+                    list_sort(list_distinct(string_split(text, ' '))), ' ')
+                ORDER BY doc_id) rn
+            FROM kept
+        ) WHERE rn = 1
+    )
+    SELECT CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  < '{hex_threshold(0.1)}' THEN 'val'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  < '{hex_threshold(0.2)}' THEN 'test'
+             ELSE 'train'
+           END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM dd
+    GROUP BY split, lang
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation chain in one plan: quality gate -> exact
+    dedup -> split assignment -> per-(split, lang) totals."""
+    return curation_pipeline(_docs(spark, sf_dir))

@@ -239,3 +239,15 @@ def test_corpus_shuffle_permutation_and_range_partitioned(spark, sf_dir):
     assert (agg.cnt, agg.distinct_pos, agg.lo, agg.hi) == (n, n, 1, n)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning(sk" in plan, plan
+
+
+def test_curation_pipeline_costs_two_exchanges(spark, sf_dir):
+    """The composed chain must fuse: quality gate and split assignment
+    are projections, so the whole pipeline pays only the dedup-window
+    exchange plus the final aggregation exchange."""
+    from flight_events_flink_job_spark.operators.pipeline import curation_pipeline
+
+    out = curation_pipeline(load_table(spark, sf_dir, "documents"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert out.count() > 0
