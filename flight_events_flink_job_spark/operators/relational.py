@@ -413,3 +413,65 @@ def top_routes_per_airline(flights: DataFrame, k: int = 3) -> DataFrame:
             "rank",
         )
     )
+
+
+def rolling_user_value(events: DataFrame, trailing: str = "1 hour") -> DataFrame:
+    """Trailing time-range window aggregate (RANGE frame): for every
+    event, the count and value-sum of the SAME user's events in the
+    preceding ``trailing`` interval (inclusive of the current row).
+
+    The frame is a RANGE over exact integer microseconds — event-time
+    math, portable across engines. One hash exchange on user_id; the
+    in-partition frame scan is incremental (Spark maintains a sliding
+    frame, not O(n^2) re-aggregation).
+    """
+    us = {"1 hour": 3_600_000_000}[trailing]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-us, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_trailing"),
+        F.round(F.sum("value").over(w), 2).alias("sum_trailing_value"),
+    )
+
+
+def user_event_type_pivot(events: DataFrame) -> DataFrame:
+    """PIVOT: one row per user, one count column per event type.
+
+    The type list is declared statically (the relational PIVOT contract
+    — output schema must be known at plan time); Spark plans this as a
+    single hash aggregation with conditional counts, no extra shuffle
+    over a plain groupBy."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+def converted_users_without_errors(events: DataFrame) -> DataFrame:
+    """Relational set operations: (purchasers INTERSECT signups)
+    EXCEPT errorers — distinct-set semantics end to end.
+
+    Set ops plan as hash semi/anti joins over exchanges on the key —
+    same cost class as explicit joins but expressed in the relational
+    algebra the reference's SQL users expect to exist."""
+
+    def users_of(t: str) -> DataFrame:
+        return events.filter(F.col("event_type") == t).select("user_id")
+
+    return (
+        users_of("purchase")
+        .intersect(users_of("signup"))
+        .subtract(users_of("error"))
+    )

@@ -22,13 +22,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.relational import (
     approx_distinct_users,
+    converted_users_without_errors,
     events_rollup,
     inactive_customers,
     orders_asof_join,
     segment_revenue,
     sliding_airline_stats,
+    rolling_user_value,
     top_routes_per_airline,
     user_event_enrichment,
+    user_event_type_pivot,
     user_event_gaps,
     user_sessions,
     value_band_join,
@@ -388,3 +391,57 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _IVF_MODELS:
         _IVF_MODELS[sf_dir] = ivf_centroids(embs)
     return cosine_topk_ivf(embs, centroids=_IVF_MODELS[sf_dir])
+
+
+@register(
+    "rolling_user_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_trailing,
+           round(SUM(value) OVER w, 2) AS sum_trailing_value
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE-frame window aggregate per user (exact
+    integer-microsecond frame bounds in both engines)."""
+    return rolling_user_value(_events(spark, sf_dir))
+
+
+@register(
+    "user_event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'error')    AS n_error,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup')   AS n_signup,
+           count(*) FILTER (event_type = 'view')     AS n_view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT on event_type: per-user count column per type (static
+    type list; plans as one conditional hash aggregation)."""
+    return user_event_type_pivot(_events(spark, sf_dir))
+
+
+@register(
+    "converted_without_errors",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def q_converted_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: (purchasers INTERSECT signups) EXCEPT errorers,
+    distinct-set semantics."""
+    return converted_users_without_errors(_events(spark, sf_dir))

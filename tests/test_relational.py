@@ -115,3 +115,38 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     a = plain.groupBy("c_mktsegment").count().collect()
     b = salted.groupBy("c_mktsegment").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_rolling_trailing_frame_bounds(spark):
+    """RANGE frame is inclusive of the current row and exactly one
+    trailing hour: an event 75 min back falls out, 45 min back stays."""
+    from datetime import datetime
+
+    from flight_events_flink_job_spark.operators.relational import rolling_user_value
+
+    rows = [
+        (1, 9, datetime(2024, 1, 1, 0, 0), "click", 10.0),
+        (2, 9, datetime(2024, 1, 1, 0, 30), "click", 5.0),
+        (3, 9, datetime(2024, 1, 1, 1, 15), "click", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {r.event_id: (r.n_trailing, r.sum_trailing_value)
+           for r in rolling_user_value(df).collect()}
+    assert got == {1: (1, 10.0), 2: (2, 15.0), 3: (2, 7.0)}
+
+
+def test_pivot_zero_fills_missing_types(spark):
+    from datetime import datetime
+
+    from flight_events_flink_job_spark.operators.relational import (
+        user_event_type_pivot,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 9, datetime(2024, 1, 1), "click", 1.0)],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    (r,) = user_event_type_pivot(df).collect()
+    assert (r.n_click, r.n_error, r.n_purchase, r.n_signup, r.n_view) == (1, 0, 0, 0, 0)
