@@ -59,3 +59,32 @@ def event_value_quantiles(events: DataFrame) -> DataFrame:
         F.round(F.expr("percentile(value, 0.95)"), ROUND_DP).alias("p95"),
         F.round(F.expr("percentile(value, 0.99)"), ROUND_DP).alias("p99"),
     )
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/serving compression step of an embedding pipeline (float32
+    -> int8 cuts vector bytes 4x before an ANN index build).
+
+    Per-vector scale = max|x| / 127; quantized value = floor(x / scale)
+    — floor, not round, because float->int truncation/rounding rules
+    differ across engines while floor is unambiguous. Output range is
+    the asymmetric int8 [-128, 127]: the negative extreme floors to
+    -128 when x/scale computes as -127-epsilon. All math in
+    float64 after an explicit float32->float64 widening. Narrow
+    per-row projection, no shuffle; the quantized array is BIGINT only
+    for oracle-type portability (an int8 cast is a storage detail).
+    """
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = maxabs / F.lit(127.0)
+    q = F.transform(v, lambda x: F.floor(x / scale))
+    return embeddings.select(
+        "vec_id",
+        "label",
+        F.round(scale, 6).alias("scale"),
+        q.alias("q_vec"),
+        F.aggregate(
+            F.transform(q, F.abs), F.lit(0).cast("bigint"), lambda a, b: a + b
+        ).alias("q_l1"),
+    )

@@ -45,7 +45,11 @@ from ..operators.text import (
     text_stats,
     tf_idf_top_terms,
 )
-from ..operators.vectors_agg import event_value_quantiles, label_centroids
+from ..operators.vectors_agg import (
+    event_value_quantiles,
+    label_centroids,
+    quantize_embeddings,
+)
 from ..sources.fixtures import load_table
 from .registry import register
 
@@ -474,3 +478,32 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     block-mean resize to a 2x2 thumbnail via mapInPandas. pytest asserts
     exact values on crafted payloads; driver check is rows-only."""
     return resize_thumbnails(with_binary_payload(_docs(spark, sf_dir)))
+
+
+@register(
+    "quantize_embeddings",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, label, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS raw_scale
+        FROM e
+    )
+    SELECT vec_id, label,
+           round(raw_scale, 6) AS scale,
+           list_transform(v, x -> CAST(floor(x / raw_scale) AS BIGINT)) AS q_vec,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(v, x -> CAST(abs(floor(x / raw_scale)) AS BIGINT))),
+               (a, b) -> a + b) AS BIGINT) AS q_l1
+    FROM s
+    """,
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (floor-based, engine-portable) with
+    per-vector scale and quantized-L1 checksum."""
+    return quantize_embeddings(_embs(spark, sf_dir))

@@ -58,3 +58,24 @@ def test_lsh_recall_against_exact(spark, sf_dir):
     approx = {(r.q_id, r.n_id) for r in cosine_topk_lsh(embs).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"LSH recall {recall:.2f} below floor"
+
+
+def test_quantization_reconstruction_bound(spark, sf_dir):
+    """Dequantized values must sit within one quantization step of the
+    original: x/scale in [q, q+1) by floor construction."""
+    from flight_events_flink_job_spark.operators.vectors_agg import (
+        quantize_embeddings,
+    )
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(embs).join(embs, "vec_id").limit(50).collect()
+    for r in out:
+        # r.scale is rounded for display; the bound holds vs the raw scale.
+        scale = max(abs(float(x)) for x in r.embedding) / 127.0
+        assert scale > 0 and abs(scale - r.scale) < 5e-7
+        for x, q in zip(r.embedding, r.q_vec):
+            assert q <= float(x) / scale < q + 1 + 1e-9, (x, scale, q)
+        # floor maps the negative extreme to -128 when x/scale computes
+        # as -127-epsilon — exactly the asymmetric int8 range.
+        assert all(-128 <= q <= 127 for q in r.q_vec)
