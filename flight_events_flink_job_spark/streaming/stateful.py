@@ -152,3 +152,78 @@ def user_activity_from_staged(
         .parquet(staging_dir)
     )
     return final_user_state(drain_user_activity(stream, checkpoint_dir))
+
+
+# ---------------------------------------------------------------------------
+# Stateful v2: transformWithStateInPandas (Spark 4 arbitrary state API)
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4.0, and the state server speaks protobuf to the JVM —
+    # without google.protobuf the driver worker crashes at query start.
+    # The engine degrades to the v1 operator above when either is absent.
+    import google.protobuf.descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+
+class UserActivityProcessor(StatefulProcessor):
+    """V2 twin of :func:`track_user_activity` on the
+    ``transformWithStateInPandas`` API — typed composable state
+    (ValueState/ListState/MapState per key), state-variable TTL, and
+    timers (``handleExpiredTimer``): the full Flink
+    ``KeyedProcessFunction`` feature set, where the v1
+    ``applyInPandasWithState`` offers one state tuple and one timeout.
+
+    Same transition semantics as v1 (the pytest asserts emission-level
+    equality), so the oracle story carries over unchanged.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("activity", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            n_events, sum_value, last_ts, last_type, streak = self._state.get()
+        else:
+            n_events, sum_value, last_ts, last_type, streak = 0, 0.0, None, None, 0
+        for pdf in rows:
+            pdf = pdf.sort_values("ts")
+            n_events += len(pdf)
+            sum_value += float(pdf["value"].sum())
+            for t in pdf["event_type"]:
+                streak = streak + 1 if t == last_type else 1
+                last_type = t
+            batch_last = pdf["ts"].iloc[-1].to_pydatetime()
+            if last_ts is None or batch_last > last_ts:
+                last_ts = batch_last
+        self._state.update((n_events, sum_value, last_ts, last_type, streak))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "sum_value": [sum_value],
+                "last_ts": [last_ts],
+                "last_type": [last_type],
+                "streak": [streak],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def track_user_activity_v2(events: DataFrame) -> DataFrame:
+    """:func:`track_user_activity` on the v2 arbitrary-state API."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserActivityProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

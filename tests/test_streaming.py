@@ -363,3 +363,52 @@ def test_stream_dedup_drops_cross_batch_redelivery(spark, tmp_path):
         spark, str(in_dir), str(tmp_path / "ckpt"), files_per_trigger=1
     ).collect()
     assert sorted(r.event_id for r in out) == [1, 2, 3]
+
+
+def test_stateful_v2_matches_v1_emissions(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (stateful v2) must emit exactly the
+    same update rows as the applyInPandasWithState v1 tracker over the
+    same rate-limited micro-batches."""
+    import uuid
+
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+    from flight_events_flink_job_spark.streaming.stateful import (
+        EVENT_STREAM_SCHEMA,
+        HAS_TWS,
+        drain_user_activity,
+        track_user_activity_v2,
+    )
+
+    if not HAS_TWS:
+        pytest.skip(
+            "transformWithStateInPandas unavailable in this environment "
+            "(needs Spark>=4 AND google.protobuf for its state server)"
+        )
+
+    staging = str(tmp_path / "in")
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).repartition(4).write.parquet(staging)
+
+    def stream():
+        return (
+            spark.readStream.schema(EVENT_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+
+    v1 = drain_user_activity(stream(), str(tmp_path / "ckpt1"))
+    name = f"v2_{uuid.uuid4().hex}"
+    (
+        track_user_activity_v2(stream())
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    v2 = spark.table(name)
+    assert _rows(v1) == _rows(v2)
+    assert v1.count() > 0
