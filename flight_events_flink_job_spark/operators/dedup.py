@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textual import jaccard, token_set_key
-from ..functions.vectors import cosine_arrow, sign_bucket, to_double
+from ..functions.vectors import cosine_arrow, to_double
 from .util import spread
 
 # ---------------------------------------------------------------------------
@@ -326,33 +326,86 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup (bucketed)
+# Embedding-cosine near-dup (multi-table hyperplane LSH, bounded occupancy)
 # ---------------------------------------------------------------------------
 
-def embedding_neardup_cosine(
-    embeddings: DataFrame, threshold: float = 0.4, sign_bits: int = 4
-) -> DataFrame:
-    """Near-dup vector pairs within coordinate-sign LSH buckets.
+def adaptive_planes(n: int, target_occupancy: int = 32) -> int:
+    """Planes-per-table count sized to the corpus: expected bucket
+    occupancy N / 2^planes lands near ``target_occupancy`` regardless of
+    N (clamped to [4, 16]). This is what makes the bucketed self-join
+    scale: bits grow with log2(N), so per-bucket all-pairs work stays
+    ~constant instead of O((N/const)^2)."""
+    import math
 
-    Semantics (and the oracle mirrors this exactly): pairs whose first
-    ``sign_bits`` coordinate signs agree AND cosine >= threshold. The
-    sign bucket is the deterministic stand-in for random-hyperplane LSH
-    (same plan shape: bucket equi-join then verify); production recall
-    tuning swaps the bucket function, not the topology.
+    return min(16, max(4, math.ceil(math.log2(max(n, 64) / target_occupancy))))
+
+
+def embedding_neardup_cosine(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    num_tables: int = 8,
+    num_planes: int | None = None,
+    max_bucket: int = 128,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup vector pairs via multi-table random-hyperplane LSH
+    buckets, exact-cosine verified.
+
+    Semantics (the oracle mirrors every step exactly, planes included):
+    a pair is emitted iff the two vectors share >= 1 LSH bucket whose
+    occupancy is <= ``max_bucket``, AND cosine >= ``threshold``.
+
+    Scale design (the round-2 static 16-bucket version was O(N^2/16)):
+    - ``num_planes`` defaults to :func:`adaptive_planes` (one count()
+      at build time — the train-step analogue), so expected occupancy
+      stays ~32 at any N;
+    - ``max_bucket`` is the HARD bound: over-full buckets (degenerate
+      hash regions where the projection is indiscriminative) are
+      dropped entirely, capping candidate work at
+      O(num_tables * N * max_bucket) pairs — linear in N — whatever the
+      data distribution; recall for members of a dropped bucket comes
+      from the other tables;
+    - candidate pairs are narrow (two ids): vectors re-join by id for
+      the verify step, so the bucket shuffle never carries payloads.
+
+    Hyperplanes are the fixed-seed draw of
+    :func:`..operators.similarity.hyperplane_buckets` — deterministic
+    across runs/executors, reproducible in the DuckDB oracle as literal
+    plane vectors.
     """
-    e = embeddings.select(
+    from .similarity import hyperplane_buckets
+
+    if num_planes is None:
+        num_planes = adaptive_planes(embeddings.count())
+    e = embeddings.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    banded = e.select(
         "vec_id",
-        to_double(F.col("embedding")).alias("vec"),
-        sign_bucket(F.col("embedding"), sign_bits).alias("bucket"),
+        F.explode(
+            hyperplane_buckets(F.col("vec"), num_tables, num_planes, dim, seed)
+        ).alias("bucket"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    return (
+    kept = banded.withColumn(
+        "occupancy", F.count("*").over(Window.partitionBy("bucket"))
+    ).filter(F.col("occupancy") <= max_bucket)
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
         a.join(b, "bucket")
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine_arrow(F.col("a.vec"), F.col("b.vec")), 4).alias("cosine"),
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    return (
+        pairs.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_arrow(F.col("va"), F.col("vb")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -367,6 +420,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node touching an edge, where
     component = min node id reachable in the undirected pair graph —
@@ -379,18 +433,39 @@ def connected_components(
     2-4 rounds in practice). Scale notes: each round is one hash join
     edges-to-labels plus one aggregate — both shuffle on node id, and
     AQE reuses the exchange partitioning round to round. Lineage is
-    truncated per round with ``localCheckpoint`` (an iterative plan
-    otherwise doubles in depth each round and overwhelms the planner
-    long before data size matters). Driver involvement is one boolean
-    (converged?) per round — no data is collected.
+    truncated per round (an iterative plan otherwise doubles in depth
+    each round and overwhelms the planner long before data size
+    matters). Driver involvement is one boolean (converged?) per round
+    — no data is collected.
+
+    Durability contract: with ``checkpoint_dir`` set, per-round state is
+    checkpointed RELIABLY (``df.checkpoint`` to that fault-tolerant
+    directory) and survives executor loss — use this on a real cluster.
+    The default ``localCheckpoint`` keeps blocks on executors: faster,
+    but an executor failure loses truncated lineage and fails the job
+    (rerun from the edges), acceptable for short local iterations only.
+
+    Raises RuntimeError if labels have not stabilized after
+    ``max_iter`` rounds — an unconverged labeling silently returns
+    WRONG components (long chains exceed the diameter bound), so it is
+    surfaced as an error rather than a quiet result (round-2 ADVICE).
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _persist_round(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     sym = edges.select(
         F.col(src).alias("node"), F.col(dst).alias("nbr")
     ).unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
-    sym = sym.localCheckpoint(eager=True)
-    labels = (
+    sym = _persist_round(sym)
+    labels = _persist_round(
         sym.select("node").distinct().withColumn("component", F.col("node"))
-    ).localCheckpoint(eager=True)
+    )
+    converged = False
     for _ in range(max_iter):
         nbr_labels = labels.select(
             F.col("node").alias("lnode"), F.col("component").alias("lcomponent")
@@ -400,7 +475,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("lcomponent").alias("nbr_component"))
         )
-        stepped = (
+        stepped = _persist_round(
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
@@ -410,13 +485,20 @@ def connected_components(
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("new_component"),
             )
-        ).localCheckpoint(eager=True)
+        )
         changed = not stepped.filter(
             F.col("new_component") != F.col("component")
         ).isEmpty()
         labels = stepped.select("node", F.col("new_component").alias("component"))
         if not changed:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds the iteration bound); raise "
+            "max_iter — an unconverged labeling would be silently wrong"
+        )
     return labels
 
 

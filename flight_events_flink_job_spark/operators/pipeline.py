@@ -50,9 +50,18 @@ def _hash_bucket(key: Column) -> Column:
 
 
 def hex_threshold(fraction: float) -> str:
-    """The 4-hex-digit string t such that
-    ``substr(md5(k),1,4) < t`` keeps ~``fraction`` of keys."""
+    """The threshold string t such that ``substr(md5(k),1,4) < t`` keeps
+    ~``fraction`` of keys under LEXICOGRAPHIC comparison.
+
+    fraction >= 1.0 returns the sentinel ``'g'`` — above every 4-hex
+    string ('0'-'9','a'-'f' all sort below 'g'), so every row is kept;
+    the naive ``format(65536, '04x')`` = '10000' breaks the
+    string-order-equals-numeric-order contract (a 5-char string keeps
+    only hashes starting '0' or exactly '1000', ~6% of rows).
+    """
     n = max(0, min(HASH_SPACE, round(fraction * HASH_SPACE)))
+    if n >= HASH_SPACE:
+        return "g"
     return format(n, "04x")
 
 

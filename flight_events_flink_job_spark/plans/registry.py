@@ -27,6 +27,7 @@ from ..sources.flight_adapter import (
     FLIGHTS_CTE,
     flight_event_json_with_corrupt,
     flights_from_events,
+    shared_flights,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -93,7 +94,7 @@ def q_flights_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_delay_notifications(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5-P6: filter delayed → exact-shape notification JSON
     (FlightEventAggregator.java:76-85, KafkaUtils.java:40-45)."""
-    return delay_notifications(flights_from_events(spark, sf_dir))
+    return delay_notifications(shared_flights(spark, sf_dir))
 
 
 @register(
@@ -118,7 +119,7 @@ def q_delay_notifications(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_airline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: airline delay stats, 2-minute tumbling event-time windows
     (FlightEventAggregator.java:89-110, 219-248)."""
-    return airline_stats(flights_from_events(spark, sf_dir))
+    return airline_stats(shared_flights(spark, sf_dir))
 
 
 @register(
@@ -138,7 +139,7 @@ def q_airline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_route_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: route delay stats, 3-minute tumbling event-time windows
     (FlightEventAggregator.java:112-133, 250-279)."""
-    return route_stats(flights_from_events(spark, sf_dir))
+    return route_stats(shared_flights(spark, sf_dir))
 
 
 @register(
@@ -159,7 +160,7 @@ def q_route_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: hour-of-day delay trends, 5-minute tumbling windows
     (FlightEventAggregator.java:135-155, 281-308)."""
-    return hourly_stats(flights_from_events(spark, sf_dir))
+    return hourly_stats(shared_flights(spark, sf_dir))
 
 
 @register(

@@ -18,6 +18,7 @@ capture probability at threshold makes the plan exact on real data.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     dedup_exact,
@@ -177,28 +178,73 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_docs(spark, sf_dir))
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle="""
-    WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
-               8 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-             + 4 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
-             + 2 * (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)
-             +     (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
-        FROM embeddings
+def _embedding_lsh_oracle(
+    threshold: float = 0.4,
+    num_tables: int = 8,
+    num_planes: int = 4,
+    max_bucket: int = 128,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of the multi-table hyperplane-LSH near-dup: the SAME
+    fixed-seed plane draw as similarity.hyperplane_buckets, embedded as
+    literal DOUBLE[] rows (repr round-trips bit-exact), bucket codes,
+    occupancy cap, candidate join, and exact-cosine verify. num_planes=4
+    here pins the operator's adaptive_planes(N=500) value at the
+    driver's correctness scale (sf0.01)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables * num_planes, dim))
+    rows = ",\n        ".join(
+        "({}, [{}])".format(pid, ", ".join(repr(x) for x in plane))
+        for pid, plane in enumerate(planes)
     )
-    SELECT * FROM (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_cosine_similarity(a.v, b.v), 4) AS cosine
-        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    ) WHERE cosine >= 0.4
-    """,
-)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    planes(pid, p) AS (VALUES
+        {rows}),
+    bits AS (
+        SELECT e.vec_id, pid // {num_planes} AS tbl, pid % {num_planes} AS j,
+               CASE WHEN list_dot_product(e.v, planes.p) >= 0
+                    THEN 1 ELSE 0 END AS b
+        FROM e CROSS JOIN planes
+    ),
+    codes AS (
+        SELECT vec_id,
+               CAST(sum(b * (1 << ({num_planes} - 1 - j)))
+                    + tbl * {1 << num_planes} AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id, tbl
+    ),
+    keep AS (
+        SELECT vec_id, bucket FROM (
+            SELECT vec_id, bucket,
+                   count(*) OVER (PARTITION BY bucket) AS occupancy
+            FROM codes
+        ) WHERE occupancy <= {max_bucket}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM keep a JOIN keep b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT c.vec_a, c.vec_b,
+               round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.vec_a
+        JOIN e eb ON eb.vec_id = c.vec_b
+    ) WHERE cosine >= {threshold}
+    """
+
+
+@register("dedup_embedding_cosine", oracle=_embedding_lsh_oracle())
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed embedding near-dup: coordinate-sign LSH bucket join +
-    cosine >= 0.4 verify. The oracle mirrors the bucketing exactly, so
-    the check is value-exact (cosine is bit-identical cross-engine)."""
+    """Embedding near-dup via multi-table random-hyperplane LSH (8
+    tables, adaptive planes-per-table, occupancy-capped buckets) +
+    exact cosine >= 0.4 verify. The oracle replays the seeded planes,
+    bucket codes, occupancy cap, and cosine verify literally, so the
+    check is value-exact despite the LSH candidate generation."""
     return embedding_neardup_cosine(_embs(spark, sf_dir))
 
 
@@ -472,12 +518,24 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(with_binary_payload(_docs(spark, sf_dir)))
 
 
+def _join_array(col: str) -> "F.Column":
+    """Comma-join an array column at the query edge: the driver's pandas
+    canonicalizer cannot sort/hash list cells (round-2 CORRECTNESS err
+    rows), so ARRAY outputs leave the engine serialized. Pure string
+    projection — the operator itself keeps the typed array."""
+    return F.array_join(F.transform(F.col(col), lambda x: x.cast("string")), ",")
+
+
 @register("multimodal_resize")  # rows-only: block-mean image math has no tidy SQL twin
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-branch plumbing: fake decode (bytes as 8-wide grayscale) +
     block-mean resize to a 2x2 thumbnail via mapInPandas. pytest asserts
-    exact values on crafted payloads; driver check is rows-only."""
-    return resize_thumbnails(with_binary_payload(_docs(spark, sf_dir)))
+    exact values on crafted payloads; driver check is rows-only. The
+    thumb array is comma-joined at the edge (driver canonicalizer
+    compat)."""
+    return resize_thumbnails(with_binary_payload(_docs(spark, sf_dir))).withColumn(
+        "thumb", _join_array("thumb")
+    )
 
 
 @register(
@@ -495,7 +553,9 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, label,
            round(raw_scale, 6) AS scale,
-           list_transform(v, x -> CAST(floor(x / raw_scale) AS BIGINT)) AS q_vec,
+           array_to_string(list_transform(v,
+               x -> CAST(CAST(floor(x / raw_scale) AS BIGINT) AS VARCHAR)),
+               ',') AS q_vec,
            CAST(list_reduce(
                list_prepend(CAST(0 AS BIGINT),
                    list_transform(v, x -> CAST(abs(floor(x / raw_scale)) AS BIGINT))),
@@ -505,5 +565,8 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization (floor-based, engine-portable) with
-    per-vector scale and quantized-L1 checksum."""
-    return quantize_embeddings(_embs(spark, sf_dir))
+    per-vector scale and quantized-L1 checksum. q_vec is comma-joined at
+    the edge (driver canonicalizer compat), mirrored in the oracle."""
+    return quantize_embeddings(_embs(spark, sf_dir)).withColumn(
+        "q_vec", _join_array("q_vec")
+    )

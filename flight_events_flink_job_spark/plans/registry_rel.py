@@ -93,9 +93,9 @@ def q_user_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_airline_stats_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1's aggregate over 4-minute windows sliding by 2 — each event in
     size/slide=2 windows (SURVEY.md §2.4 window-kinds extension)."""
-    from ..sources.flight_adapter import flights_from_events
+    from ..sources.flight_adapter import shared_flights
 
-    return sliding_airline_stats(flights_from_events(spark, sf_dir))
+    return sliding_airline_stats(shared_flights(spark, sf_dir))
 
 
 @register(
@@ -174,9 +174,9 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_routes_per_airline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 routes by traffic per airline (ranking window over the
     pre-aggregated routes, never over the fact table)."""
-    from ..sources.flight_adapter import flights_from_events
+    from ..sources.flight_adapter import shared_flights
 
-    return top_routes_per_airline(flights_from_events(spark, sf_dir))
+    return top_routes_per_airline(shared_flights(spark, sf_dir))
 
 
 @register(

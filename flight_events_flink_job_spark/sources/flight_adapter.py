@@ -172,3 +172,36 @@ def flights_from_events(spark, sf_dir: str) -> DataFrame:
 
     raw = flight_event_json(load_table(spark, sf_dir, "events"))
     return valid_flights(parse_flight_events(raw))
+
+
+# Parsed-flights staging cache, keyed by (Spark application, sf_dir).
+_SHARED_FLIGHTS: dict = {}
+
+
+def shared_flights(spark, sf_dir: str) -> DataFrame:
+    """Cluster-cached parsed-flights table, parsed at most once per
+    Spark application per ``sf_dir``.
+
+    The JSON build + ``from_json`` parse is the per-row hot path of
+    every flight-family query; running it once and fanning the cached
+    table out to all consumers is the batch analogue of the reference's
+    single-source DAG reuse (FlightEventAggregator.java wires ONE parsed
+    stream into all four aggregations — SURVEY.md §4), and the standard
+    staging-table pattern at 100 TB: parse once, consume many. The cache
+    is a Spark ``persist(MEMORY_AND_DISK)`` — partitions spill to local
+    disk under memory pressure, nothing is collected to the driver, and
+    plans downstream of the cache are unchanged (values identical to
+    :func:`flights_from_events`; ``flights_raw`` / ``rejected_rows``
+    deliberately stay on the uncached path so the full parse pipeline
+    remains oracle-covered end-to-end).
+    """
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SHARED_FLIGHTS.get(key)
+    if df is None:
+        df = flights_from_events(spark, sf_dir).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _SHARED_FLIGHTS[key] = df
+    return df

@@ -48,13 +48,24 @@ def _update_user(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Transition function: fold this batch's events (in event-time
-    order) into the running per-user state, emit the updated record."""
+    order) into the running per-user state, emit the updated record.
+
+    The whole micro-batch is materialized and concat-sorted BEFORE the
+    fold: applyInPandasWithState may deliver one key's batch as several
+    unordered pandas chunks, and a per-chunk sort would fold chunks in
+    arrival order, corrupting the order-dependent streak/last_type
+    transition (round-2 ADVICE). State is O(1) per key either way; the
+    transient batch materialization is bounded by the micro-batch size.
+    """
     if state.exists:
         n_events, sum_value, last_ts, last_type, streak = state.get
     else:
         n_events, sum_value, last_ts, last_type, streak = 0, 0.0, None, None, 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            "ts", kind="mergesort"
+        )
         n_events += len(pdf)
         sum_value += float(pdf["value"].sum())
         for t in pdf["event_type"]:
@@ -193,8 +204,13 @@ class UserActivityProcessor(StatefulProcessor):
             n_events, sum_value, last_ts, last_type, streak = self._state.get()
         else:
             n_events, sum_value, last_ts, last_type, streak = 0, 0.0, None, None, 0
-        for pdf in rows:
-            pdf = pdf.sort_values("ts")
+        # Concat-sort the whole batch before folding — same multi-chunk
+        # ordering contract as the v1 _update_user above.
+        chunks = [c for c in rows if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                "ts", kind="mergesort"
+            )
             n_events += len(pdf)
             sum_value += float(pdf["value"].sum())
             for t in pdf["event_type"]:

@@ -92,10 +92,52 @@ def test_no_cartesian_product_in_dedup_plans(docs, spark):
         dedup_near_minhash(docs),
         dedup_ngram_jaccard(docs),
         simhash_near_pairs(docs),
-        embedding_neardup_cosine(embs, sign_bits=2),
+        embedding_neardup_cosine(embs, num_tables=2, num_planes=2, dim=4),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+def test_embedding_lsh_neardup_finds_identical_vectors(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [float(rnd.gauss(0, 1)) for _ in range(8)], 0) for i in range(20)
+    ]
+    # Planted exact duplicates: identical vectors share every bucket in
+    # every table, so LSH recall on them is 1 at any parameterization.
+    rows += [(100 + i, rows[i][1], 0) for i in range(5)]
+    embs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    pairs = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_neardup_cosine(
+            embs, threshold=0.99, num_tables=4, num_planes=3, dim=8
+        ).collect()
+    }
+    for i in range(5):
+        assert pairs.get((i, 100 + i)) == 1.0
+
+
+def test_embedding_lsh_occupancy_cap_bounds_candidates(spark):
+    # All-identical corpus: every vector lands in one bucket per table;
+    # occupancy above the cap drops the bucket (degenerate hash region),
+    # so NO pairs are emitted — the hard O(N * max_bucket) candidate
+    # bound in action.
+    rows = [(i, [1.0] * 8, 0) for i in range(50)]
+    embs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    capped = embedding_neardup_cosine(
+        embs, threshold=0.5, num_tables=2, num_planes=2, dim=8, max_bucket=10
+    )
+    assert capped.count() == 0
+    uncapped = embedding_neardup_cosine(
+        embs, threshold=0.5, num_tables=2, num_planes=2, dim=8, max_bucket=64
+    )
+    assert uncapped.count() == 50 * 49 // 2
 
 
 def test_dedup_fixture_near_dups(spark, sf_dir):

@@ -33,8 +33,12 @@ def _plan(df) -> str:
 
 def test_hex_threshold_boundaries():
     assert hex_threshold(0.0) == "0000"
-    assert hex_threshold(1.0) == "10000"[-5:] or True  # full space
     assert hex_threshold(0.5) == "8000"
+    # fraction 1.0 must keep EVERY row under the 4-hex string compare:
+    # 'g' sorts above all of '0'-'f', while the naive '10000' would keep
+    # only ~6% (5-char lexicographic compare).
+    assert hex_threshold(1.0) == "g"
+    assert all(format(i, "04x") < hex_threshold(1.0) for i in (0, 0x8000, 0xFFFF))
 
 
 def test_stratified_sample_is_deterministic_and_shuffle_free(spark, sf_dir):

@@ -80,6 +80,22 @@ def test_top_routes_rank_bounded_and_deterministic(spark, sf_dir):
     assert bad == 0
 
 
+def test_shared_flights_cached_and_value_identical(spark, sf_dir):
+    """The staging cache must be (a) memoized per app+sf_dir, (b) a
+    Spark-persisted DataFrame, and (c) value-identical to the uncached
+    parse path — the flight-family queries fan out from it."""
+    from flight_events_flink_job_spark.sources.flight_adapter import (
+        flights_from_events,
+        shared_flights,
+    )
+
+    a = shared_flights(spark, sf_dir)
+    assert shared_flights(spark, sf_dir) is a
+    assert a.storageLevel.useMemory
+    fresh = flights_from_events(spark, sf_dir)
+    assert a.exceptAll(fresh).isEmpty() and fresh.exceptAll(a).isEmpty()
+
+
 def test_ivf_no_cartesian_and_recall(spark, sf_dir):
     embs = load_table(spark, sf_dir, "embeddings")
     ivf = cosine_topk_ivf(embs)
