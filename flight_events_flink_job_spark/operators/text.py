@@ -160,6 +160,101 @@ def text_langid(docs: DataFrame) -> DataFrame:
     )
 
 
+def text_repetition(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document repetition signal: duplicated word-n-gram and
+    duplicated-token fractions (the Gopher-style "repetitive text"
+    quality gate — high dup_gram_frac means boilerplate/spam).
+
+    Entirely higher-order Catalyst expressions over the token array —
+    a narrow map stage with NO shuffle and no Python: n-grams WITH
+    multiplicity via transform(sequence(...)), dup counts via
+    array_distinct. Columns: (doc_id, n_grams, n_dup_grams,
+    dup_gram_frac, dup_token_frac), fractions rounded 4dp.
+    """
+    t = tokens(F.col("text"))
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + k + 1) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams).cast("bigint")
+    n_dup = (n_grams - F.size(F.array_distinct(grams))).cast("bigint")
+    n_tokens = F.size(t).cast("bigint")
+    n_dup_tok = (n_tokens - F.size(distinct_tokens(F.col("text")))).cast("bigint")
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0),
+        ROUND_DP,
+    )
+    return docs.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_dup.alias("n_dup_grams"),
+        frac(n_dup, n_grams).alias("dup_gram_frac"),
+        frac(n_dup_tok, n_tokens).alias("dup_token_frac"),
+    )
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Language-label audit: confusion counts between the corpus's
+    labeled ``lang`` and the heuristic :func:`text_langid` prediction.
+
+    (lang, lang_pred, n_docs, frac) where frac is the share of the
+    labeled language's documents receiving that prediction. The join is
+    a self-derivation (langid is a narrow projection of the same scan),
+    so Catalyst collapses it to one pass; the window total runs over the
+    already-aggregated confusion matrix (|langs|² rows), not the corpus.
+    """
+    from pyspark.sql import Window
+
+    pred = text_langid(docs)
+    per = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return per.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), ROUND_DP
+        ).alias("frac"),
+    )
+
+
+def corpus_stats_cube(docs: DataFrame) -> DataFrame:
+    """Corpus composition at every (lang, source) grain via CUBE — all
+    four grouping sets in ONE aggregation pass (partial aggregation
+    before the single exchange; no per-grain re-scan). NULL grain cells
+    surface as '(all)'; ``level`` encodes the grouping-set id.
+    """
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), ROUND_DP).alias("avg_chars"),
+            (F.grouping("lang") * 2 + F.grouping("source"))
+            .cast("bigint")
+            .alias("level"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("(all)")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("(all)")).alias("source"),
+            "level",
+            "n_docs",
+            "total_chars",
+            "avg_chars",
+        )
+    )
+
+
 def doc_fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
     """Content fingerprint: min polynomial rolling hash over word
     n-gram shingles (a 1-permutation MinHash with an engine-portable

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     dedup_exact,
+    dedup_keep_best,
     dedup_near_minhash,
     dedup_ngram_jaccard,
     embedding_neardup_cosine,
@@ -40,9 +41,12 @@ from ..operators.text import (
     LANG_LEXICONS,
     STOPWORDS,
     SUBTOKEN_RE,
+    corpus_stats_cube,
     doc_fingerprints,
+    lang_confusion,
     term_frequency,
     text_langid,
+    text_repetition,
     text_stats,
     tf_idf_top_terms,
 )
@@ -336,6 +340,78 @@ def q_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_frequency(_docs(spark, sf_dir))
 
 
+@register(
+    "dedup_keep_best",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, n_members FROM (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (PARTITION BY key
+                                  ORDER BY n_chars DESC, doc_id) rn,
+               count(*) OVER (PARTITION BY key) n_members
+        FROM (SELECT *, array_to_string(
+                  list_sort(list_distinct(string_split(text, ' '))), ' ') AS key
+              FROM documents)
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the longest member per group via a max_by
+    hash aggregate (no window sort; operators/dedup.py). The oracle is
+    an independent row_number formulation of the same policy."""
+    return dedup_keep_best(_docs(spark, sf_dir))
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+    g AS (
+        SELECT doc_id, ts,
+               CASE WHEN len(ts) >= 3
+                    THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                          for i in range(1, len(ts) - 1)]
+                    ELSE [] END AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(grams) - len(list_distinct(grams)) AS BIGINT)
+               AS n_dup_grams,
+           round(CASE WHEN len(grams) > 0
+                      THEN (len(grams) - len(list_distinct(grams))) * 1.0
+                           / len(grams)
+                      ELSE 0.0 END, 4) AS dup_gram_frac,
+           round(CASE WHEN len(ts) > 0
+                      THEN (len(ts) - len(list_distinct(ts))) * 1.0 / len(ts)
+                      ELSE 0.0 END, 4) AS dup_token_frac
+    FROM g
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-trigram / duplicated-token fractions per document (the
+    repetitive-text quality gate) — pure narrow higher-order exprs."""
+    return text_repetition(_docs(spark, sf_dir))
+
+
+@register(
+    "corpus_stats_cube",
+    oracle="""
+    SELECT coalesce(lang, '(all)') AS lang,
+           coalesce(source, '(all)') AS source,
+           CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS level,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+)
+def q_corpus_stats_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition at all four (lang, source) grains in one CUBE
+    aggregation pass."""
+    return corpus_stats_cube(_docs(spark, sf_dir))
+
+
 def _langid_oracle() -> str:
     score = (
         "len(list_intersect(list_distinct(string_split(text, ' ')), [{lex}]))"
@@ -364,6 +440,24 @@ def _langid_oracle() -> str:
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic lexicon-overlap language ID (deterministic argmax)."""
     return text_langid(_docs(spark, sf_dir))
+
+
+@register(
+    "lang_confusion",
+    oracle=f"""
+    WITH pred AS ({_langid_oracle()})
+    SELECT d.lang, p.lang_pred,
+           count(*) AS n_docs,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY d.lang), 4) AS frac
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.lang_pred
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-heuristic language confusion matrix: counts plus share
+    of each labeled language (data-quality audit over text_langid)."""
+    return lang_confusion(_docs(spark, sf_dir))
 
 
 @register(

@@ -161,3 +161,27 @@ def test_connected_components_chain_and_islands(spark):
         r.node: r.component for r in connected_components(edges).collect()
     }
     assert got == {2: 2, 3: 2, 4: 2, 9: 2, 1: 1, 7: 1, 5: 5, 6: 5}
+
+
+def test_dedup_keep_best_argmax_policy(spark):
+    from flight_events_flink_job_spark.operators.dedup import dedup_keep_best
+
+    rows = [
+        (0, "cat sat mat", "en", "s", 11),
+        (1, "mat cat sat cat", "en", "s", 15),  # same token set, longer
+        (2, "mat sat cat", "en", "s", 11),      # same set, ties doc 0
+        (3, "unique words here", "en", "s", 17),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r.doc_id: r for r in dedup_keep_best(df).collect()}
+    # Group {0,1,2}: doc 1 wins on n_chars; group {3} singleton.
+    assert set(out) == {1, 3}
+    assert out[1].n_members == 3 and out[3].n_members == 1
+
+
+def test_dedup_keep_best_is_single_hash_aggregate(docs, spark):
+    from flight_events_flink_job_spark.operators.dedup import dedup_keep_best
+
+    plan = dedup_keep_best(docs)._jdf.queryExecution().executedPlan().toString()
+    # argmax via max_by: a hash aggregate, never a window sort.
+    assert "Window" not in plan

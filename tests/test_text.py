@@ -96,3 +96,51 @@ def test_label_centroids_shape(spark, sf_dir):
     out = label_centroids(load_table(spark, sf_dir, "embeddings"))
     dims = out.groupBy("label").count().collect()
     assert all(r["count"] == 64 for r in dims)
+
+
+def test_text_repetition_fractions(docs):
+    from flight_events_flink_job_spark.operators.text import text_repetition
+
+    r = {x.doc_id: x for x in text_repetition(docs).collect()}
+    # doc 0 "the cat sat on the mat": 4 trigrams, all distinct; 6 tokens,
+    # one dup ('the').
+    assert r[0].n_grams == 4 and r[0].n_dup_grams == 0
+    assert r[0].dup_gram_frac == 0.0
+    assert r[0].dup_token_frac == round(1 / 6, 4)
+    # doc 2 has 3 tokens -> exactly one trigram, no dups.
+    assert r[2].n_grams == 1 and r[2].dup_gram_frac == 0.0
+
+
+def test_text_repetition_short_doc_and_repeats(spark):
+    from flight_events_flink_job_spark.operators.text import text_repetition
+
+    rows = [(0, "a b", "en", "s", 3), (1, "x y x y x y x y", "en", "s", 15)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    r = {x.doc_id: x for x in text_repetition(df).collect()}
+    assert r[0].n_grams == 0 and r[0].dup_gram_frac == 0.0
+    # 'x y x y x y x y': 6 trigrams but only 2 distinct ('x y x','y x y').
+    assert r[1].n_grams == 6 and r[1].n_dup_grams == 4
+    assert r[1].dup_gram_frac == round(4 / 6, 4)
+
+
+def test_lang_confusion_shares(docs):
+    from flight_events_flink_job_spark.operators.text import lang_confusion
+
+    rows = {(r.lang, r.lang_pred): r for r in lang_confusion(docs).collect()}
+    # Both 'en' docs predict en -> one cell with frac 1.0.
+    assert rows[("en", "en")].n_docs == 2
+    assert rows[("en", "en")].frac == 1.0
+    assert rows[("de", "de")].n_docs == 1
+    assert rows[("??", "und")].frac == 1.0
+
+
+def test_corpus_stats_cube_grains(docs):
+    from flight_events_flink_job_spark.operators.text import corpus_stats_cube
+
+    out = {(r.lang, r.source): r for r in corpus_stats_cube(docs).collect()}
+    total = out[("(all)", "(all)")]
+    assert total.level == 3 and total.n_docs == 4
+    assert total.total_chars == 22 + 38 + 18 + 22
+    assert out[("en", "s")].level == 0 and out[("en", "s")].n_docs == 2
+    assert out[("en", "(all)")].level == 1
+    assert out[("(all)", "s")].level == 2 and out[("(all)", "s")].n_docs == 4
