@@ -475,3 +475,180 @@ def converted_users_without_errors(events: DataFrame) -> DataFrame:
         .intersect(users_of("signup"))
         .subtract(users_of("error"))
     )
+
+
+def regional_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """Revenue shipped by suppliers to same-nation customers within one
+    region — the classic local-supplier-volume shape (five-way star
+    join, SURVEY.md §2.5 "joins of any kind" absent from the reference).
+
+    Plan at 100 TB: region ⋈ nation is tiny and broadcast everywhere;
+    lineitem ⋈ orders is the one unavoidable big-big shuffle join,
+    co-partitioned on the order key; the supplier and customer sides
+    are joined declaratively (Catalyst broadcasts under threshold, AQE
+    re-plans to shuffle join with skew handling when they outgrow it —
+    at real scale both legs are hash joins on their keys). The
+    same-nation predicate (c_nationkey = s_nationkey) is applied as a
+    join condition, never as a post-join filter over the blow-up.
+    """
+    nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(nations),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", F.col("c_nationkey").alias("cn"), "n_name")
+    supp = supplier.join(
+        F.broadcast(nations.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("s_nationkey").alias("sn"))
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    fact = (
+        lineitem.select("l_orderkey", "l_suppkey", rev.alias("rev"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("cn") == F.col("sn")))
+    )
+    return fact.groupBy("n_name").agg(
+        F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+        F.count_distinct("o_orderkey").alias("n_orders"),
+    )
+
+
+def returned_items_top_customers(
+    customer: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k customers by revenue lost to returned items (the
+    returned-item-report shape): filter returns at the scan, join up
+    the star, rank, keep k.
+
+    Scale notes: the `l_returnflag = 'R'` predicate is pushed into the
+    parquet scan (row-group pruning); aggregation happens per customer
+    BEFORE ranking so the global top-k sort sees one row per customer
+    with a returned item, not the fact table; the final rank is a
+    TakeOrderedAndProject (per-partition top-k then k-way merge of k
+    rows on the driver side of the exchange), never a full global sort.
+    Ordering is total (revenue desc, custkey) so k is deterministic.
+    """
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    per_cust = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", rev.alias("rev"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("rev").alias("lost_revenue_dec"),
+            F.count("*").alias("n_returned_items"),
+        )
+    )
+    dim = customer.select("c_custkey", "c_name", "c_nationkey").join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        per_cust.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.col("lost_revenue_dec").desc(), "c_custkey")
+        .limit(k)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("lost_revenue_dec").cast("double"), 2)
+            .alias("lost_revenue"),
+            "n_returned_items",
+        )
+    )
+
+
+def customer_value_deciles(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customers bucketed into spend deciles, with per-decile stats.
+
+    Scale design: decile assignment needs a global rank over per-
+    customer spend. A bare ``ntile(10) OVER (ORDER BY spend)`` collapses
+    every row into ONE partition — the same trap corpus_shuffle avoids —
+    so this reuses the distributed total order: range-repartition on the
+    (already aggregated, one row per customer) spend key, rank within
+    partitions in parallel, add broadcast prefix-sum offsets, then
+    ``decile = floor((rank-1) * 10 / n) + 1`` (a pure function of rank
+    and the total count, mirrored literally by the oracle — no reliance
+    on engine-specific NTILE tie rules).
+    """
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                    .cast("double"), 2).alias("spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_acctbal")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    n_parts = spend.sparkSession.sparkContext.defaultParallelism
+    ranged = spend.repartitionByRange(
+        n_parts, F.col("spend").desc(), F.col("o_custkey")
+    ).withColumn("pid", F.spark_partition_id())
+    w_part = Window.partitionBy("pid").orderBy(
+        F.col("spend").desc(), F.col("o_custkey")
+    )
+    counts = ranged.groupBy("pid").count()
+    w_prefix = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("count").over(w_prefix), F.lit(0)).alias("offset"),
+        F.sum("count").over(
+            Window.orderBy("pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    ranked = (
+        ranged.withColumn("rn", F.row_number().over(w_part))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("rank", F.col("offset") + F.col("rn"))
+    )
+    decile = (((F.col("rank") - 1) * 10) / F.col("n_total")).cast("bigint") + 1
+    return (
+        ranked.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            # spend is already rounded to 2 dp, so decimal(18,2) holds it
+            # exactly — the sum is associative (partition-order safe).
+            F.round(
+                F.sum(F.col("spend").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_spend"),
+            F.round(F.min("spend"), 2).alias("min_spend"),
+            F.round(F.max("spend"), 2).alias("max_spend"),
+            # exact decimal sum, then ONE double division — avoids the
+            # association-order dependence of a plain double avg().
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_acctbal"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )

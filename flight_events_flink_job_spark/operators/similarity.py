@@ -294,3 +294,33 @@ def cosine_topk_ivf(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def knn_label_vote(
+    embeddings: DataFrame, k: int = 10, num_queries: int = 16
+) -> DataFrame:
+    """k-NN majority-vote label prediction for the query vectors — the
+    label-propagation / auto-labeling step of a training-data pipeline,
+    composed from the exact top-k search.
+
+    Plan: :func:`cosine_topk` yields ``num_queries * k`` rows (tiny);
+    that side is broadcast onto ONE pass over the corpus to pick up
+    neighbor labels — the corpus is never shuffled. The vote argmax is
+    a rank-1 window over at most ``k`` rows per query, ties broken by
+    label id so the prediction is deterministic.
+    """
+    topk = cosine_topk(embeddings, k=k, num_queries=num_queries)
+    labeled = embeddings.select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("pred_label")
+    ).join(F.broadcast(topk.select("q_id", "n_id")), "n_id")
+    votes = labeled.groupBy("q_id", "pred_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("n_votes").desc(), F.col("pred_label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "pred_label", "n_votes")
+    )

@@ -18,7 +18,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.textual import POLY_MOD, distinct_tokens, poly_hash, tokens, word_shingles
+from ..functions.textual import (
+    POLY_MOD,
+    distinct_tokens,
+    poly_hash,
+    token_set_key,
+    tokens,
+    word_shingles,
+)
 
 ROUND_DP = 4
 
@@ -292,4 +299,123 @@ def doc_fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
             F.min("h").alias("fingerprint"),
             F.count("*").alias("n_shingles"),
         )
+    )
+
+
+def top_ngrams_per_lang(docs: DataFrame, n: int = 2, k: int = 5) -> DataFrame:
+    """Top-k word n-grams (default bigrams) per language by corpus
+    frequency — the phrase-level twin of :func:`term_frequency`.
+
+    Plan: one narrow map stage builds each document's n-gram array
+    (NON-distinct — frequency semantics, unlike the dedup shingles),
+    one explode + hash aggregation partial-aggregated before the
+    (lang, ngram)-cardinality exchange, then the ranking window runs
+    over the aggregated rows only (bounded per-lang partitions, never
+    the token stream). Ties broken by ngram text for determinism.
+    """
+    t = tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+    )
+    grams = F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    from pyspark.sql import Window
+
+    counted = (
+        docs.select("lang", F.explode(grams).alias("ngram"))
+        .groupBy("lang", "ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_occurrences").desc(), F.col("ngram")
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("lang", "ngram", "n_occurrences", "rank")
+    )
+
+
+def cross_source_leakage(docs: DataFrame) -> DataFrame:
+    """Content groups that appear in MORE THAN ONE source — the
+    train/eval-leakage audit a corpus curator runs before mixing
+    sources. Groups by the canonical bag-of-words key (same normalizer
+    as exact dedup), so near-identical re-wordings with identical
+    vocabulary are caught, not just byte-equal texts.
+
+    Plan: one narrow key projection, one hash aggregation on the key
+    (partial map-side), HAVING-style filter after the agg. The key
+    itself (potentially long) is replaced by its md5 in the output so
+    downstream joins move 32-byte strings, not document bodies.
+    """
+    key = token_set_key(F.col("text"))
+    return (
+        docs.select(
+            key.alias("k"),
+            "source",
+            "doc_id",
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_sources") > 1)
+        .select(
+            F.md5(F.col("k")).alias("content_key"),
+            "n_docs",
+            "n_sources",
+            "first_doc_id",
+        )
+    )
+
+
+def quality_filter_funnel(docs: DataFrame) -> DataFrame:
+    """Curation-funnel report: how many documents survive each
+    successive quality gate (length → token count → alpha ratio →
+    stopword ratio). One narrow stage computes all gate booleans per
+    document; ONE aggregation emits the whole funnel — the corpus is
+    scanned exactly once regardless of gate count.
+
+    Gates (deliberately cheap, engine-portable expressions):
+      1. len_ok:  100 <= length(text) <= 20000
+      2. tok_ok:  >= 20 whitespace tokens
+      3. alpha_ok: alphabetic chars (incl. spaces removed) >= 60% of text
+      4. stop_ok: stopword fraction of tokens >= 0.02
+    """
+    t = tokens(F.col("text"))
+    txt_len = F.length("text")
+    g1 = (txt_len >= 100) & (txt_len <= 20000)
+    g2 = F.size(t) >= 20
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    g3 = alpha.cast("double") / txt_len >= 0.6
+    sw = F.lit(list(STOPWORDS)).cast("array<string>")
+    stop_frac = (
+        F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("double")
+        / F.size(t)
+    )
+    g4 = stop_frac >= 0.02
+    flags = docs.select(
+        g1.alias("g1"),
+        (g1 & g2).alias("g12"),
+        (g1 & g2 & g3).alias("g123"),
+        (g1 & g2 & g3 & g4).alias("g1234"),
+    )
+    cnt = lambda c: F.sum(F.col(c).cast("bigint")).alias(f"pass_{c}")
+    wide = flags.agg(
+        F.count("*").alias("n_total"),
+        cnt("g1"),
+        cnt("g12"),
+        cnt("g123"),
+        cnt("g1234"),
+    )
+    # long form: (stage, n_pass) — stable output contract for dashboards
+    return wide.select(
+        F.expr(
+            "stack(5, 'total', n_total, 'len', pass_g1, 'tokens', pass_g12,"
+            " 'alpha', pass_g123, 'stopword', pass_g1234)"
+        ).alias("stage", "n_pass")
     )

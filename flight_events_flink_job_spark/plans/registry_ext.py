@@ -36,8 +36,11 @@ from ..operators.multimodal import (
     with_binary_payload,
 )
 from ..operators.props import props_mining
-from ..operators.similarity import cosine_topk, cosine_topk_lsh
+from ..operators.similarity import cosine_topk, cosine_topk_lsh, knn_label_vote
 from ..operators.text import (
+    cross_source_leakage,
+    quality_filter_funnel,
+    top_ngrams_per_lang,
     LANG_LEXICONS,
     STOPWORDS,
     SUBTOKEN_RE,
@@ -664,3 +667,124 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(_embs(spark, sf_dir)).withColumn(
         "q_vec", _join_array("q_vec")
     )
+
+
+@register(
+    "top_bigrams_per_lang",
+    oracle="""
+    WITH toks AS (SELECT lang, string_split(text, ' ') ts FROM documents),
+    bg AS (
+        SELECT lang, unnest([ts[i] || ' ' || ts[i+1]
+                             for i in range(1, len(ts))]) AS ngram
+        FROM toks WHERE len(ts) >= 2
+    ),
+    counted AS (
+        SELECT lang, ngram, count(*) AS n_occurrences
+        FROM bg GROUP BY lang, ngram
+    )
+    SELECT lang, ngram, n_occurrences, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY n_occurrences DESC, ngram) AS rank
+        FROM counted
+    ) WHERE rank <= 5
+    """,
+)
+def q_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 bigrams per language: explode + partial-aggregated count,
+    ranking window over aggregated rows only."""
+    return top_ngrams_per_lang(_docs(spark, sf_dir), n=2, k=5)
+
+
+@register(
+    "cross_source_leakage",
+    oracle="""
+    WITH keyed AS (
+        SELECT array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ') AS k,
+               source, doc_id
+        FROM documents
+    )
+    SELECT md5(k) AS content_key,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           min(doc_id) AS first_doc_id
+    FROM keyed
+    GROUP BY k
+    HAVING count(DISTINCT source) > 1
+    """,
+)
+def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same normalized content in >1 source (train/eval leakage audit):
+    one key projection + one hash agg; md5 keys in the output."""
+    return cross_source_leakage(_docs(spark, sf_dir))
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=f"""
+    WITH g AS (
+        SELECT length(text) BETWEEN 100 AND 20000 AS g1,
+               len(string_split(text, ' ')) >= 20 AS g2,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                   / length(text) >= 0.6 AS g3,
+               len(list_filter(string_split(text, ' '),
+                   x -> list_contains([{_SW_LIST}], x))) * 1.0
+                   / len(string_split(text, ' ')) >= 0.02 AS g4
+        FROM documents
+    ),
+    wide AS (
+        SELECT count(*) AS n_total,
+               CAST(sum(CAST(g1 AS BIGINT)) AS BIGINT) AS p1,
+               CAST(sum(CAST(g1 AND g2 AS BIGINT)) AS BIGINT) AS p2,
+               CAST(sum(CAST(g1 AND g2 AND g3 AS BIGINT)) AS BIGINT) AS p3,
+               CAST(sum(CAST(g1 AND g2 AND g3 AND g4 AS BIGINT)) AS BIGINT)
+                   AS p4
+        FROM g
+    )
+    SELECT s.stage, s.n_pass FROM wide, LATERAL (VALUES
+        ('total', n_total), ('len', p1), ('tokens', p2),
+        ('alpha', p3), ('stopword', p4)) AS s(stage, n_pass)
+    """,
+)
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel: survivors per successive quality gate, one
+    corpus scan + one aggregation for all gates."""
+    return quality_filter_funnel(_docs(spark, sf_dir))
+
+
+@register(
+    "knn_label_vote",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label
+               FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 16),
+    scored AS (
+        SELECT q.vec_id q_id, c.vec_id n_id, c.label n_label,
+               list_cosine_similarity(q.v, c.v) cos
+        FROM q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    topk AS (
+        SELECT q_id, n_id, n_label FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, n_id) rank
+            FROM scored
+        ) WHERE rank <= 10
+    ),
+    votes AS (
+        SELECT q_id, n_label AS pred_label, count(*) AS n_votes
+        FROM topk GROUP BY q_id, n_label
+    )
+    SELECT q_id, pred_label, n_votes FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY n_votes DESC, pred_label) rn
+        FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote labeling: broadcast top-k candidates over one
+    corpus pass; deterministic vote argmax."""
+    return knn_label_vote(_embs(spark, sf_dir))

@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.relational import (
     approx_distinct_users,
+    customer_value_deciles,
+    regional_supplier_volume,
+    returned_items_top_customers,
     converted_users_without_errors,
     events_rollup,
     inactive_customers,
@@ -445,3 +448,114 @@ def q_converted_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: (purchasers INTERSECT signups) EXCEPT errorers,
     distinct-set semantics."""
     return converted_users_without_errors(_events(spark, sf_dir))
+
+
+@register(
+    "regional_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4))
+                    - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)
+               AS revenue,
+           count(*) AS n_lineitems,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume five-way star join (broadcast tiny dims,
+    one co-partitioned big-big shuffle join, decimal-exact revenue)."""
+    return regional_supplier_volume(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "returned_items_top_customers",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4))
+                      - CAST(l_discount AS DECIMAL(18,4)))) AS lost_dec,
+               count(*) AS n_returned_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, n_name,
+           round(CAST(lost_dec AS DOUBLE), 2) AS lost_revenue,
+           n_returned_items
+    FROM per_cust
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    ORDER BY lost_dec DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item report: pushed-down return filter, per-customer
+    aggregate BEFORE the deterministic top-20 (TakeOrderedAndProject,
+    no global sort)."""
+    return returned_items_top_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "customer_value_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                     AS DOUBLE), 2) AS spend,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+        SELECT s.*, c_acctbal
+        FROM spend s JOIN customer ON o_custkey = c_custkey
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (ORDER BY spend DESC, o_custkey) AS rank,
+               count(*) OVER () AS n_total
+        FROM j
+    )
+    SELECT CAST(floor((rank - 1) * 10.0 / n_total) AS BIGINT) + 1 AS decile,
+           count(*) AS n_customers,
+           round(CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_spend,
+           round(min(spend), 2) AS min_spend,
+           round(max(spend), 2) AS max_spend,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 4) AS avg_acctbal,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders
+    FROM r
+    GROUP BY 1
+    """,
+)
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend deciles via the distributed total order (range partitions +
+    parallel in-partition rank + broadcast prefix offsets) — never a
+    single-partition NTILE window."""
+    return customer_value_deciles(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )

@@ -49,6 +49,11 @@ def get_spark(
         # which Spark 4 rejects by default; read as long nanos and
         # convert in sources/fixtures.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Fixture timestamps are parquet TIMESTAMP(isAdjustedToUTC=false);
+        # read them as session-TZ TimestampType (session TZ is UTC) so
+        # they compare exactly against DuckDB's naive TIMESTAMP instead
+        # of surfacing as TIMESTAMP_NTZ.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Reuse Python workers across Arrow-UDF stages. Without this,
         # this pyspark build respawns every worker per stage — measured
@@ -77,4 +82,5 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark

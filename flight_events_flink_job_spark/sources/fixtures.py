@@ -32,8 +32,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     integer range).
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # Belt-and-braces for sessions where inferTimestampNTZ wasn't
+        # disabled before the scan: NTZ wall-clock reinterpreted in the
+        # (UTC) session TZ — identical instants, oracle-comparable type.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
