@@ -341,3 +341,44 @@ def curation_pipeline(
             F.sum("n_tokens").alias("sum_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted source mixing (up/down-sampling with deterministic epochs)
+# ---------------------------------------------------------------------------
+
+def source_mix_sample(
+    documents: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Weighted data mixing: each source is up- or down-sampled to its
+    target weight. Weight w means every document yields ``floor(w)``
+    guaranteed copies plus one more with probability ``frac(w)`` —
+    decided by the same md5 hash bucket as all sampling here, so the
+    mix is a pure function of (doc_id, source): reproducible across
+    reruns, engines, and cluster layouts, and append-stable.
+
+    Plan: narrow projection computes n_copies per row (CASE over
+    literal per-source thresholds), filter, then ``explode(sequence)``
+    emits the copies — no shuffle anywhere; oversampling multiplies
+    rows at the scan, never via a join.
+    """
+    hex4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    n_copies = F.lit(int(default_weight)) + (
+        hex4 < hex_threshold(default_weight - int(default_weight))
+    ).cast("int")
+    for src, w in sorted(weights.items()):
+        expr = F.lit(int(w)) + (hex4 < hex_threshold(w - int(w))).cast("int")
+        n_copies = F.when(F.col("source") == src, expr).otherwise(n_copies)
+    return (
+        documents.select("doc_id", "source", "lang", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+        )
+        .withColumn("copy_idx", F.col("copy_idx").cast("bigint"))
+    )

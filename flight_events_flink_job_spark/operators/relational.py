@@ -652,3 +652,50 @@ def customer_value_deciles(customer: DataFrame, orders: DataFrame) -> DataFrame:
             F.sum("n_orders").alias("n_orders"),
         )
     )
+
+
+def events_multigrain_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous aggregate: event counts/value-sums at
+    5-minute, 1-hour, and 1-day grains in one logical pass.
+
+    Scale design — hierarchical re-aggregation, the continuous-
+    aggregate trick: only the FINEST grain aggregates the raw stream;
+    each coarser grain re-aggregates the previous grain's (tiny)
+    output. The raw table is scanned once and shuffled once at 5-minute
+    cardinality; the 1h and 1d exchanges move pre-aggregated rows only.
+    Compare the naive alternative (explode ×grains or grouping sets):
+    every grain would shuffle the full stream.
+
+    Values accumulate in DECIMAL(18,6) (cast once at the scan) so the
+    two re-aggregation levels stay exact and associative — a double
+    sum-of-sums would drift from the oracle's flat per-grain sums.
+    """
+    base = events.select(
+        (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long").alias("b"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    g5 = base.groupBy("b", "event_type").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv")
+    )
+
+    def coarsen(df: DataFrame, seconds: int) -> DataFrame:
+        return (
+            df.withColumn("b", (F.floor(F.col("b") / seconds) * seconds).cast("long"))
+            .groupBy("b", "event_type")
+            .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        )
+
+    g1h = coarsen(g5, 3600)
+    g1d = coarsen(g1h, 86400)
+    out = None
+    for grain, df in (("5m", g5), ("1h", g1h), ("1d", g1d)):
+        part = df.select(
+            F.lit(grain).alias("grain"),
+            F.timestamp_seconds(F.col("b")).alias("bucket_start"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(F.col("sv").cast("double"), 4).alias("sum_value"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out

@@ -28,6 +28,7 @@ from ..operators.pipeline import (
     hex_threshold,
     pack_sequences,
     redact_pii,
+    source_mix_sample,
     stratified_sample,
     train_test_split,
 )
@@ -237,3 +238,39 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation chain in one plan: quality gate -> exact
     dedup -> split assignment -> per-(split, lang) totals."""
     return curation_pipeline(_docs(spark, sf_dir))
+
+
+# Literal mix used by the registered query: src0 upsampled 2.5x, src1
+# kept, src2 quartered, every other source halved. Thresholds below are
+# hex_threshold(frac): 0.5 -> '8000', 0.25 -> '4000', 0.0 -> '0000'.
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.25}
+_MIX_DEFAULT = 0.5
+
+
+@register(
+    "source_mix_sample",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, lang,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, lang,
+               CASE source
+                   WHEN 'src0' THEN 2 + CASE WHEN h < '8000' THEN 1 ELSE 0 END
+                   WHEN 'src1' THEN 1
+                   WHEN 'src2' THEN CASE WHEN h < '4000' THEN 1 ELSE 0 END
+                   ELSE CASE WHEN h < '8000' THEN 1 ELSE 0 END
+               END AS n
+        FROM d
+    )
+    SELECT doc_id, source, lang,
+           CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy_idx
+    FROM c WHERE n >= 1
+    """,
+)
+def q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing with deterministic oversampling epochs:
+    narrow CASE projection + explode(sequence), no shuffle, no rand()."""
+    return source_mix_sample(_docs(spark, sf_dir), _MIX_WEIGHTS, _MIX_DEFAULT)

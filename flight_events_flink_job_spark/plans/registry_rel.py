@@ -26,6 +26,7 @@ from ..operators.relational import (
     regional_supplier_volume,
     returned_items_top_customers,
     converted_users_without_errors,
+    events_multigrain_rollup,
     events_rollup,
     inactive_customers,
     orders_asof_join,
@@ -559,3 +560,39 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "orders"),
     )
+
+
+@register(
+    "events_multigrain_rollup",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b5,
+               event_type, CAST(value AS DECIMAL(18,6)) AS v
+        FROM events
+    ),
+    all_grains AS (
+        SELECT '5m' AS grain, b5 AS b, event_type,
+               count(*) AS n, sum(v) AS sv
+        FROM e GROUP BY b5, event_type
+        UNION ALL
+        SELECT '1h', CAST(floor(b5 / 3600) * 3600 AS BIGINT), event_type,
+               count(*), sum(v)
+        FROM e GROUP BY 2, event_type
+        UNION ALL
+        SELECT '1d', CAST(floor(b5 / 86400) * 86400 AS BIGINT), event_type,
+               count(*), sum(v)
+        FROM e GROUP BY 2, event_type
+    )
+    SELECT grain,
+           TIMESTAMP '1970-01-01' + to_seconds(b) AS bucket_start,
+           event_type,
+           CAST(n AS BIGINT) AS n_events,
+           round(CAST(sv AS DOUBLE), 4) AS sum_value
+    FROM all_grains
+    """,
+)
+def q_events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup: 5m grain from the raw stream, 1h
+    re-aggregated from 5m, 1d from 1h — one raw scan, coarser grains
+    shuffle pre-aggregated rows only (decimal-exact value sums)."""
+    return events_multigrain_rollup(_events(spark, sf_dir))

@@ -255,3 +255,21 @@ def test_curation_pipeline_costs_two_exchanges(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert out.count() > 0
+
+
+def test_source_mix_sample_copies(spark):
+    from flight_events_flink_job_spark.operators.pipeline import source_mix_sample
+
+    rows = [(i, f"t{i}", "en", f"src{i % 2}", 5) for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    # src0 weight 2.0 -> exactly two copies of every src0 doc;
+    # src1 weight 0.0 -> dropped entirely.
+    out = source_mix_sample(docs, {"src0": 2.0, "src1": 0.0}).collect()
+    assert {r.source for r in out} == {"src0"}
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+    assert all(sorted(v) == [1, 2] for v in per_doc.values())
+    assert len(per_doc) == 20

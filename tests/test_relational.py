@@ -166,3 +166,62 @@ def test_pivot_zero_fills_missing_types(spark):
     )
     (r,) = user_event_type_pivot(df).collect()
     assert (r.n_click, r.n_error, r.n_purchase, r.n_signup, r.n_view) == (1, 0, 0, 0, 0)
+
+
+def test_customer_value_deciles_boundaries(spark):
+    """15 customers -> deciles sized ceil/floor(15/10): the formula
+    floor((rank-1)*10/n)+1 must give sizes [2,1,2,1,2,1,2,1,2,1]."""
+    from flight_events_flink_job_spark.operators.relational import (
+        customer_value_deciles,
+    )
+
+    cust = spark.createDataFrame(
+        [(i, float(i)) for i in range(15)], "c_custkey long, c_acctbal double"
+    )
+    orders = spark.createDataFrame(
+        [(i, i, 100.0 * (15 - i)) for i in range(15)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    out = {r.decile: r for r in customer_value_deciles(cust, orders).collect()}
+    sizes = [out[d].n_customers for d in sorted(out)]
+    assert sizes == [2, 1, 2, 1, 2, 1, 2, 1, 2, 1]
+    # decile 1 holds the top spenders (customers 0 and 1)
+    assert out[1].max_spend == 1500.0 and out[1].min_spend == 1400.0
+    assert sum(sizes) == 15
+
+
+def test_knn_label_vote_majority(spark):
+    from flight_events_flink_job_spark.operators.similarity import knn_label_vote
+
+    # One query vector (id 0); 4 neighbors: three near-identical with
+    # label 7, one opposite with label 3 -> k=3 vote is unanimous 7.
+    rows = [
+        (0, [1.0, 0.0], 3),
+        (1, [0.9, 0.1], 7),
+        (2, [0.8, 0.2], 7),
+        (3, [0.95, 0.05], 7),
+        (4, [-1.0, 0.0], 3),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = knn_label_vote(df, k=3, num_queries=1).collect()
+    assert len(out) == 1
+    assert out[0].q_id == 0 and out[0].pred_label == 7 and out[0].n_votes == 3
+
+
+def test_multigrain_rollup_hierarchy_consistency(spark, sf_dir):
+    """1d rows must equal the sum of their 1h rows, which must equal
+    the sum of their 5m rows (hierarchical re-aggregation is lossless)."""
+    from flight_events_flink_job_spark.operators.relational import (
+        events_multigrain_rollup,
+    )
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    out = events_multigrain_rollup(load_table(spark, sf_dir, "events")).collect()
+    by_grain = {}
+    for r in out:
+        by_grain.setdefault(r.grain, []).append(r)
+    n5 = sum(r.n_events for r in by_grain["5m"])
+    n1h = sum(r.n_events for r in by_grain["1h"])
+    n1d = sum(r.n_events for r in by_grain["1d"])
+    assert n5 == n1h == n1d  # every event counted exactly once per grain
+    assert len(by_grain["5m"]) >= len(by_grain["1h"]) >= len(by_grain["1d"])

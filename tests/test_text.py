@@ -144,3 +144,47 @@ def test_corpus_stats_cube_grains(docs):
     assert out[("en", "s")].level == 0 and out[("en", "s")].n_docs == 2
     assert out[("en", "(all)")].level == 1
     assert out[("(all)", "s")].level == 2 and out[("(all)", "s")].n_docs == 4
+
+
+def test_top_bigrams_counts_and_rank(spark):
+    from flight_events_flink_job_spark.operators.text import top_ngrams_per_lang
+
+    rows = [
+        (0, "a b a b", "en", "s", 7),
+        (1, "a b c", "en", "s", 5),
+        (2, "x", "de", "s", 1),  # < 2 tokens -> no bigrams
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {(r.lang, r.ngram): r for r in top_ngrams_per_lang(docs, n=2, k=5).collect()}
+    # "a b": doc0 twice + doc1 once = 3; rank 1
+    assert out[("en", "a b")].n_occurrences == 3
+    assert out[("en", "a b")].rank == 1
+    assert out[("en", "b a")].n_occurrences == 1
+    assert ("de", "x") not in out and all(l != "de" for l, _ in out)
+
+
+def test_cross_source_leakage_requires_two_sources(spark):
+    from flight_events_flink_job_spark.operators.text import cross_source_leakage
+
+    rows = [
+        (0, "cat mat", "en", "s1", 7),
+        (1, "mat cat", "en", "s2", 7),   # same token set, other source
+        (2, "cat mat", "en", "s1", 7),   # dup within s1 only
+        (3, "dog log", "en", "s1", 7),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = cross_source_leakage(docs).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 3 and out[0].n_sources == 2 and out[0].first_doc_id == 0
+
+
+def test_quality_filter_funnel_is_monotone(spark, sf_dir):
+    from flight_events_flink_job_spark.operators.text import quality_filter_funnel
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    out = {r.stage: r.n_pass for r in
+           quality_filter_funnel(load_table(spark, sf_dir, "documents")).collect()}
+    assert set(out) == {"total", "len", "tokens", "alpha", "stopword"}
+    assert (out["total"] >= out["len"] >= out["tokens"]
+            >= out["alpha"] >= out["stopword"])
+    assert out["stopword"] > 0  # gates are not degenerate on the fixture corpus
