@@ -21,6 +21,7 @@ from ..streaming.job import (
     stage_flight_event_json,
 )
 from ..streaming.dedup import drain_deduped_from_staged
+from ..streaming.sessions import drain_sessions_from_staged
 from ..streaming.joins import drain_conversions_from_staged
 from ..streaming.stateful import user_activity_from_staged
 from .registry import ORACLES, register
@@ -33,6 +34,7 @@ BENCH_SKIP = {
     "user_activity_state",
     "stream_interval_join",
     "stream_dedup_redelivery",
+    "stream_session_windows",
 }
 
 
@@ -125,3 +127,17 @@ def q_stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pushes into later micro-batches.
     ev.write.mode("append").parquet(staging)
     return drain_deduped_from_staged(spark, staging, ckpt)
+
+
+@register("stream_session_windows", oracle=ORACLES["user_sessions"])
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window over a real micro-batched stream,
+    driver-checked against the SAME gaps-and-islands oracle as the
+    batch user_sessions — batch/stream parity for sessionization
+    (complete-mode lossless drain; see streaming/sessions.py)."""
+    base = tempfile.mkdtemp(prefix="stream_sessions_")
+    staging, ckpt = f"{base}/in", f"{base}/ckpt"
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).repartition(4).write.mode("overwrite").parquet(staging)
+    return drain_sessions_from_staged(spark, staging, ckpt)
