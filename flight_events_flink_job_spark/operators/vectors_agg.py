@@ -88,3 +88,77 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
             F.transform(q, F.abs), F.lit(0).cast("bigint"), lambda a, b: a + b
         ).alias("q_l1"),
     )
+
+
+def label_centroid_similarity(embeddings: DataFrame) -> DataFrame:
+    """Pairwise cosine similarity between label centroids (l1 < l2) —
+    the class-confusability matrix of an embedding space (which labels
+    are near-duplicates of each other).
+
+    Built on the long-form centroids: one self-join on the coordinate
+    index, then ONE aggregation per pair computes dot product and both
+    norms together (sum(c1*c2), sum(c1^2), sum(c2^2)) — no separate
+    norm pass. All three accumulate in DECIMAL (products of the 4-dp
+    centroid doubles are exact per-row; decimal addition is
+    associative) so partial-aggregation order can never flip the
+    rounded output. Pair cardinality is |labels|^2/2 — centroid-sized,
+    not corpus-sized; at 100 TB the centroids are a few KB and the
+    whole pairwise stage is a broadcast-scale computation.
+    """
+    c = label_centroids(embeddings).select("label", "dim", "centroid")
+    a = c.select(F.col("label").alias("l1"), "dim", F.col("centroid").alias("c1"))
+    b = c.select(F.col("label").alias("l2"), "dim", F.col("centroid").alias("c2"))
+    dec = lambda col: col.cast("decimal(24,12)")
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("l1") < F.col("l2"))
+        .groupBy("l1", "l2")
+        .agg(
+            F.sum(dec(F.col("c1") * F.col("c2"))).alias("dot"),
+            F.sum(dec(F.col("c1") * F.col("c1"))).alias("s1"),
+            F.sum(dec(F.col("c2") * F.col("c2"))).alias("s2"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("s1").cast("double")) * F.sqrt(F.col("s2").cast("double"))
+    )
+    return pairs.select(
+        "l1", "l2", (F.round(cos, ROUND_DP) + F.lit(0.0)).alias("cosine")
+    )
+
+
+def value_anomalies(events: DataFrame, z_cut: float = 3.0) -> DataFrame:
+    """Events whose value is a >|z_cut|-sigma outlier within their event
+    type — the classic two-pass distributed z-score (pass 1: per-type
+    moments; pass 2: broadcast the tiny stats row back over the scan).
+
+    Moments accumulate in DECIMAL (value and value^2 are deterministic
+    per-row doubles; the decimal sums are exact and associative), then
+    mean/std/z are a fixed sequence of double ops — bit-identical in
+    any engine evaluating the same formula, so the oracle hash-matches.
+    """
+    val = F.col("value")
+    stats = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(val.cast("decimal(27,10)")).alias("s"),
+        F.sum((val * val).cast("decimal(27,10)")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    stats = stats.select(
+        F.col("event_type").alias("et"),
+        mean.alias("mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        events.join(F.broadcast(stats), F.col("event_type") == F.col("et"))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > z_cut)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.col("z"), ROUND_DP).alias("z_score"),
+        )
+    )

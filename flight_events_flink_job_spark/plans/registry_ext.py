@@ -55,8 +55,10 @@ from ..operators.text import (
 )
 from ..operators.vectors_agg import (
     event_value_quantiles,
+    label_centroid_similarity,
     label_centroids,
     quantize_embeddings,
+    value_anomalies,
 )
 from ..sources.fixtures import load_table
 from .registry import register
@@ -788,3 +790,67 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN majority-vote labeling: broadcast top-k candidates over one
     corpus pass; deterministic vote argmax."""
     return knn_label_vote(_embs(spark, sf_dir))
+
+
+@register(
+    "label_centroid_similarity",
+    oracle="""
+    WITH c AS (
+        SELECT label, CAST(dim AS INT) AS dim,
+               round(CAST(sum(CAST(x AS DECIMAL(20, 10))) AS DOUBLE)
+                     / count(*), 4) + 0.0 AS centroid
+        FROM (SELECT label, unnest(embedding) AS x,
+                     unnest(range(1, len(embedding) + 1)) AS dim
+              FROM embeddings)
+        GROUP BY label, dim
+    ),
+    pairs AS (
+        SELECT a.label AS l1, b.label AS l2,
+               sum(CAST(a.centroid * b.centroid AS DECIMAL(24,12))) AS dot,
+               sum(CAST(a.centroid * a.centroid AS DECIMAL(24,12))) AS s1,
+               sum(CAST(b.centroid * b.centroid AS DECIMAL(24,12))) AS s2
+        FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT l1, l2,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(s1 AS DOUBLE)) * sqrt(CAST(s2 AS DOUBLE))), 4)
+               + 0.0 AS cosine
+    FROM pairs
+    """,
+)
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-confusability matrix: pairwise cosine between label
+    centroids, decimal-exact partial sums, centroid-sized work."""
+    return label_centroid_similarity(_embs(spark, sf_dir))
+
+
+@register(
+    "value_anomalies",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(value AS DECIMAL(27,10))) AS s,
+               sum(CAST(value * value AS DECIMAL(27,10))) AS ss
+        FROM events GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(s AS DOUBLE) / n AS mean,
+               sqrt(greatest(
+                   CAST(ss AS DOUBLE) / n
+                   - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                   0.0)) AS std
+        FROM stats
+    )
+    SELECT event_id, e.event_type, value,
+           round((value - mean) / std, 4) AS z_score
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE abs((value - mean) / std) > 3.0
+    """,
+)
+def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass distributed z-score outlier detection (decimal-exact
+    moments, broadcast stats join back over the scan)."""
+    return value_anomalies(load_table(spark, sf_dir, "events"))
