@@ -172,11 +172,16 @@ def text_repetition(docs: DataFrame, n: int = 3) -> DataFrame:
     duplicated-token fractions (the Gopher-style "repetitive text"
     quality gate — high dup_gram_frac means boilerplate/spam).
 
-    Entirely higher-order Catalyst expressions over the token array —
-    a narrow map stage with NO shuffle and no Python: n-grams WITH
-    multiplicity via transform(sequence(...)), dup counts via
-    array_distinct. Columns: (doc_id, n_grams, n_dup_grams,
-    dup_gram_frac, dup_token_frac), fractions rounded 4dp.
+    Shape: explode the n-gram array once and hash-aggregate per doc
+    (count + count_distinct in ONE aggregation — dup = total -
+    distinct). The first version computed this as pure higher-order
+    projections (array_distinct over transform(...)), but every column
+    referencing the gram array re-inlined and re-evaluated the whole
+    interpreted transform (CollapseProject + CodegenFallback — the
+    measured 64x trap); the aggregate makes the exploded gram a real
+    attribute evaluated once, and hash aggregation is whole-stage
+    codegen. Measured 10.4 s -> ~1 s at sf0.1. Columns: (doc_id,
+    n_grams, n_dup_grams, dup_gram_frac, dup_token_frac), 4dp.
     """
     t = tokens(F.col("text"))
     grams = F.when(
@@ -188,20 +193,36 @@ def text_repetition(docs: DataFrame, n: int = 3) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    n_grams = F.size(grams).cast("bigint")
-    n_dup = (n_grams - F.size(F.array_distinct(grams))).cast("bigint")
-    n_tokens = F.size(t).cast("bigint")
-    n_dup_tok = (n_tokens - F.size(distinct_tokens(F.col("text")))).cast("bigint")
+    # explode_outer keeps short documents (empty gram array) as a NULL
+    # gram row, so they surface with n_grams = 0 instead of vanishing.
+    g = (
+        docs.select("doc_id", F.explode_outer(grams).alias("gram"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.count_distinct("gram").alias("n_distinct_grams"),
+        )
+    )
+    tok = (
+        docs.select("doc_id", F.explode(t).alias("tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("tok").alias("n_tokens"),
+            F.count_distinct("tok").alias("n_distinct_toks"),
+        )
+    )
+    n_dup = F.col("n_grams") - F.col("n_distinct_grams")
+    n_dup_tok = F.col("n_tokens") - F.col("n_distinct_toks")
     frac = lambda num, den: F.round(  # noqa: E731
         F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0),
         ROUND_DP,
     )
-    return docs.select(
+    return g.join(tok, "doc_id").select(
         "doc_id",
-        n_grams.alias("n_grams"),
-        n_dup.alias("n_dup_grams"),
-        frac(n_dup, n_grams).alias("dup_gram_frac"),
-        frac(n_dup_tok, n_tokens).alias("dup_token_frac"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        n_dup.cast("bigint").alias("n_dup_grams"),
+        frac(n_dup, F.col("n_grams")).alias("dup_gram_frac"),
+        frac(n_dup_tok, F.col("n_tokens")).alias("dup_token_frac"),
     )
 
 
@@ -418,4 +439,73 @@ def quality_filter_funnel(docs: DataFrame) -> DataFrame:
             "stack(5, 'total', n_total, 'len', pass_g1, 'tokens', pass_g12,"
             " 'alpha', pass_g123, 'stopword', pass_g1234)"
         ).alias("stage", "n_pass")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """RAG-style document chunking: split each document's token stream
+    into fixed-size windows with overlap (stride = chunk - overlap),
+    emitting one row per chunk with its token span and an md5 content
+    key (the downstream embed/index stages join on doc_id+chunk_idx and
+    never move full text twice).
+
+    Plan: pure narrow stage — tokens once per doc, chunk index array
+    via ``sequence`` (step = stride over token positions), ``explode``,
+    ``slice`` per chunk. No shuffle, no UDF; chunk count per doc is
+    ceil((n_tokens - overlap) / stride), exactly mirrored by the
+    oracle's range() comprehension.
+    """
+    stride = chunk_tokens - overlap
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    # Chunk start positions: 1, 1+stride, 1+2*stride, ... while start <= n
+    # (1-based slice positions; the last chunk may be shorter).
+    starts = F.sequence(F.lit(1), n, F.lit(stride))
+    exploded = docs.select(
+        "doc_id",
+        "lang",
+        t.alias("toks"),
+        F.explode(starts).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        "lang",
+        ((F.col("start") - 1) / stride).cast("bigint").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("token_start"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_key"),
+    )
+
+
+def doc_logfreq_score(docs: DataFrame) -> DataFrame:
+    """Corpus-frequency quality score per document: the mean natural log
+    of each token's corpus term frequency — a cheap unigram
+    "perplexity proxy" (documents full of rare/garbage tokens score
+    low, stopword soup scores high; curation pipelines cut both tails).
+
+    Two aggregations: (1) corpus term frequencies (vocabulary-sized
+    exchange, partial-aggregated), (2) explode the corpus again and
+    shuffle-join tokens to their frequencies — the join key is the
+    token, so the exchange is token-stream-sized but carries (token,
+    bigint) pairs only, never document bodies. The per-doc mean sums
+    rounded per-token logs in DECIMAL so partial-aggregation order
+    cannot move the result; N-digit determinism matches the oracle.
+    """
+    exploded = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = exploded.groupBy("token").agg(F.count("*").alias("tf"))
+    # Round the per-token log BEFORE summing: ln() is libm-identical for
+    # the same doubles, and the 6-dp round makes the decimal sum exact.
+    log_tf = F.round(F.log(F.col("tf").cast("double")), 6).cast("decimal(20,6)")
+    return (
+        exploded.join(tf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(log_tf).cast("double") / F.count("*"), ROUND_DP
+            ).alias("mean_log_tf"),
+        )
     )

@@ -38,7 +38,9 @@ from ..operators.multimodal import (
 from ..operators.props import props_mining
 from ..operators.similarity import cosine_topk, cosine_topk_lsh, knn_label_vote
 from ..operators.text import (
+    chunk_documents,
     cross_source_leakage,
+    doc_logfreq_score,
     quality_filter_funnel,
     top_ngrams_per_lang,
     LANG_LEXICONS,
@@ -854,3 +856,55 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-pass distributed z-score outlier detection (decimal-exact
     moments, broadcast stats join back over the scan)."""
     return value_anomalies(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, len(ts) AS n, ts,
+               unnest([1 + i * 48 for i in
+                       range(0, CAST(floor((len(ts) - 1) / 48.0) AS INT) + 1)])
+                   AS start
+        FROM t
+    )
+    SELECT doc_id, lang,
+           CAST((start - 1) / 48 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS token_start,
+           CAST(len(array_slice(ts, start, least(start + 63, n))) AS BIGINT)
+               AS n_tokens,
+           md5(array_to_string(array_slice(ts, start, least(start + 63, n)),
+               ' ')) AS chunk_key
+    FROM c
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 64-token windows, 16-token overlap, one narrow
+    explode+slice stage, md5 chunk keys."""
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
+@register(
+    "doc_logfreq_score",
+    oracle="""
+    WITH ex AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT token, count(*) AS tf FROM ex GROUP BY token)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(CAST(sum(CAST(round(ln(CAST(tf AS DOUBLE)), 6)
+                     AS DECIMAL(20,6))) AS DOUBLE) / count(*), 4)
+               AS mean_log_tf
+    FROM ex JOIN tf USING (token)
+    GROUP BY doc_id
+    """,
+)
+def q_doc_logfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram perplexity proxy: mean log corpus frequency per document
+    (vocab-sized exchange + token-keyed join, decimal-exact mean)."""
+    return doc_logfreq_score(_docs(spark, sf_dir))

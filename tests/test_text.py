@@ -188,3 +188,37 @@ def test_quality_filter_funnel_is_monotone(spark, sf_dir):
     assert (out["total"] >= out["len"] >= out["tokens"]
             >= out["alpha"] >= out["stopword"])
     assert out["stopword"] > 0  # gates are not degenerate on the fixture corpus
+
+
+def test_chunk_documents_overlap_and_spans(spark):
+    from flight_events_flink_job_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    # chunk=4, overlap=2 -> stride 2 -> starts 1,3,5,7,9
+    out = sorted(
+        chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.token_start for r in out] == [1, 3, 5, 7, 9]
+    assert [r.n_tokens for r in out] == [4, 4, 4, 4, 2]  # last chunk short
+    assert [r.chunk_idx for r in out] == [0, 1, 2, 3, 4]
+    keys = [r.chunk_key for r in out]
+    assert len(set(keys)) == len(keys)
+
+
+def test_doc_logfreq_score_prefers_common_tokens(spark):
+    from flight_events_flink_job_spark.operators.text import doc_logfreq_score
+
+    rows = [
+        (0, "the the the", "en", "s", 11),   # all high-frequency
+        (1, "the rare zz", "en", "s", 11),   # mixed
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r.doc_id: r for r in doc_logfreq_score(docs).collect()}
+    assert out[0].n_tokens == 3 and out[1].n_tokens == 3
+    # doc 0 repeats the corpus's most frequent token -> higher mean log tf
+    assert out[0].mean_log_tf > out[1].mean_log_tf
