@@ -44,7 +44,7 @@ from ..operators.relational import (
 from ..operators.similarity import cosine_topk_ivf
 from ..sources.fixtures import load_table
 from ..sources.flight_adapter import FLIGHTS_CTE
-from .registry import register
+from .registry import ORACLES, register
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,3 +596,33 @@ def q_events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregated from 5m, 1d from 1h — one raw scan, coarser grains
     shuffle pre-aggregated rows only (decimal-exact value sums)."""
     return events_multigrain_rollup(_events(spark, sf_dir))
+
+
+@register("skew_salted_enrichment", oracle=ORACLES["user_event_enrichment"])
+def q_skew_salted_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_event_enrichment through the EXPLICIT skew-salting path
+    (operators/util.py salted_join): the fact side gets a deterministic
+    row-hash salt, the dimension is replicated x8, and the join runs on
+    (key, salt) — the manual fallback when a hot key straggles a
+    shuffled hash join and AQE's skew splitting can't help (e.g.
+    broadcast is impossible and the hot key is known). Result is
+    provably identical to the plain join, so it shares its oracle —
+    which IS the check that salting never changes semantics."""
+    from ..operators.relational import ROUND_DP
+    from ..operators.util import salted_join
+    from pyspark.sql import functions as F
+
+    events = _events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    return (
+        salted_join(events, dim, "user_id", salt=8)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct("c_nationkey").alias("n_nations"),
+            F.round(F.sum("value"), ROUND_DP).alias("sum_value"),
+        )
+    )
