@@ -509,3 +509,86 @@ def doc_logfreq_score(docs: DataFrame) -> DataFrame:
             ).alias("mean_log_tf"),
         )
     )
+
+
+def vocab_coverage_bands(docs: DataFrame) -> DataFrame:
+    """Tokenizer-design audit: what fraction of the corpus token stream
+    is covered by tokens whose corpus frequency reaches each band
+    (tf >= 1 / 10 / 100 / 1000)? High mass in low bands = long-tail
+    garbage the vocabulary would waste slots on.
+
+    No global rank needed (the usual top-k-vocab formulation drags a
+    total order over the vocabulary): band membership is a pure
+    per-token predicate on tf, so the whole report is the tf aggregate
+    plus ONE conditional-sum pass — scale-safe at any vocabulary size.
+    """
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+    bands = [1, 10, 100, 1000]
+    total = F.sum("tf")
+    aggs = [F.count("*").alias("n_tokens_vocab"), total.alias("stream_total")]
+    for b in bands:
+        aggs.append(
+            F.sum(F.when(F.col("tf") >= b, F.col("tf")).otherwise(0)).alias(
+                f"mass_ge_{b}"
+            )
+        )
+    wide = tf.agg(*aggs)
+    # inline() (not stack()) for the unpivot: every struct carries the
+    # SAME field names, which Spark 4's stack type-check requires.
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("min_tf"),
+                F.col(f"mass_ge_{b}").cast("bigint").alias("stream_mass"),
+            )
+            for b in bands
+        ]
+    )
+    return wide.select(
+        "n_tokens_vocab", "stream_total", F.inline(rows)
+    ).select(
+        "min_tf",
+        "n_tokens_vocab",
+        "stream_mass",
+        F.round(
+            F.col("stream_mass").cast("double") / F.col("stream_total"), 4
+        ).alias("coverage"),
+    )
+
+
+def doc_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Memorization/novelty audit: per document, the fraction of its
+    distinct word n-grams that appear in NO other document. Low novelty
+    = boilerplate or near-duplicate content; the complement of the
+    dedup signal at sub-document granularity.
+
+    Plan: distinct n-grams per doc (the dedup shingle expression)
+    explode once; gram document-frequency by hash aggregation; join
+    back on the gram and re-aggregate per doc. Both exchanges carry
+    (gram, count) pairs — never document bodies.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("gram")
+    )
+    df_counts = sh.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    return (
+        sh.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("gram_df") == 1, 1).otherwise(0)).alias(
+                "n_unique_grams"
+            ),
+            F.round(
+                F.sum(F.when(F.col("gram_df") == 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                ROUND_DP,
+            ).alias("novelty"),
+        )
+    )

@@ -39,6 +39,8 @@ from ..operators.props import props_mining
 from ..operators.similarity import cosine_topk, cosine_topk_lsh, knn_label_vote
 from ..operators.text import (
     chunk_documents,
+    doc_novelty,
+    vocab_coverage_bands,
     cross_source_leakage,
     doc_logfreq_score,
     quality_filter_funnel,
@@ -908,3 +910,55 @@ def q_doc_logfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram perplexity proxy: mean log corpus frequency per document
     (vocab-sized exchange + token-keyed join, decimal-exact mean)."""
     return doc_logfreq_score(_docs(spark, sf_dir))
+
+
+@register(
+    "vocab_coverage_bands",
+    oracle="""
+    WITH tf AS (
+        SELECT token, count(*) AS tf
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ),
+    wide AS (
+        SELECT count(*) AS n_tokens_vocab,
+               CAST(sum(tf) AS BIGINT) AS stream_total,
+               CAST(sum(CASE WHEN tf >= 1 THEN tf ELSE 0 END) AS BIGINT) AS m1,
+               CAST(sum(CASE WHEN tf >= 10 THEN tf ELSE 0 END) AS BIGINT) AS m10,
+               CAST(sum(CASE WHEN tf >= 100 THEN tf ELSE 0 END) AS BIGINT) AS m100,
+               CAST(sum(CASE WHEN tf >= 1000 THEN tf ELSE 0 END) AS BIGINT) AS m1000
+        FROM tf
+    )
+    SELECT CAST(s.min_tf AS BIGINT) AS min_tf,
+           n_tokens_vocab,
+           s.stream_mass,
+           round(s.stream_mass * 1.0 / stream_total, 4) AS coverage
+    FROM wide, LATERAL (VALUES
+        (1, m1), (10, m10), (100, m100), (1000, m1000)) AS s(min_tf, stream_mass)
+    """,
+)
+def q_vocab_coverage_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-stream coverage by corpus-frequency band: tf aggregate +
+    one conditional-sum pass, no vocabulary-wide rank."""
+    return vocab_coverage_bands(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_novelty",
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    ex AS (SELECT doc_id, unnest(sg) AS gram FROM sh),
+    dfc AS (SELECT gram, count(*) AS gram_df FROM ex GROUP BY gram)
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique_grams,
+           round(sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS novelty
+    FROM ex JOIN dfc USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document novelty audit: fraction of each doc's distinct
+    trigrams appearing in no other document (gram-df join-back)."""
+    return doc_novelty(_docs(spark, sf_dir))
