@@ -172,44 +172,36 @@ def text_repetition(docs: DataFrame, n: int = 3) -> DataFrame:
     duplicated-token fractions (the Gopher-style "repetitive text"
     quality gate — high dup_gram_frac means boilerplate/spam).
 
-    Shape: explode the n-gram array once and hash-aggregate per doc
-    (count + count_distinct in ONE aggregation — dup = total -
-    distinct). The first version computed this as pure higher-order
-    projections (array_distinct over transform(...)), but every column
-    referencing the gram array re-inlined and re-evaluated the whole
-    interpreted transform (CollapseProject + CodegenFallback — the
-    measured 64x trap); the aggregate makes the exploded gram a real
-    attribute evaluated once, and hash aggregation is whole-stage
-    codegen. Measured 10.4 s -> ~1 s at sf0.1. Columns: (doc_id,
-    n_grams, n_dup_grams, dup_gram_frac, dup_token_frac), 4dp.
+    Shape (third iteration, fastest): posexplode the token array once,
+    assemble n-grams with ``lead`` over (doc_id, pos) — the codegen
+    shingle formulation from operators/dedup.py — then ONE hash
+    aggregation computes token count/distinct AND gram count/distinct
+    together (``count(gram)`` skips the trailing NULL leads, giving
+    n_grams = max(0, n_tokens - n + 1) for free). The window and the
+    aggregate share a single exchange on doc_id. Earlier versions:
+    pure higher-order projections re-evaluated the interpreted
+    transform per referencing column (10.4 s); explode-per-metric with
+    a join, 3.9 s; this form ~1 s at sf0.1. Columns: (doc_id, n_grams,
+    n_dup_grams, dup_gram_frac, dup_token_frac), 4dp.
     """
-    t = tokens(F.col("text"))
-    grams = F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + k + 1) for k in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # explode_outer keeps short documents (empty gram array) as a NULL
-    # gram row, so they surface with n_grams = 0 instead of vanishing.
-    g = (
-        docs.select("doc_id", F.explode_outer(grams).alias("gram"))
-        .groupBy("doc_id")
-        .agg(
-            F.count("gram").alias("n_grams"),
-            F.count_distinct("gram").alias("n_distinct_grams"),
-        )
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     )
-    tok = (
-        docs.select("doc_id", F.explode(t).alias("tok"))
-        .groupBy("doc_id")
-        .agg(
-            F.count("tok").alias("n_tokens"),
-            F.count_distinct("tok").alias("n_distinct_toks"),
-        )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+    last = F.lead("tok", n - 1).over(w)
+    rows = toks.select(
+        "doc_id",
+        "tok",
+        F.when(last.isNotNull(), F.concat_ws(" ", *parts)).alias("gram"),
+    )
+    agg = rows.groupBy("doc_id").agg(
+        F.count("tok").alias("n_tokens"),
+        F.count_distinct("tok").alias("n_distinct_toks"),
+        F.count("gram").alias("n_grams"),
+        F.count_distinct("gram").alias("n_distinct_grams"),
     )
     n_dup = F.col("n_grams") - F.col("n_distinct_grams")
     n_dup_tok = F.col("n_tokens") - F.col("n_distinct_toks")
@@ -217,7 +209,7 @@ def text_repetition(docs: DataFrame, n: int = 3) -> DataFrame:
         F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0),
         ROUND_DP,
     )
-    return g.join(tok, "doc_id").select(
+    return agg.select(
         "doc_id",
         F.col("n_grams").cast("bigint").alias("n_grams"),
         n_dup.cast("bigint").alias("n_dup_grams"),
@@ -327,27 +319,27 @@ def top_ngrams_per_lang(docs: DataFrame, n: int = 2, k: int = 5) -> DataFrame:
     """Top-k word n-grams (default bigrams) per language by corpus
     frequency — the phrase-level twin of :func:`term_frequency`.
 
-    Plan: one narrow map stage builds each document's n-gram array
-    (NON-distinct — frequency semantics, unlike the dedup shingles),
-    one explode + hash aggregation partial-aggregated before the
-    (lang, ngram)-cardinality exchange, then the ranking window runs
-    over the aggregated rows only (bounded per-lang partitions, never
-    the token stream). Ties broken by ngram text for determinism.
+    Plan: posexplode tokens once and assemble n-grams with ``lead``
+    over (doc_id, pos) — codegen end to end, NON-distinct (frequency
+    semantics, unlike the dedup shingles) — then a hash aggregation
+    partial-aggregated before the (lang, ngram)-cardinality exchange,
+    and a ranking window over the aggregated rows only (bounded
+    per-lang partitions, never the token stream). Ties broken by ngram
+    text for determinism.
     """
-    t = tokens(F.col("text"))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
-    )
-    grams = F.when(F.size(t) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
     from pyspark.sql import Window
 
-    counted = (
-        docs.select("lang", F.explode(grams).alias("ngram"))
-        .groupBy("lang", "ngram")
-        .agg(F.count("*").alias("n_occurrences"))
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w0 = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w0) for j in range(1, n)]
+    last = F.lead("tok", n - 1).over(w0)
+    grams = toks.select(
+        "lang", F.concat_ws(" ", *parts).alias("ngram"), last.alias("_last")
+    ).filter(F.col("_last").isNotNull())
+    counted = grams.groupBy("lang", "ngram").agg(
+        F.count("*").alias("n_occurrences")
     )
     w = Window.partitionBy("lang").orderBy(
         F.col("n_occurrences").desc(), F.col("ngram")
@@ -566,14 +558,16 @@ def doc_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
     = boilerplate or near-duplicate content; the complement of the
     dedup signal at sub-document granularity.
 
-    Plan: distinct n-grams per doc (the dedup shingle expression)
-    explode once; gram document-frequency by hash aggregation; join
-    back on the gram and re-aggregate per doc. Both exchanges carry
-    (gram, count) pairs — never document bodies.
+    Plan: distinct n-grams per doc via the codegen posexplode+lead
+    shingle formulation (operators/dedup.py exploded_shingles — the
+    interpreted per-row array transform measured ~8x slower); gram
+    document-frequency by hash aggregation; join back on the gram and
+    re-aggregate per doc. Exchanges carry (gram, count) pairs — never
+    document bodies.
     """
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("gram")
-    )
+    from .dedup import exploded_shingles
+
+    sh = exploded_shingles(docs, n).withColumnRenamed("shingle", "gram")
     df_counts = sh.groupBy("gram").agg(F.count("*").alias("gram_df"))
     return (
         sh.join(df_counts, "gram")
