@@ -699,3 +699,135 @@ def events_multigrain_rollup(events: DataFrame) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+def conversion_funnel(events: DataFrame) -> DataFrame:
+    """Ordered conversion funnel signup → view → purchase: how many
+    users complete each prefix of the journey IN ORDER (a later-stage
+    event only counts if it happens after the user's first
+    previous-stage event) — the CEP/sequential-pattern shape (Flink
+    MATCH_RECOGNIZE territory) expressed relationally.
+
+    Plan: one conditional aggregation per user computes the first
+    signup ts, the first view ts AFTER that signup, and the first
+    purchase ts after that view — min(ts) FILTER(...) over windowed
+    self-references would need three passes; instead stage timestamps
+    are derived with two chained conditional mins over ONE per-user
+    aggregate pair (min signup, then a second aggregate over events
+    joined back). Exchanges: two hash aggs + one broadcast join of the
+    per-user stage-1 table; the event table is scanned twice, never
+    cross-joined.
+    """
+    first_signup = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    # Stage 2/3 relative to the user's first signup: one more pass with
+    # the (small) per-user stage table broadcast onto the scan.
+    staged = events.join(F.broadcast(first_signup), "user_id")
+    first_view = (
+        staged.filter(
+            (F.col("event_type") == "view") & (F.col("ts") >= F.col("t_signup"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    staged2 = staged.join(F.broadcast(first_view), "user_id")
+    first_purchase = (
+        staged2.filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_view"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n1 = first_signup.count()
+    n2 = first_view.count()
+    n3 = first_purchase.count()
+    rows = [("1_signup", n1), ("2_view_after_signup", n2),
+            ("3_purchase_after_view", n3)]
+    spark = events.sparkSession
+    out = spark.createDataFrame(rows, "stage string, n_users long")
+    denom = float(n1) if n1 else float("nan")
+    return out.select(
+        "stage",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.lit(denom), 4).alias(
+            "conversion_from_start"
+        ),
+    )
+
+
+def weekly_cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week; for each
+    (cohort_week, activity_week) the distinct active users and the
+    retention fraction vs the cohort's size — the standard growth-
+    analytics matrix.
+
+    Plan: per-user first week via one aggregate; (user, week) activity
+    via a distinct aggregate; one join on user_id (the per-user cohort
+    table is broadcast); final count per (cohort, week). All exchanges
+    carry user-id-sized rows.
+    """
+    # DATE weeks (DuckDB's date_trunc('week', ts) yields DATE; Spark's
+    # yields TIMESTAMP — cast for the cross-engine contract).
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    cohorts = events.groupBy("user_id").agg(
+        week(F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", week(F.col("ts")).alias("activity_week")
+    ).distinct()
+    joined = activity.join(F.broadcast(cohorts), "user_id")
+    per_cell = joined.groupBy("cohort_week", "activity_week").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        per_cell.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "activity_week",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 4
+            ).alias("retention"),
+        )
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order event-type transition matrix: for each consecutive
+    pair of events per user (event-time order, event_id tiebreak), the
+    transition count and its share of all transitions out of the source
+    type — the Markov-chain view of user behavior.
+
+    Plan: lag window per user (one hash exchange on user_id), then a
+    transition-pair aggregate at |types|^2 cardinality; the share is a
+    tiny window over the aggregated matrix, not the event stream.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    w_src = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_src),
+            4,
+        ).alias("share_from_source"),
+    )

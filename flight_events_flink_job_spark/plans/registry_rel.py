@@ -25,7 +25,9 @@ from ..operators.relational import (
     customer_value_deciles,
     regional_supplier_volume,
     returned_items_top_customers,
+    conversion_funnel,
     converted_users_without_errors,
+    event_transitions,
     events_multigrain_rollup,
     events_rollup,
     inactive_customers,
@@ -39,6 +41,7 @@ from ..operators.relational import (
     user_event_gaps,
     user_sessions,
     value_band_join,
+    weekly_cohort_retention,
     VALUE_BANDS,
 )
 from ..operators.similarity import cosine_topk_ivf
@@ -626,3 +629,92 @@ def q_skew_salted_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), ROUND_DP).alias("sum_value"),
         )
     )
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS t FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, min(e.ts) AS t
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'view' AND e.ts >= s.t
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= v.t
+          GROUP BY e.user_id),
+    c AS (SELECT (SELECT count(*) FROM s) AS n1,
+                 (SELECT count(*) FROM v) AS n2,
+                 (SELECT count(*) FROM p) AS n3)
+    SELECT t.stage, t.n_users,
+           round(t.n_users * 1.0 / n1, 4) AS conversion_from_start
+    FROM c, LATERAL (VALUES
+        ('1_signup', n1),
+        ('2_view_after_signup', n2),
+        ('3_purchase_after_view', n3)) AS t(stage, n_users)
+    """,
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→view→purchase funnel (sequential-pattern shape):
+    chained conditional first-timestamps, per-user stage tables
+    broadcast back — never a cross join."""
+    return conversion_funnel(_events(spark, sf_dir))
+
+
+@register(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        FROM events
+    ),
+    cell AS (
+        SELECT cohort_week, activity_week,
+               count(DISTINCT a.user_id) AS n_active
+        FROM activity a JOIN cohorts USING (user_id)
+        GROUP BY cohort_week, activity_week
+    ),
+    sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY 1
+    )
+    SELECT cohort_week, activity_week, n_active, cohort_size,
+           round(n_active * 1.0 / cohort_size, 4) AS retention
+    FROM cell JOIN sizes USING (cohort_week)
+    """,
+)
+def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: first-week cohorts x active weeks, all
+    exchanges user-id-sized, cohort/size tables broadcast."""
+    return weekly_cohort_retention(_events(spark, sf_dir))
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH pairs AS (
+        SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+               event_type AS to_type
+        FROM events
+    ),
+    m AS (
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM pairs WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           round(n_transitions * 1.0
+                 / sum(n_transitions) OVER (PARTITION BY from_type), 4)
+               AS share_from_source
+    FROM m
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior transition matrix: lag window on the event
+    stream, share window over the |types|^2 aggregated matrix only."""
+    return event_transitions(_events(spark, sf_dir))
