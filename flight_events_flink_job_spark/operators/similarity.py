@@ -324,3 +324,74 @@ def knn_label_vote(
         .filter(F.col("rn") == 1)
         .select("q_id", "pred_label", "n_votes")
     )
+
+
+def hash_embed_search(
+    docs: DataFrame, dim: int = 16, num_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """End-to-end text retrieval: tokenizer → hash embedding → exact
+    cosine search, fused into one query — the minimal RAG loop with no
+    model dependency.
+
+    The embedding is a ``dim``-bucket token-count vector (bucket = first
+    md5 hex nibble of the token), so every coordinate is a small
+    integer: dot products and norms are EXACT in IEEE double regardless
+    of summation order, which makes the whole pipeline — including the
+    cosine — bit-identical to the SQL oracle with no rounding tricks.
+
+    Plan: posexplode tokens (narrow) → (doc, bucket) hash agg →
+    dense-vector assembly from the bucket map (JVM-side transform over
+    a sequence literal) → broadcast the ``num_queries`` query vectors
+    over one corpus pass (BroadcastNestedLoopJoin by design, same as
+    cosine_topk) → per-query top-k rank.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("tok")), 1, 1), 16, 10).cast("int")
+    counts = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vec = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("bucket"), F.collect_list("cnt")
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i.cast("int")), F.lit(0)
+                ).cast("double"),
+            ).alias("vec"),
+        )
+    )
+    q = vec.filter(F.col("doc_id") < num_queries).select(
+        F.col("doc_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    c = vec.select(F.col("doc_id").alias("n_id"), F.col("vec").alias("n_vec"))
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            cosine_arrow(F.col("q_vec"), F.col("n_vec")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round(F.col("_cos"), 4).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -36,7 +36,12 @@ from ..operators.multimodal import (
     with_binary_payload,
 )
 from ..operators.props import props_mining
-from ..operators.similarity import cosine_topk, cosine_topk_lsh, knn_label_vote
+from ..operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    hash_embed_search,
+    knn_label_vote,
+)
 from ..operators.text import (
     chunk_documents,
     doc_novelty,
@@ -962,3 +967,58 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document novelty audit: fraction of each doc's distinct
     trigrams appearing in no other document (gram-df join-back)."""
     return doc_novelty(_docs(spark, sf_dir))
+
+
+@register(
+    "hash_embed_search",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1
+                   AS bucket
+        FROM tok
+    ),
+    vec AS (
+        SELECT doc_id,
+               [CAST(len(list_filter(list(bucket), x -> x = i)) AS DOUBLE)
+                for i in range(0, 16)] AS v
+        FROM b GROUP BY doc_id
+    ),
+    q AS (SELECT doc_id AS q_id, v AS qv FROM vec WHERE doc_id < 8),
+    scored AS (
+        SELECT q.q_id, c.doc_id AS n_id,
+               list_cosine_similarity(q.qv, c.v) AS cos
+        FROM q JOIN vec c ON q.q_id <> c.doc_id
+    )
+    SELECT q_id, n_id, round(cos, 4) AS cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_hash_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused tokenizer -> hash embedding -> exact cosine retrieval (the
+    minimal RAG loop): integer-valued vectors make every dot product
+    exact, so the whole pipeline hash-matches the oracle."""
+    return hash_embed_search(_docs(spark, sf_dir))
+
+
+@register("event_value_quantiles_sketch")  # rows-only: sketch is
+# partition-merge-order dependent (no cross-engine twin); pytest bounds
+# its error against the exact percentiles.
+def q_event_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass quantile sketch (approx_percentile, accuracy 1000) —
+    the extreme-scale tier next to the exact event_value_quantiles; a
+    mergeable sketch replaces the exact percentile's full sort."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.element_at(q, 1), 4).alias("p50"),
+        F.round(F.element_at(q, 2), 4).alias("p95"),
+        F.round(F.element_at(q, 3), 4).alias("p99"),
+    )
