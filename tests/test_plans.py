@@ -16,7 +16,12 @@ from flight_events_flink_job_spark.plans import BENCH_SKIP, QUERIES
 # BroadcastNestedLoopJoin is quadratic work (fine only when explicitly
 # chosen for a bounded broadcast side, as in exact brute-force top-k or
 # a handful-of-rows interval dimension).
-BNLJ_ALLOWED = {"similarity_topk", "value_band_join", "knn_label_vote"}
+BNLJ_ALLOWED = {
+    "similarity_topk",
+    "value_band_join",
+    "knn_label_vote",
+    "hash_embed_search",
+}
 
 
 @pytest.mark.parametrize(
