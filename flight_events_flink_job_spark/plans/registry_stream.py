@@ -21,6 +21,7 @@ from ..streaming.job import (
     stage_flight_event_json,
 )
 from ..streaming.dedup import drain_deduped_from_staged
+from ..streaming.enrichment import drain_enriched_from_staged
 from ..streaming.sessions import drain_sessions_from_staged
 from ..streaming.joins import drain_conversions_from_staged
 from ..streaming.stateful import user_activity_from_staged
@@ -35,6 +36,7 @@ BENCH_SKIP = {
     "stream_interval_join",
     "stream_dedup_redelivery",
     "stream_session_windows",
+    "stream_static_enrichment",
 }
 
 
@@ -141,3 +143,20 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_type", "value"
     ).repartition(4).write.mode("overwrite").parquet(staging)
     return drain_sessions_from_staged(spark, staging, ckpt)
+
+
+@register("stream_static_enrichment", oracle=ORACLES["user_event_enrichment"])
+def q_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join, driver-checked against the batch
+    enrichment oracle: each micro-batch joins the static customer
+    dimension with NO join state, then the complete-mode lossless drain
+    aggregates per (segment, type) — batch/stream parity for the
+    enrichment join the reference implies but never implements."""
+    base = tempfile.mkdtemp(prefix="stream_enrich_")
+    staging, ckpt = f"{base}/in", f"{base}/ckpt"
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).repartition(4).write.mode("overwrite").parquet(staging)
+    return drain_enriched_from_staged(
+        spark, staging, ckpt, load_table(spark, sf_dir, "customer")
+    )
