@@ -831,3 +831,69 @@ def event_transitions(events: DataFrame) -> DataFrame:
             4,
         ).alias("share_from_source"),
     )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """Shipping-priority report (the classic Q3 shape): revenue still in
+    flight as of ``cutoff`` — orders placed before it with lineitems
+    shipping after it, for one market segment; top-k orders by revenue.
+
+    Plan: both date predicates and the segment filter push into the
+    parquet scans (row-group pruning on o_orderdate / l_shipdate);
+    lineitem ⋈ orders co-partitions on the order key; the filtered
+    customer dim broadcasts; per-order aggregation happens BEFORE the
+    deterministic top-k (TakeOrderedAndProject — never a global sort).
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey", rev.alias("rev")
+    )
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev").alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), "l_orderkey")
+        .limit(k)
+        .select(
+            "l_orderkey",
+            F.round(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+def priority_orders_with_returns(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Order counts per priority class, restricted to orders having at
+    least one returned lineitem — the EXISTS / LEFT SEMI join shape
+    (Catalyst decorrelates the SQL EXISTS into exactly this plan).
+
+    The semi-join probes on the order key only — the lineitem side is
+    pre-filtered at the scan and reduced to keys, no payload columns
+    move; output cardinality is |priority classes|.
+    """
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )

@@ -32,7 +32,9 @@ from ..operators.relational import (
     events_rollup,
     inactive_customers,
     orders_asof_join,
+    priority_orders_with_returns,
     segment_revenue,
+    shipping_priority,
     sliding_airline_stats,
     rolling_user_value,
     top_routes_per_airline,
@@ -718,3 +720,54 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order behavior transition matrix: lag window on the event
     stream, share window over the |types|^2 aggregated matrix only."""
     return event_transitions(_events(spark, sf_dir))
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4))
+                    - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)
+               AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4))
+                    - CAST(l_discount AS DECIMAL(18,4)))) DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shape in-flight revenue top-10: pushed-down date/segment
+    predicates, per-order aggregate before the deterministic top-k."""
+    return shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "priority_orders_with_returns",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_priority_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS/LEFT-SEMI shape: orders with >=1 returned lineitem,
+    counted per priority class (key-only semi-join probe)."""
+    return priority_orders_with_returns(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
