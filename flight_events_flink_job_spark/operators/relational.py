@@ -769,9 +769,12 @@ def weekly_cohort_retention(events: DataFrame) -> DataFrame:
     table is broadcast); final count per (cohort, week). All exchanges
     carry user-id-sized rows.
     """
-    # DATE weeks (DuckDB's date_trunc('week', ts) yields DATE; Spark's
-    # yields TIMESTAMP — cast for the cross-engine contract).
-    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    # TIMESTAMP weeks on both engines: DuckDB's date_trunc('week', ts)
+    # yields DATE, which the driver's pandas canonicalizer renders as
+    # Timestamp while Spark DateType collects as datetime.date — the
+    # stringified values never match. Keeping both sides TIMESTAMP
+    # (oracle CASTs) makes the hash engine-portable.
+    week = lambda c: F.date_trunc("week", c)  # noqa: E731
     cohorts = events.groupBy("user_id").agg(
         week(F.min("ts")).alias("cohort_week")
     )

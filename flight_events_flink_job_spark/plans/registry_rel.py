@@ -668,11 +668,13 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weekly_cohort_retention",
     oracle="""
     WITH cohorts AS (
-        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
         FROM events GROUP BY user_id
     ),
     activity AS (
-        SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week
         FROM events
     ),
     cell AS (

@@ -31,7 +31,11 @@ DUCK_TO_SPARK = {
     "VARCHAR": "string",
     "BOOLEAN": "boolean",
     "TIMESTAMP": "timestamp",
-    "DATE": "date",
+    # DATE is deliberately ABSENT: the driver's pandas canonicalizer
+    # renders DuckDB DATE as Timestamp('... 00:00:00') but Spark
+    # DateType as datetime.date — stringified values never match even
+    # when the data is identical (weekly_cohort_retention, round 3).
+    # Emit TIMESTAMP at query edges instead (CAST in the oracle).
     "BLOB": "binary",
     "FLOAT[]": "array<float>",
     "DOUBLE[]": "array<double>",
