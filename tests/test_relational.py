@@ -225,3 +225,66 @@ def test_multigrain_rollup_hierarchy_consistency(spark, sf_dir):
     n1d = sum(r.n_events for r in by_grain["1d"])
     assert n5 == n1h == n1d  # every event counted exactly once per grain
     assert len(by_grain["5m"]) >= len(by_grain["1h"]) >= len(by_grain["1d"])
+
+
+def test_conversion_funnel_requires_order(spark):
+    """A later-stage event BEFORE the prior stage must not count."""
+    from datetime import datetime
+
+    from flight_events_flink_job_spark.operators.relational import (
+        conversion_funnel,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: signup -> view -> purchase (completes all stages)
+        (1, 1, t(0), "signup", 1.0),
+        (2, 1, t(1), "view", 1.0),
+        (3, 1, t(2), "purchase", 1.0),
+        # user 2: purchase BEFORE view -> stops at stage 2
+        (4, 2, t(0), "signup", 1.0),
+        (5, 2, t(1), "purchase", 1.0),
+        (6, 2, t(2), "view", 1.0),
+        # user 3: view before signup and after -> view counts only after
+        (7, 3, t(0), "view", 1.0),
+        (8, 3, t(1), "signup", 1.0),
+        # user 4: no signup -> not in funnel at all
+        (9, 4, t(0), "view", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r.stage: r.n_users for r in conversion_funnel(df).collect()}
+    assert out == {
+        "1_signup": 3,            # users 1, 2, 3
+        "2_view_after_signup": 2,  # users 1, 2 (user 3's view is pre-signup... user 2's view is post-signup)
+        "3_purchase_after_view": 1,  # user 1 only (user 2 purchased pre-view)
+    }
+
+
+def test_event_transitions_order_and_shares(spark):
+    from datetime import datetime
+
+    from flight_events_flink_job_spark.operators.relational import (
+        event_transitions,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, 1, t(0), "view", 1.0),
+        (2, 1, t(1), "click", 1.0),
+        (3, 1, t(2), "view", 1.0),
+        (4, 2, t(0), "view", 1.0),
+        (5, 2, t(1), "view", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {(r.from_type, r.to_type): r for r in event_transitions(df).collect()}
+    assert out[("view", "click")].n_transitions == 1
+    assert out[("click", "view")].n_transitions == 1
+    assert out[("view", "view")].n_transitions == 1
+    # out of 'view': click x1 + view x1 -> shares 0.5 each
+    assert out[("view", "click")].share_from_source == 0.5
+    assert out[("view", "view")].share_from_source == 0.5
+    assert out[("click", "view")].share_from_source == 1.0
