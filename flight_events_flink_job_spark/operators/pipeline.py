@@ -382,3 +382,32 @@ def source_mix_sample(
         )
         .withColumn("copy_idx", F.col("copy_idx").cast("bigint"))
     )
+
+
+def per_group_sample(
+    documents: DataFrame, group_col: str = "lang", k: int = 5
+) -> DataFrame:
+    """Deterministic k-per-group sample (the spot-check/eval-slice
+    draw): rank documents inside each group by ``md5(doc_id)`` and keep
+    the first k — a reservoir sample whose membership is a pure
+    function of doc_id, so it is identical across reruns, engines, and
+    cluster layouts, and stable under corpus appends (a new doc only
+    displaces the current k-th member if its hash sorts earlier).
+
+    Plan: one hash exchange on the group key; the ranking window runs
+    per group partition (k tiny, groups bounded) — no global sort, no
+    rand().
+    """
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, "doc_id")
+    return (
+        documents.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            group_col,
+            F.col("rk").cast("bigint").alias("sample_rank"),
+            "doc_id",
+            "source",
+            "n_chars",
+        )
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.pipeline import (
     EMAIL_RE,
+    per_group_sample,
     corpus_shuffle,
     curation_pipeline,
     PHONE_RE,
@@ -274,3 +275,22 @@ def q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source mixing with deterministic oversampling epochs:
     narrow CASE projection + explode(sequence), no shuffle, no rand()."""
     return source_mix_sample(_docs(spark, sf_dir), _MIX_WEIGHTS, _MIX_DEFAULT)
+
+
+@register(
+    "per_lang_sample",
+    oracle="""
+    SELECT lang, CAST(rk AS BIGINT) AS sample_rank, doc_id, source, n_chars
+    FROM (
+        SELECT lang, doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 5
+    """,
+)
+def q_per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-language spot-check sample (md5 rank inside
+    group partitions — reproducible, append-stable, no rand())."""
+    return per_group_sample(_docs(spark, sf_dir), "lang", 5)
