@@ -174,7 +174,7 @@ def segment_revenue(
         )
         .groupBy("c_mktsegment", "o_year")
         .agg(
-            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_lineitems"),
             F.count_distinct("o_orderkey").alias("n_orders"),
         )
@@ -356,24 +356,21 @@ def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> Dat
         lineitem.filter(F.col("l_shipdate") < F.lit(ship_before).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias(
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias(
                 "sum_base_price"
             ),
             F.round(
-                F.sum(dec("l_extendedprice") * (one - dec("l_discount"))).cast(
-                    "double"
-                ),
-                2,
-            ).alias("sum_disc_price"),
+                F.sum(dec("l_extendedprice") * (one - dec("l_discount"))), 2
+            ).cast("double").alias("sum_disc_price"),
             F.round(
                 F.sum(
                     dec("l_extendedprice")
                     * (one - dec("l_discount"))
                     * (one + dec("l_tax"))
-                ).cast("double"),
+                ),
                 2,
-            ).alias("sum_charge"),
+            ).cast("double").alias("sum_charge"),
             F.round(
                 F.sum(dec("l_quantity")).cast("double") / F.count("*"), 4
             ).alias("avg_qty"),
@@ -523,7 +520,7 @@ def regional_supplier_volume(
               & (F.col("cn") == F.col("sn")))
     )
     return fact.groupBy("n_name").agg(
-        F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+        F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
         F.count("*").alias("n_lineitems"),
         F.count_distinct("o_orderkey").alias("n_orders"),
     )
@@ -574,7 +571,7 @@ def returned_items_top_customers(
             "c_custkey",
             "c_name",
             "n_name",
-            F.round(F.col("lost_revenue_dec").cast("double"), 2)
+            F.round(F.col("lost_revenue_dec"), 2).cast("double")
             .alias("lost_revenue"),
             "n_returned_items",
         )
@@ -597,8 +594,8 @@ def customer_value_deciles(customer: DataFrame, orders: DataFrame) -> DataFrame:
     spend = (
         orders.groupBy("o_custkey")
         .agg(
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-                    .cast("double"), 2).alias("spend"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").alias("spend"),
             F.count("*").alias("n_orders"),
         )
         .join(
@@ -637,9 +634,8 @@ def customer_value_deciles(customer: DataFrame, orders: DataFrame) -> DataFrame:
             F.count("*").alias("n_customers"),
             # spend is already rounded to 2 dp, so decimal(18,2) holds it
             # exactly — the sum is associative (partition-order safe).
-            F.round(
-                F.sum(F.col("spend").cast("decimal(18,2)")).cast("double"), 2
-            ).alias("total_spend"),
+            F.round(F.sum(F.col("spend").cast("decimal(18,2)")), 2)
+            .cast("double").alias("total_spend"),
             F.round(F.min("spend"), 2).alias("min_spend"),
             F.round(F.max("spend"), 2).alias("max_spend"),
             # exact decimal sum, then ONE double division — avoids the
@@ -695,7 +691,7 @@ def events_multigrain_rollup(events: DataFrame) -> DataFrame:
             F.timestamp_seconds(F.col("b")).alias("bucket_start"),
             "event_type",
             F.col("n").cast("bigint").alias("n_events"),
-            F.round(F.col("sv").cast("double"), 4).alias("sum_value"),
+            F.round(F.col("sv"), 4).cast("double").alias("sum_value"),
         )
         out = part if out is None else out.unionAll(part)
     return out
@@ -874,7 +870,7 @@ def shipping_priority(
         .limit(k)
         .select(
             "l_orderkey",
-            F.round(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+            F.round(F.col("rev_dec"), 2).cast("double").alias("revenue"),
             "o_orderdate",
             "o_orderpriority",
         )
@@ -899,4 +895,99 @@ def priority_orders_with_returns(
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Monthly share of revenue from PROMO-type parts (the promotion-
+    effect report): conditional revenue over total revenue per
+    ship-month.
+
+    Plan: the part dimension is broadcast (two columns only) onto one
+    lineitem scan; both the conditional and total revenue accumulate in
+    DECIMAL inside ONE aggregation — no second pass, no join back. The
+    share is a single double division of two exact sums.
+    """
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    month = F.date_trunc("month", F.col("l_shipdate"))
+    joined = lineitem.select(
+        "l_partkey", month.alias("ship_month"), rev.alias("rev")
+    ).join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    promo = F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        joined.groupBy("ship_month")
+        .agg(
+            F.sum(promo).alias("promo_dec"),
+            F.sum("rev").alias("total_dec"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .select(
+            "ship_month",
+            F.round(
+                F.lit(100.0)
+                * F.col("promo_dec").cast("double")
+                / F.col("total_dec").cast("double"),
+                4,
+            ).alias("promo_share_pct"),
+            F.round(F.col("total_dec"), 2).cast("double").alias("total_revenue"),
+            "n_lineitems",
+        )
+    )
+
+
+def nation_trade_volume(
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Cross-nation trade volume (the Q7 shape): revenue shipped
+    between DIFFERENT customer/supplier nations, by nation pair and
+    ship year.
+
+    Plan: both nation-annotated dims broadcast; lineitem ⋈ orders is
+    the single big-big co-partitioned join; the inequality
+    (supp_nation <> cust_nation) rides on the already-joined row — it
+    is a filter, never a join blow-up. Aggregation is partial before
+    the |nations|^2 x years exchange.
+    """
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    supp = supplier.join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("sk")
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("ck")
+    ).select("c_custkey", "cust_nation")
+    fact = (
+        lineitem.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").alias("ship_year"),
+            rev.alias("rev"),
+        )
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return fact.groupBy("supp_nation", "cust_nation", "ship_year").agg(
+        F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+        F.count("*").alias("n_lineitems"),
     )

@@ -31,7 +31,9 @@ from ..operators.relational import (
     events_multigrain_rollup,
     events_rollup,
     inactive_customers,
+    nation_trade_volume,
     orders_asof_join,
+    promo_revenue_share,
     priority_orders_with_returns,
     segment_revenue,
     shipping_priority,
@@ -192,9 +194,9 @@ def q_top_routes_per_airline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segment_revenue",
     oracle="""
     SELECT c_mktsegment, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                  * (CAST(1 AS DECIMAL(18,4))
-                    - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)
+                    - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
                AS revenue,
            count(*) AS n_lineitems,
            count(DISTINCT o_orderkey) AS n_orders
@@ -317,17 +319,15 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+        CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
             AS sum_qty,
-        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
             AS sum_base_price,
-        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-              AS DOUBLE), 2) AS sum_disc_price,
-        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
               * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-              * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))
-              AS DOUBLE), 2) AS sum_charge,
+              * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
               / count(*), 4) AS avg_qty,
         round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
@@ -460,9 +460,9 @@ def q_converted_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regional_supplier_volume",
     oracle="""
     SELECT n_name,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                  * (CAST(1 AS DECIMAL(18,4))
-                    - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)
+                    - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
                AS revenue,
            count(*) AS n_lineitems,
            count(DISTINCT o_orderkey) AS n_orders
@@ -529,8 +529,7 @@ def q_returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     WITH spend AS (
         SELECT o_custkey,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-                     AS DOUBLE), 2) AS spend,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS spend,
                count(*) AS n_orders
         FROM orders GROUP BY o_custkey
     ),
@@ -546,7 +545,7 @@ def q_returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFram
     )
     SELECT CAST(floor((rank - 1) * 10.0 / n_total) AS BIGINT) + 1 AS decile,
            count(*) AS n_customers,
-           round(CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(spend AS DECIMAL(18,2))), 2) AS DOUBLE)
                AS total_spend,
            round(min(spend), 2) AS min_spend,
            round(max(spend), 2) AS max_spend,
@@ -592,7 +591,7 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
            TIMESTAMP '1970-01-01' + to_seconds(b) AS bucket_start,
            event_type,
            CAST(n AS BIGINT) AS n_events,
-           round(CAST(sv AS DOUBLE), 4) AS sum_value
+           CAST(round(sv, 4) AS DOUBLE) AS sum_value
     FROM all_grains
     """,
 )
@@ -728,9 +727,9 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                  * (CAST(1 AS DECIMAL(18,4))
-                    - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)
+                    - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
                AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
@@ -770,6 +769,70 @@ def q_priority_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFram
     """EXISTS/LEFT-SEMI shape: orders with >=1 returned lineitem,
     counted per priority class (key-only semi-join probe)."""
     return priority_orders_with_returns(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           round(100.0
+                 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4))
+                               - CAST(l_discount AS DECIMAL(18,4)))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4))
+                               - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                 4) AS promo_share_pct,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(18,4))
+                             - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+               AS total_revenue,
+           count(*) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shape promotion effect: conditional + total DECIMAL revenue
+    in one aggregation over a broadcast part join."""
+    return promo_revenue_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "nation_trade_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4))
+                    - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+               AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shape cross-nation trade: broadcast nation-annotated dims,
+    one big-big co-partitioned join, inequality as a post-join filter."""
+    return nation_trade_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
