@@ -991,3 +991,42 @@ def nation_trade_volume(
         F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
         F.count("*").alias("n_lineitems"),
     )
+
+
+def error_rate_windows(
+    events: DataFrame, window_seconds: int = 300, threshold: float = 0.3
+) -> DataFrame:
+    """Alerting-shape query: 5-minute windows whose error share exceeds
+    ``threshold`` — the batch twin of a streaming monitor (same
+    epoch-aligned buckets as the multigrain rollup; in streaming this
+    exact aggregate runs windowed+watermarked and the filter drives the
+    alert sink).
+
+    One scan, one hash aggregation at (bucket) cardinality; the share
+    is an integer-ratio double division (exact, engine-portable), and
+    the HAVING-style filter runs on the aggregated rows only.
+    """
+    bucket = (
+        F.floor(F.unix_timestamp("ts") / window_seconds) * window_seconds
+    ).cast("long")
+    agg = (
+        events.select(
+            bucket.alias("b"),
+            (F.col("event_type") == "error").cast("int").alias("is_err"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_err").cast("bigint").alias("n_errors"),
+        )
+    )
+    share = F.col("n_errors").cast("double") / F.col("n_events").cast("double")
+    return (
+        agg.filter(share > threshold)
+        .select(
+            F.timestamp_seconds(F.col("b")).alias("window_start"),
+            "n_events",
+            "n_errors",
+            F.round(share, 4).alias("error_share"),
+        )
+    )

@@ -27,6 +27,7 @@ from ..operators.relational import (
     returned_items_top_customers,
     conversion_funnel,
     converted_users_without_errors,
+    error_rate_windows,
     event_transitions,
     events_multigrain_rollup,
     events_rollup,
@@ -836,3 +837,26 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+@register(
+    "error_rate_windows",
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM events GROUP BY 1
+    )
+    SELECT TIMESTAMP '1970-01-01' + to_seconds(b) AS window_start,
+           n_events, n_errors,
+           round(n_errors * 1.0 / n_events, 4) AS error_share
+    FROM agg
+    WHERE n_errors * 1.0 / n_events > 0.3
+    """,
+)
+def q_error_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed error-rate alert (batch twin of a streaming monitor):
+    epoch-aligned 5-minute buckets, HAVING-filter on aggregated rows."""
+    return error_rate_windows(_events(spark, sf_dir))
