@@ -276,38 +276,60 @@ def dedup_ngram_jaccard(
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
+# Fingerprint width. 60 (not 64) because the per-token hash is the
+# concatenation of two 30-bit portable polynomial hashes — chosen over
+# xxhash64 so the ENTIRE fingerprint is replayable in DuckDB and the
+# operator is oracle-checkable end-to-end (same portability move as
+# text.doc_fingerprints). 60 = 4 pigeonhole blocks of 15 bits for the
+# default Hamming radius 3.
+SIMHASH_BITS = 60
+
+# Two independent poly-hashes (base 31 mod 1e9+7; base 131 mod
+# 998244353), both < 2^30, packed as h = p1 | (p2 << 30). Fold is
+# left-to-right over codepoints, identical to functions/textual.poly_hash.
+_TOKEN_HASH = """
+aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)),
+          0L, (a, c) -> (a * 31 + c) % 1000000007)
+| shiftleft(
+  aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)),
+            0L, (a, c) -> (a * 131 + c) % 998244353),
+  30)
+"""
+
 # NOTE: references `counters` exactly ONCE. A formulation that indexes
 # `counters` inside the fold lambda (element_at(counters, j+1) per
 # iteration) gets the counters alias inlined by Catalyst and recomputes
-# the full O(tokens x 64) counters fold on EVERY one of the 64
+# the full O(tokens x 60) counters fold on EVERY one of the 60
 # iterations — observed 64x slowdown (minutes -> seconds at sf0.1).
-_SIMHASH = """
+_SIMHASH = f"""
 aggregate(
-  zip_with(counters, sequence(0, 63),
+  zip_with(counters, sequence(0, {SIMHASH_BITS - 1}),
            (c, j) -> IF(c > 0, shiftleft(1L, j), 0L)),
   0L,
   (acc, b) -> acc | b
 )
 """
 
-_COUNTERS = """
+_COUNTERS = f"""
 aggregate(
-  transform(array_distinct(split(text, ' ')), t -> xxhash64(t)),
-  array_repeat(0L, 64),
+  transform(array_distinct(split(text, ' ')), t -> {_TOKEN_HASH}),
+  array_repeat(0L, {SIMHASH_BITS}),
   (acc, h) -> zip_with(
       acc,
-      transform(sequence(0, 63), j -> IF(((h >> j) & 1) = 1, 1L, -1L)),
+      transform(sequence(0, {SIMHASH_BITS - 1}), j -> IF(((h >> j) & 1) = 1, 1L, -1L)),
       (a, b) -> a + b)
 )
 """
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash BIGINT): 64-bit SimHash over the token set.
+    """(doc_id, simhash BIGINT): 60-bit SimHash over the token set.
 
     Bit j of the fingerprint is the sign of the sum over tokens of
-    ±1 according to bit j of xxhash64(token) — Charikar's scheme with
-    unit weights, folded entirely in Catalyst expressions.
+    ±1 according to bit j of the portable per-token hash — Charikar's
+    scheme with unit weights, folded entirely in Catalyst expressions.
+    The token hash is two stacked 30-bit poly-hashes (not xxhash64) so
+    a DuckDB oracle can reproduce the fingerprint bit-for-bit.
     """
     return spread(docs).select(
         "doc_id",
@@ -318,13 +340,13 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
-    COMPLETE via the pigeonhole block trick: the 64-bit fingerprint is
+    COMPLETE via the pigeonhole block trick: the 60-bit fingerprint is
     split into ``max_hamming + 1`` blocks; any pair within the Hamming
     radius must agree exactly on at least one block, so candidates come
     from an equi-join on (block index, block value) — no cross join.
     """
     blocks = max_hamming + 1
-    width = 64 // blocks
+    width = SIMHASH_BITS // blocks
     block_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), j * width).bitwiseAND(

@@ -188,11 +188,61 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_components(_docs(spark, sf_dir))
 
 
-@register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+# DuckDB twin of operators/dedup.py simhash_fingerprints: per distinct
+# token, two stacked 30-bit poly-hashes (base 31 mod 1e9+7 | base 131
+# mod 998244353 << 30); counter_j = sum over tokens of ±1 by bit j;
+# fingerprint bit j set iff counter_j > 0. Keep in lockstep with
+# _TOKEN_HASH / _COUNTERS / _SIMHASH in dedup.py.
+SIMHASH_FP_CTE = """
+tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        [CAST(unicode(t[i]) AS BIGINT) for i in range(1, len(t)+1)]),
+        (a, c) -> (a * 31 + c) % 1000000007)
+    | (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        [CAST(unicode(t[i]) AS BIGINT) for i in range(1, len(t)+1)]),
+        (a, c) -> (a * 131 + c) % 998244353) << 30) AS h
+  FROM tok
+),
+cnt AS (
+  SELECT doc_id, j.j,
+         sum(CASE WHEN ((h >> j.j) & 1) = 1 THEN 1 ELSE -1 END) AS c
+  FROM th, generate_series(0, 59) AS j(j)
+  GROUP BY doc_id, j.j
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+  FROM cnt GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {SIMHASH_FP_CTE},
+    banded AS (
+      SELECT doc_id, simhash, b.block,
+             (simhash >> (b.block * 15)) & 32767 AS block_val
+      FROM fp, generate_series(0, 3) AS b(block)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b USING (block, block_val)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs, Hamming <= 3, complete via pigeonhole
-    block join. Fingerprint hash is Spark's xxhash64 (not reproducible
-    in DuckDB) -> rows-only driver check; semantics pytest-covered."""
+    """SimHash-60 near-dup pairs, Hamming <= 3, complete via pigeonhole
+    block join (4 blocks x 15 bits). The fingerprint hash is a portable
+    poly-hash pair, so the oracle replays the whole scheme bit-exactly
+    (the round-3 xxhash64 variant was rows-only for lack of a twin)."""
     return simhash_near_pairs(_docs(spark, sf_dir))
 
 
