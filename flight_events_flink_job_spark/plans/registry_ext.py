@@ -344,12 +344,71 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_embs(spark, sf_dir))
 
 
-@register("similarity_topk_lsh")  # rows-only: approximate by design
+def _topk_lsh_oracle(
+    k: int = 10,
+    num_queries: int = 16,
+    num_tables: int = 16,
+    num_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of similarity.cosine_topk_lsh: the SAME fixed-seed
+    plane draw as hyperplane_buckets embedded as literal DOUBLE[] rows,
+    the same bucket codes, candidate equi-join, and exact cosine
+    re-rank. The ANN output is therefore hash-exact, not merely
+    recall-bounded: approximation lives in WHICH candidates the buckets
+    admit, and the oracle replays that choice deterministically."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables * num_planes, dim))
+    rows = ",\n        ".join(
+        "({}, [{}])".format(pid, ", ".join(repr(x) for x in plane))
+        for pid, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    planes(pid, p) AS (VALUES
+        {rows}),
+    bits AS (
+        SELECT e.vec_id, pid // {num_planes} AS tbl, pid % {num_planes} AS j,
+               CASE WHEN list_dot_product(e.v, planes.p) >= 0
+                    THEN 1 ELSE 0 END AS b
+        FROM e CROSS JOIN planes
+    ),
+    codes AS (
+        SELECT vec_id,
+               CAST(sum(b * (1 << ({num_planes} - 1 - j)))
+                    + tbl * {1 << num_planes} AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id, tbl
+    ),
+    cand AS (
+        SELECT DISTINCT qc.vec_id AS q_id, cc.vec_id AS n_id
+        FROM codes qc JOIN codes cc
+          ON qc.bucket = cc.bucket AND qc.vec_id <> cc.vec_id
+        WHERE qc.vec_id < {num_queries}
+    ),
+    scored AS (
+        SELECT c.q_id, c.n_id, list_cosine_similarity(eq.v, en.v) cos
+        FROM cand c
+        JOIN e eq ON eq.vec_id = c.q_id
+        JOIN e en ON en.vec_id = c.n_id
+    )
+    SELECT q_id, n_id, round(cos, 4) AS cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, n_id) rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("similarity_topk_lsh", oracle=_topk_lsh_oracle())
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH (16 tables x 4
     planes, fixed-seed literals), exact re-rank within candidate
     buckets. pytest measures recall vs similarity_topk (~0.87 at
-    sf0.01); the driver check is rows-only because recall < 1."""
+    sf0.01); the driver check is a FULL deterministic replay of the
+    bucket scheme in DuckDB (was rows-only in round 3)."""
     return cosine_topk_lsh(_embs(spark, sf_dir))
 
 
