@@ -305,6 +305,43 @@ def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     )
 
 
+def approx_distinct_users_checked(
+    events: DataFrame, rsd: float = 0.02, sigmas: float = 5.0
+) -> DataFrame:
+    """:func:`approx_distinct_users` with an in-plan error-bound
+    assertion, making the HLL estimate driver-checkable.
+
+    The estimate itself is engine-specific (no DuckDB twin), so the
+    comparable surface is (exact count, bound verdict): ``within_bound``
+    is |approx - exact| <= max(sigmas * rsd * exact, 1), which the
+    oracle asserts as literal TRUE against DuckDB's exact
+    COUNT(DISTINCT). A sketch regression (wrong merge, wrong rsd
+    plumbing) flips the boolean and hash-fails the driver row. The
+    exact COUNT(DISTINCT) here is verification-tier only — the sketch
+    path in :func:`approx_distinct_users` stays the 100 TB shape.
+    """
+    bound = F.greatest(
+        F.lit(sigmas * rsd) * F.col("n_users_exact").cast("double"), F.lit(1.0)
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_users_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_users_exact")).cast("double")
+                <= bound
+            ).alias("within_bound"),
+        )
+    )
+
+
 VALUE_BANDS: list[tuple[str, float, float]] = [
     ("p00_tiny", 0.0, 10.0),
     ("p10_low", 10.0, 25.0),

@@ -61,6 +61,60 @@ def event_value_quantiles(events: DataFrame) -> DataFrame:
     )
 
 
+def event_value_quantiles_sketch_checked(
+    events: DataFrame, accuracy: int = 1000
+) -> DataFrame:
+    """Single-pass quantile sketch (``approx_percentile``) with an
+    in-plan rank-bracket assertion, making the sketch driver-checkable.
+
+    ``approx_percentile`` guarantees a rank error of at most
+    ``n / accuracy``: the returned element's rank must land within
+    ``p*n ± n/accuracy``. The sketch values themselves are
+    partition-merge-order dependent (no cross-engine twin), so the
+    comparable surface is (event_type, n_events, pXX_ok): each verdict
+    recomputes the element's true rank bracket by re-scanning the group
+    (count of values < v and <= v — a broadcast join of the 5-row sketch
+    result back onto events, one extra aggregate, verification-tier
+    only) and the oracle asserts literal TRUE. A sketch regression
+    (merge bug, accuracy plumbing) flips a verdict and hash-fails the
+    driver row. The raw sketch stays the 100 TB shape: fixed-size
+    mergeable state, no sort, no distinct expansion.
+    """
+    q = F.expr(
+        f"approx_percentile(value, array(0.5, 0.95, 0.99), {accuracy})"
+    )
+    sketch = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.element_at(q, 1).alias("_p50"),
+        F.element_at(q, 2).alias("_p95"),
+        F.element_at(q, 3).alias("_p99"),
+    )
+    joined = events.select("event_type", "value").join(
+        F.broadcast(sketch), "event_type"
+    )
+
+    def ok(col: str, p: float):
+        v = F.col(col)
+        n = F.col("n_events").cast("double")
+        # ranks occupied by the returned element: (lt, le]; the target
+        # rank p*n must fall within tolerance of that interval
+        lt = F.sum((F.col("value") < v).cast("long")).cast("double")
+        le = F.sum((F.col("value") <= v).cast("long")).cast("double")
+        tol = n / accuracy + F.lit(1.0)
+        target = F.lit(p) * n
+        return (lt <= target + tol) & (le >= target - tol)
+
+    return (
+        joined.groupBy("event_type", "n_events", "_p50", "_p95", "_p99")
+        .agg(
+            ok("_p50", 0.5).alias("p50_ok"),
+            ok("_p95", 0.95).alias("p95_ok"),
+            ok("_p99", 0.99).alias("p99_ok"),
+        )
+        .select("event_type", "n_events", "p50_ok", "p95_ok", "p99_ok")
+    )
+
+
 def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the
     storage/serving compression step of an embedding pipeline (float32

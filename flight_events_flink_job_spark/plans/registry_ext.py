@@ -1116,18 +1116,24 @@ def q_hash_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_embed_search(_docs(spark, sf_dir))
 
 
-@register("event_value_quantiles_sketch")  # rows-only: sketch is
-# partition-merge-order dependent (no cross-engine twin); pytest bounds
-# its error against the exact percentiles.
+@register(
+    "event_value_quantiles_sketch",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q_event_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass quantile sketch (approx_percentile, accuracy 1000) —
     the extreme-scale tier next to the exact event_value_quantiles; a
-    mergeable sketch replaces the exact percentile's full sort."""
-    ev = load_table(spark, sf_dir, "events")
-    q = F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.round(F.element_at(q, 1), 4).alias("p50"),
-        F.round(F.element_at(q, 2), 4).alias("p95"),
-        F.round(F.element_at(q, 3), 4).alias("p99"),
+    mergeable sketch replaces the exact percentile's full sort. Driver-
+    checkable via rank-bracket verdicts: each sketch value's true rank
+    is recomputed in-plan and the oracle asserts the approx_percentile
+    rank-error contract holds (was rows-only in r3)."""
+    from ..operators.vectors_agg import event_value_quantiles_sketch_checked
+
+    return event_value_quantiles_sketch_checked(
+        load_table(spark, sf_dir, "events")
     )

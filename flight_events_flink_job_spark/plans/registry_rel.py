@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.relational import (
-    approx_distinct_users,
+    approx_distinct_users_checked,
     customer_value_deciles,
     regional_supplier_volume,
     returned_items_top_customers,
@@ -308,12 +308,24 @@ def q_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_band_join(_events(spark, sf_dir))
 
 
-@register("approx_distinct_users")  # rows-only: HLL estimate is engine-specific
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user estimate per event type (sketch
-    shuffle: fixed-size registers, not distinct ids). Accuracy vs the
-    exact count is pytest-asserted; driver check is rows-only."""
-    return approx_distinct_users(_events(spark, sf_dir))
+    shuffle: fixed-size registers, not distinct ids). Driver-checkable
+    via the error-bound verdict column: the oracle recomputes the exact
+    cardinality and asserts within_bound TRUE (was rows-only in r3;
+    accuracy additionally pytest-asserted)."""
+    return approx_distinct_users_checked(_events(spark, sf_dir))
 
 
 @register(
