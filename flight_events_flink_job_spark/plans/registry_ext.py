@@ -743,13 +743,60 @@ def _join_array(col: str) -> "F.Column":
     return F.array_join(F.transform(F.col(col), lambda x: x.cast("string")), ",")
 
 
-@register("multimodal_resize")  # rows-only: block-mean image math has no tidy SQL twin
+@register(
+    "multimodal_resize",
+    # DuckDB replay of the deterministic fake decode in
+    # operators/multimodal.py decode_fake/resize_thumbnails: payload =
+    # UTF-8 bytes of text (fixture texts are pure ASCII, so byte i ==
+    # unicode(text[i]) and byte length == char length); image = bytes
+    # row-major at width 8, h = len // 8 (tail dropped, h < 2 skipped);
+    # thumbnail = floor block means over a 2x2 grid (block = bh x 4,
+    # bh = h // 2); mean_pixel over the block-truncated 2*bh x 8 image.
+    # Integer sums + one double division are association-free, so the
+    # replay is value-exact.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             [CAST(unicode(text[i]) AS BIGINT)
+              for i in range(1, len(text)+1)] AS bytes
+      FROM documents
+    ),
+    calc AS (
+      SELECT doc_id, bytes, len(bytes) // 8 AS h, (len(bytes) // 8) // 2 AS bh
+      FROM b
+      WHERE len(bytes) // 8 >= 2
+    ),
+    px AS (
+      SELECT doc_id, h, bh,
+             bytes[CAST(pos + 1 AS INTEGER)] AS v,
+             (pos // 8) // bh AS ti,
+             (pos % 8) // 4 AS tj
+      FROM (SELECT doc_id, h, bh, bytes,
+                   unnest(range(0, 16 * bh)) AS pos
+            FROM calc)
+    ),
+    blocks AS (
+      SELECT doc_id, any_value(h) AS h, ti, tj,
+             sum(v) AS s, count(*) AS n
+      FROM px GROUP BY doc_id, ti, tj
+    )
+    SELECT doc_id,
+           8 AS width,
+           CAST(any_value(h) AS INTEGER) AS height,
+           CAST(sum(s) AS DOUBLE) / sum(n) AS mean_pixel,
+           string_agg(CAST(s // n AS VARCHAR), ',' ORDER BY ti, tj) AS thumb
+    FROM blocks
+    GROUP BY doc_id
+    """,
+)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-branch plumbing: fake decode (bytes as 8-wide grayscale) +
-    block-mean resize to a 2x2 thumbnail via mapInPandas. pytest asserts
-    exact values on crafted payloads; driver check is rows-only. The
-    thumb array is comma-joined at the edge (driver canonicalizer
-    compat)."""
+    block-mean resize to a 2x2 thumbnail via mapInPandas. The fake
+    decode is deterministic byte math, so the oracle replays it exactly
+    (was rows-only in r3); pytest additionally asserts exact values on
+    crafted payloads; the real-codec slot stays documented in
+    multimodal.decode_image. The thumb array is comma-joined at the
+    edge (driver canonicalizer compat)."""
     return resize_thumbnails(with_binary_payload(_docs(spark, sf_dir))).withColumn(
         "thumb", _join_array("thumb")
     )
