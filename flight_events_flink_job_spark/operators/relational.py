@@ -24,6 +24,18 @@ from pyspark.sql import functions as F
 from .aggregates import ROUND_DP
 
 
+def dec_sum(col: str = "value", dp: int = ROUND_DP):
+    """Exact associative sum of a double column: accumulate in
+    DECIMAL(27,10) (cast once at the scan), round the decimal, cast to
+    double at the edge. A plain double sum's association order depends
+    on partitioning — and for streaming twins on micro-batch file
+    assignment and state-store merge order — so a .xxxx5-boundary value
+    can round differently between engines/runs. The DuckDB twin is
+    ``CAST(round(sum(CAST(value AS DECIMAL(27,10))), dp) AS DOUBLE)``.
+    """
+    return F.round(F.sum(F.col(col).cast("decimal(27,10)")), dp).cast("double")
+
+
 def user_event_enrichment(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Enrich the event stream with the customer dimension and aggregate
     per (market segment, event type).
@@ -44,7 +56,7 @@ def user_event_enrichment(events: DataFrame, customer: DataFrame) -> DataFrame:
             F.count("*").alias("n_events"),
             F.count_distinct("user_id").alias("n_users"),
             F.count_distinct("c_nationkey").alias("n_nations"),
-            F.round(F.sum("value"), ROUND_DP).alias("sum_value"),
+            dec_sum().alias("sum_value"),
         )
     )
 
@@ -100,7 +112,7 @@ def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.count_distinct("event_type").alias("n_event_types"),
-            F.round(F.sum("value"), ROUND_DP).alias("sum_value"),
+            dec_sum().alias("sum_value"),
         )
         .select(
             "user_id",
@@ -128,7 +140,7 @@ def events_rollup(events: DataFrame) -> DataFrame:
         .agg(
             F.grouping_id().cast("bigint").alias("level"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), ROUND_DP).alias("sum_value"),
+            dec_sum().alias("sum_value"),
         )
         .select(
             F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
@@ -376,7 +388,7 @@ def value_band_join(events: DataFrame) -> DataFrame:
     )
     return joined.groupBy("band", "event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), ROUND_DP).alias("sum_value"),
+        dec_sum().alias("sum_value"),
     )
 
 
@@ -596,12 +608,16 @@ def returned_items_top_customers(
             F.count("*").alias("n_returned_items"),
         )
     )
+    # nation (25 rows) is genuinely bounded -> broadcast hint; customer
+    # scales with SF, so its join gets NO hint: Catalyst/AQE picks
+    # broadcast at fixture scale and a co-partitioned shuffle join at
+    # 100 TB (a forced broadcast of an unbounded dimension would OOM).
     dim = customer.select("c_custkey", "c_name", "c_nationkey").join(
         F.broadcast(nation.select("n_nationkey", "n_name")),
         F.col("c_nationkey") == F.col("n_nationkey"),
     )
     return (
-        per_cust.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        per_cust.join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .orderBy(F.col("lost_revenue_dec").desc(), "c_custkey")
         .limit(k)
         .select(
@@ -774,20 +790,34 @@ def conversion_funnel(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    n1 = first_signup.count()
-    n2 = first_view.count()
-    n3 = first_purchase.count()
-    rows = [("1_signup", n1), ("2_view_after_signup", n2),
-            ("3_purchase_after_view", n3)]
-    spark = events.sparkSession
-    out = spark.createDataFrame(rows, "stage string, n_users long")
-    denom = float(n1) if n1 else float("nan")
-    return out.select(
+    # One lazy plan: per-stage counts as 1-row aggregates unioned, the
+    # stage-1 denominator broadcast onto all 3 rows (a 3x1 broadcast
+    # nested loop — trivially bounded). No driver-side .count() actions:
+    # the heavy work stays inside the returned plan, visible to any
+    # timing/explain of it. Zero-signup corpora yield NULL conversions
+    # (WHEN n1 > 0), mirrored in the oracle, instead of a NaN-vs-error
+    # engine divergence.
+    def stage_count(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(stage).alias("stage"), "n_users"
+        )
+
+    counts = (
+        stage_count(first_signup, "1_signup")
+        .unionAll(stage_count(first_view, "2_view_after_signup"))
+        .unionAll(stage_count(first_purchase, "3_purchase_after_view"))
+    )
+    denom = first_signup.agg(F.count("*").alias("_n1"))
+    return counts.crossJoin(F.broadcast(denom)).select(
         "stage",
         "n_users",
-        F.round(F.col("n_users").cast("double") / F.lit(denom), 4).alias(
-            "conversion_from_start"
-        ),
+        F.round(
+            F.when(
+                F.col("_n1") > 0,
+                F.col("n_users").cast("double") / F.col("_n1"),
+            ),
+            4,
+        ).alias("conversion_from_start"),
     )
 
 

@@ -303,11 +303,16 @@ def knn_label_vote(
     label-propagation / auto-labeling step of a training-data pipeline,
     composed from the exact top-k search.
 
-    Plan: :func:`cosine_topk` yields ``num_queries * k`` rows (tiny);
-    that side is broadcast onto ONE pass over the corpus to pick up
-    neighbor labels — the corpus is never shuffled. The vote argmax is
-    a rank-1 window over at most ``k`` rows per query, ties broken by
-    label id so the prediction is deterministic.
+    Plan: :func:`cosine_topk` yields ``num_queries * k`` rows — bounded
+    by the CALLER'S parameters, not by the corpus size, which is what
+    legitimizes the broadcast hint (broadcasting anything
+    corpus-proportional would OOM at scale; here the corpus only feeds
+    the broadcast through a top-k reduction). The broadcast side rides
+    onto ONE pass over the corpus to pick up neighbor labels — the
+    corpus is never shuffled. The vote argmax is a rank-1 window over
+    at most ``k`` rows per query, ties broken by label id so the
+    prediction is deterministic. Callers with a large query set should
+    drop to the unhinted join and let AQE choose.
     """
     topk = cosine_topk(embeddings, k=k, num_queries=num_queries)
     labeled = embeddings.select(

@@ -203,7 +203,11 @@ def value_anomalies(events: DataFrame, z_cut: float = 3.0) -> DataFrame:
         F.col("event_type").alias("et"),
         mean.alias("mean"),
         F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"),
-    )
+    # Zero-variance groups are filtered from the stats side (not left
+    # to the division): Spark's non-ANSI x/0.0 yields NULL while DuckDB
+    # yields inf/nan, so the std > 0 guard must sit identically on both
+    # engines for the oracle to hash-match the degenerate case.
+    ).filter(F.col("std") > 0)
     z = (F.col("value") - F.col("mean")) / F.col("std")
     return (
         events.join(F.broadcast(stats), F.col("event_type") == F.col("et"))

@@ -1012,7 +1012,7 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, e.event_type, value,
            round((value - mean) / std, 4) AS z_score
     FROM events e JOIN m ON e.event_type = m.event_type
-    WHERE abs((value - mean) / std) > 3.0
+    WHERE std > 0 AND abs((value - mean) / std) > 3.0
     """,
 )
 def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,7 +66,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
            count(DISTINCT c_nationkey) AS n_nations,
-           round(sum(value), 4) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(27,10))), 4) AS DOUBLE) AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c_mktsegment, event_type
     """,
@@ -132,7 +132,7 @@ def q_airline_stats_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(ts) + INTERVAL 30 MINUTE AS session_end,
            count(*) AS n_events,
            count(DISTINCT event_type) AS n_event_types,
-           round(sum(value), 4) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(27,10))), 4) AS DOUBLE) AS sum_value
     FROM islands
     GROUP BY user_id, sid
     """,
@@ -150,7 +150,7 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(grouping(event_type) * 2 + grouping(hour_of_day) AS BIGINT)
                AS level,
            count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(27,10))), 4) AS DOUBLE) AS sum_value
     FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day, value
           FROM events)
     GROUP BY ROLLUP (event_type, hour_of_day)
@@ -297,7 +297,7 @@ _BANDS_VALUES = ", ".join(
     oracle=f"""
     WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES})
     SELECT band, event_type, count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(27,10))), 4) AS DOUBLE) AS sum_value
     FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY band, event_type
     """,
@@ -625,7 +625,7 @@ def q_skew_salted_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast is impossible and the hot key is known). Result is
     provably identical to the plain join, so it shares its oracle —
     which IS the check that salting never changes semantics."""
-    from ..operators.relational import ROUND_DP
+    from ..operators.relational import dec_sum
     from ..operators.util import salted_join
     from pyspark.sql import functions as F
 
@@ -640,7 +640,7 @@ def q_skew_salted_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.count_distinct("user_id").alias("n_users"),
             F.count_distinct("c_nationkey").alias("n_nations"),
-            F.round(F.sum("value"), ROUND_DP).alias("sum_value"),
+            dec_sum().alias("sum_value"),
         )
     )
 
@@ -662,7 +662,9 @@ def q_skew_salted_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (SELECT count(*) FROM v) AS n2,
                  (SELECT count(*) FROM p) AS n3)
     SELECT t.stage, t.n_users,
-           round(t.n_users * 1.0 / n1, 4) AS conversion_from_start
+           CASE WHEN n1 > 0
+                THEN round(t.n_users * 1.0 / n1, 4)
+           END AS conversion_from_start
     FROM c, LATERAL (VALUES
         ('1_signup', n1),
         ('2_view_after_signup', n2),

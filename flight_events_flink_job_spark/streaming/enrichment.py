@@ -41,7 +41,14 @@ def enrich_stream(stream: DataFrame, customer: DataFrame) -> DataFrame:
             F.size(F.collect_set("c_nationkey")).cast("bigint").alias(
                 "n_nations"
             ),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # DECIMAL accumulation: a plain double sum's association
+            # order depends on micro-batch file assignment and state
+            # merge order, so a .xxxx5-boundary value could round
+            # differently from the batch oracle. The decimal sum is
+            # exact/associative; one double cast + round at the edge.
+            F.round(F.sum(F.col("value").cast("decimal(27,10)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
     )
 

@@ -44,7 +44,12 @@ def sessionize_stream(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
             F.size(F.collect_set("event_type")).cast("bigint").alias(
                 "n_event_types"
             ),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # DECIMAL accumulation: state-store merge order must not be
+            # able to flip a .xxxx5 rounding boundary vs the batch twin
+            # (operators/relational.py dec_sum rationale).
+            F.round(F.sum(F.col("value").cast("decimal(27,10)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             "user_id",

@@ -21,6 +21,9 @@ BNLJ_ALLOWED = {
     "value_band_join",
     "knn_label_vote",
     "hash_embed_search",
+    # 3 stage-count rows x 1 broadcast denominator row (the lazy
+    # funnel's conversion divisor) — bounded by construction.
+    "conversion_funnel",
 }
 
 
