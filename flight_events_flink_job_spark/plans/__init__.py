@@ -4,3 +4,86 @@ from . import registry_pipeline  # noqa: F401  (registers training-pipeline quer
 from . import registry_rel  # noqa: F401  (registers relational-extension queries)
 from . import registry_stream  # noqa: F401  (registers streaming queries)
 from .registry_stream import BENCH_SKIP  # noqa: F401
+
+# ---------------------------------------------------------------------------
+# Driver-gate ordering. The driver's correctness pass records only the
+# FIRST 50 registry entries, so insertion order decides which queries
+# get a hard driver-green signal each round. Priority (round-4 VERDICT
+# item 1): first the 19 queries that had never appeared in any round's
+# CORRECTNESS file, then the 5 newly oracle-ified this round, then
+# queries whose plan or oracle changed this round, then the set last
+# driver-checked in round 2, then the reference-parity core. Everything
+# else (all green in round 3) follows in registration order — the full
+# 86 still run in pytest/tools-parity sweeps every round.
+# ---------------------------------------------------------------------------
+_PRIORITY = [
+    # -- never driver-checked before round 4 --------------------------------
+    "per_lang_sample",
+    "regional_supplier_volume",
+    "returned_items_top_customers",
+    "customer_value_deciles",
+    "events_multigrain_rollup",
+    "skew_salted_enrichment",
+    "conversion_funnel",
+    "weekly_cohort_retention",
+    "event_transitions",
+    "shipping_priority",
+    "priority_orders_with_returns",
+    "promo_revenue_share",
+    "nation_trade_volume",
+    "error_rate_windows",
+    "user_activity_state",
+    "stream_interval_join",
+    "stream_dedup_redelivery",
+    "stream_session_windows",
+    "stream_static_enrichment",
+    # -- oracle-ified in round 4 (rows-only before) -------------------------
+    "dedup_simhash",
+    "similarity_topk_lsh",
+    "approx_distinct_users",
+    "event_value_quantiles_sketch",
+    "multimodal_resize",
+    # -- plan/oracle touched in round 4 -------------------------------------
+    "value_anomalies",
+    "user_event_enrichment",
+    "user_sessions",
+    "events_rollup",
+    "value_band_join",
+    "knn_label_vote",
+    # -- last driver-checked in round 2 --------------------------------------
+    "user_event_gaps",
+    "orders_asof",
+    "airline_stats_sliding",
+    "top_routes_per_airline",
+    "segment_revenue",
+    "inactive_customers",
+    "pricing_summary",
+    "similarity_topk_ivf",
+    "rolling_user_value",
+    "user_event_type_pivot",
+    "converted_without_errors",
+    "streaming_airline_stats",
+    # -- reference-parity core ------------------------------------------------
+    "flights_raw",
+    "delay_notifications",
+    "airline_delay_stats",
+    "route_delay_stats",
+    "hourly_delay_stats",
+    "rejected_rows",
+    "dedup_exact",
+    "similarity_topk",
+]
+
+
+def _reorder() -> None:
+    unknown = [n for n in _PRIORITY if n not in QUERIES]
+    if unknown:
+        raise RuntimeError(f"priority list names unregistered queries: {unknown}")
+    order = list(_PRIORITY) + [n for n in QUERIES if n not in set(_PRIORITY)]
+    for d in (QUERIES, ORACLES):
+        snap = dict(d)
+        d.clear()
+        d.update((n, snap[n]) for n in order if n in snap)
+
+
+_reorder()
