@@ -10,6 +10,9 @@ engine, not IPC).
 Prints exactly ONE JSON line:
     {"metric": "sum_median_query_sec", "value": N, "unit": "sec",
      "queries": {name: sec, ...}, "sf": 0.1}
+plus dispersion keys (``query_mad``, ``mad_total``): per-query median
+absolute deviation across the timed runs, so round-over-round deltas
+can be read against run-to-run noise (VERDICT r3 item 8).
 
 Extra (non-contract) keys: ``materialized`` re-times the window
 aggregates over a pre-materialized flights table, separating the
@@ -38,7 +41,16 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _time(df_fn) -> float:
+def _time(df_fn) -> tuple[float, float]:
+    """(median, MAD) over RUNS timed materializations.
+
+    The MAD (median absolute deviation from the median) is the
+    dispersion signal BASELINE.md's ±15% single-machine caveat calls
+    for: a query whose MAD is a large fraction of its median moved
+    between runs, so a round-over-round delta smaller than ~2x MAD is
+    noise, not a regression (tests/test_plans.py stays the stable
+    plan-shape gate).
+    """
     for _ in range(WARMUPS):
         _materialize(df_fn())
     samples = []
@@ -46,7 +58,9 @@ def _time(df_fn) -> float:
         t0 = time.perf_counter()
         _materialize(df_fn())
         samples.append(time.perf_counter() - t0)
-    return round(statistics.median(samples), 3)
+    med = statistics.median(samples)
+    mad = statistics.median(abs(s - med) for s in samples)
+    return round(med, 3), round(mad, 3)
 
 
 def main() -> int:
@@ -70,10 +84,11 @@ def main() -> int:
 
     spark = get_spark("bench")
     timings: dict[str, float] = {}
+    mads: dict[str, float] = {}
     for name, fn in QUERIES.items():
         if name in BENCH_SKIP:
             continue  # streaming round trips time tempdir IO, not the engine
-        timings[name] = _time(lambda: fn(spark, sf_dir))
+        timings[name], mads[name] = _time(lambda: fn(spark, sf_dir))
 
     # Adapter-cost separation: write the parsed flights table once,
     # then time the three window aggregates over the parquet directly.
@@ -87,7 +102,7 @@ def main() -> int:
             ("route_delay_stats", route_stats),
             ("hourly_delay_stats", hourly_stats),
         ]:
-            mat[name] = _time(lambda: op(flights))
+            mat[name], _ = _time(lambda: op(flights))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -97,6 +112,8 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "query_mad": mads,
+        "mad_total": round(sum(mads.values()), 3),
         "materialized": mat,
         "config": {
             "master": spark.sparkContext.master,
