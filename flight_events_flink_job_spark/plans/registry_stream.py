@@ -19,6 +19,7 @@ from ..streaming.job import (
     merge_airline_stats,
     run_file_stream,
     stage_flight_event_json,
+    streaming_airline_stats_update,
 )
 from ..streaming.dedup import drain_deduped_from_staged
 from ..streaming.enrichment import drain_enriched_from_staged
@@ -32,6 +33,7 @@ from .registry import ORACLES, register
 # the engine. The driver's correctness gate still runs them.
 BENCH_SKIP = {
     "streaming_airline_stats",
+    "stream_update_mode_stats",
     "user_activity_state",
     "stream_interval_join",
     "stream_dedup_redelivery",
@@ -52,6 +54,19 @@ def q_streaming_airline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_airline_stats(
         spark.read.parquet(f"{warehouse}/airline_delay_stats_partial")
     )
+
+
+@register("stream_update_mode_stats", oracle=ORACLES["airline_delay_stats"])
+def q_stream_update_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-output-mode + RocksDB-state-store parity, driver-checked:
+    the changelog drain's latest-epoch snapshot per (airline, window)
+    must hash-equal the batch A1 oracle exactly (streaming/job.py
+    streaming_airline_stats_update — §2.4 config surface the append
+    demos don't cover)."""
+    base = tempfile.mkdtemp(prefix="stream_update_")
+    staging, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    stage_flight_event_json(spark, sf_dir, staging, parts=4)
+    return streaming_airline_stats_update(spark, staging, out, ckpt)
 
 
 @register(

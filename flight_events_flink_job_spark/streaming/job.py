@@ -345,3 +345,106 @@ def streaming_airline_stats_watermarked(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def streaming_airline_stats_update(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_size: str = "2 minutes",
+    max_files_per_trigger: int | None = 2,
+    use_rocksdb: bool = True,
+) -> DataFrame:
+    """A1 as an UPDATE-mode streaming aggregate over the RocksDB state
+    store — the two §2.4 config points the append-mode demos don't
+    exercise (round-3 VERDICT "What's missing" #4).
+
+    Update mode re-emits a (airline, window) row in EVERY micro-batch
+    that changed it (a changelog, vs append's emit-once-on-finalize),
+    so the sink is an epoch-stamped upsert: foreachBatch appends rows
+    tagged with the epoch, the final snapshot keeps each key's
+    latest-epoch row. No watermark on purpose — nothing is late-dropped
+    and windows never leave state, so the final snapshot must equal the
+    batch A1 aggregate exactly (that parity is the oracle); production
+    would add the watermark back purely as the state-retention policy.
+
+    RocksDB (``spark.sql.streaming.stateStore.providerClass``): at real
+    scale the per-executor window state outgrows the default in-JVM-heap
+    HDFS-backed store; RocksDB spills state to local disk with bounded
+    memory and incremental-checkpoints to the checkpoint location. The
+    conf is read per-query at start; the previous provider is restored
+    after the drain so other tests keep the default store.
+    """
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    if use_rocksdb:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        reader = spark.readStream
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        flights = valid_flights(parse_flight_events(reader.text(source_dir)))
+        agg = (
+            flights.groupBy(
+                F.window("scheduled_time", window_size).alias("w"), "airline"
+            )
+            .agg(
+                F.count("*").alias("total_flights"),
+                F.sum(F.when(F.col("is_delayed") == 1, 1).otherwise(0)).alias(
+                    "delayed_flights"
+                ),
+                F.round(F.avg("delay_minutes"), ROUND_DP).alias(
+                    "avg_delay_minutes"
+                ),
+            )
+            .withColumn(
+                "delay_rate",
+                F.round(
+                    F.col("delayed_flights") * 100.0 / F.col("total_flights"),
+                    ROUND_DP,
+                ),
+            )
+            .select(
+                "airline", "total_flights", "delayed_flights",
+                "avg_delay_minutes", "delay_rate",
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+            )
+        )
+
+        def upsert_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.withColumn("_epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(upsert_epoch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    # Snapshot = latest changelog emission per key (max_by over _epoch;
+    # ties impossible: one emission per key per epoch).
+    log = spark.read.parquet(out_dir)
+    value_cols = [c for c in log.columns if c not in
+                  ("airline", "window_start", "_epoch")]
+    return (
+        log.groupBy("airline", "window_start")
+        .agg(*[
+            F.expr(f"max_by({c}, _epoch)").alias(c) for c in value_cols
+        ])
+        .select(AIRLINE_STATS_COLUMNS)
+    )

@@ -25,6 +25,7 @@ from flight_events_flink_job_spark.streaming.job import (
     merge_route_stats,
     run_file_stream,
     stage_flight_event_json,
+    streaming_airline_stats_update,
     streaming_airline_stats_watermarked,
 )
 from flight_events_flink_job_spark.streaming.sinks import (
@@ -55,6 +56,32 @@ def test_stream_parity_flights_archive(spark, sf_dir, drained):
         "flight_date"
     ).select(*batch.columns)
     assert _rows(streamed) == _rows(batch)
+
+
+def test_update_mode_rocksdb_matches_batch(spark, sf_dir, drained, tmp_path):
+    """UPDATE output mode over the RocksDB state store: the changelog's
+    latest-epoch snapshot must equal the batch A1 aggregate exactly,
+    and the checkpoint must contain RocksDB artifacts (.zip snapshots /
+    .changelog increments — the HDFS-backed default writes .delta)."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    snap = streaming_airline_stats_update(spark, drained["staging"], out, ckpt)
+    batch = airline_stats(flights_from_events(spark, sf_dir))
+    assert _rows(snap) == _rows(batch)
+
+    rocks_files = [
+        f
+        for root, _dirs, files in os.walk(ckpt)
+        for f in files
+        if f.endswith((".zip", ".changelog"))
+    ]
+    assert rocks_files, "no RocksDB state artifacts under the checkpoint"
+    # provider conf must be restored for the rest of the suite
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "HDFSBackedStateStoreProvider",
+        ).endswith("HDFSBackedStateStoreProvider")
+    )
 
 
 def test_stream_parity_notifications(spark, sf_dir, drained):
