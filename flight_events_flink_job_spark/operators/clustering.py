@@ -1,0 +1,112 @@
+"""Bounded-iteration Lloyd k-means over the ``embeddings`` table.
+
+Extension surface (SURVEY.md §2.6): the clustering step of an
+embedding-pipeline (corpus topic bucketing, IVF index training,
+diversity-aware sampling). Complements the two existing iterative /
+model-ish operators:
+
+- ``dedup.connected_components`` — iterative, no model, hash joins;
+- ``similarity.cosine_topk_ivf`` — a driver-held CAPPED centroid model
+  (the module's one sanctioned collect);
+- this operator — iterative AND model-free on the driver: centroids
+  live in a k-row DataFrame that is broadcast per iteration, so NOTHING
+  is ever collected and the plan is one lazy chain.
+
+Scale shape per iteration: assignment is a broadcast nested-loop join
+of the k-row centroid table onto one linear scan of the vectors
+(O(N*k) distance work, embarrassingly parallel, no shuffle of the
+corpus); the centroid update is a long-form (cid, dim) hash aggregate
+— the shuffle carries k*dim partial-sum rows per partition, never
+vectors. Iterations are a fixed small constant (the contract is
+"run c iterations deterministically", not "until convergence" — the
+unbounded-convergence variant belongs to the CC-style loop with a
+per-round driver boolean).
+
+Engine-portability (what makes the oracle hash-exact): squared-L2 is a
+sequential left fold over dimensions (Catalyst ``aggregate`` over
+``zip_with`` here, ``list_reduce`` over a comprehension in DuckDB —
+the same bit-exact pairing the IVF oracle uses); centroid means
+accumulate in DECIMAL (exact, associative) with ONE double division at
+the edge; assignment ties break by (d2, cid) row_number on both sides;
+inertia sums d2 in DECIMAL. Arrow swap-in note: at production scale the
+per-row fold would move into a pandas_udf matmul like
+``similarity._ranked_centroids`` (same plan topology, faster math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import to_double
+from .util import spread
+
+
+def kmeans_clusters(
+    embeddings: DataFrame, k: int = 8, iterations: int = 2, stride: int = 7
+) -> DataFrame:
+    """(cluster_id, n_vectors, inertia): fixed-``iterations`` Lloyd
+    k-means, reporting the final assignment's cluster sizes and exact
+    decimal-summed inertia (rounded 4dp).
+
+    Init is deterministic and oracle-replayable: centroid ``i`` is the
+    vector with ``vec_id == i * stride`` (every ``stride``-th vector,
+    first ``k``) — a data-independent draw, the k-means analogue of the
+    IVF stride sample. Each iteration assigns every vector to its
+    nearest centroid (ties by centroid id) and recomputes centroids as
+    per-dimension decimal-exact means; the last iteration's assignment
+    is returned un-reassigned (``iterations`` assign steps,
+    ``iterations - 1`` update steps).
+    """
+    e = spread(embeddings).select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    cent = e.filter(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * k)
+    ).select(
+        (F.col("vec_id") / stride).cast("bigint").alias("cid"),
+        F.col("v").alias("cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = None
+    for it in range(iterations):
+        assigned = (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid", "d2")
+        )
+        if it < iterations - 1:
+            cent = (
+                assigned.select("cid", F.posexplode("v").alias("dim0", "x"))
+                .groupBy("cid", "dim0")
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+                        / F.count("*")
+                    ).alias("cx")
+                )
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim0", "cx"))),
+                        lambda s: s["cx"],
+                    ).alias("cv")
+                )
+            )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.sum(F.col("d2").cast("decimal(27,10)")), 4)
+            .cast("double")
+            .alias("inertia"),
+        )
+        .select(F.col("cid").alias("cluster_id"), "n_vectors", "inertia")
+    )

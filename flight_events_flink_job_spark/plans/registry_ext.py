@@ -402,6 +402,62 @@ def _topk_lsh_oracle(
     """
 
 
+def _kmeans_oracle(
+    k: int = 8, iterations: int = 2, stride: int = 7, dim: int = 64
+) -> str:
+    """DuckDB twin of operators/clustering.kmeans_clusters: same stride
+    init, per-iteration sequential-fold L2 assignment with (d2, cid)
+    tie-break, DECIMAL-mean centroid update, DECIMAL-summed inertia —
+    the CTE chain is generated per iteration to mirror the Spark loop."""
+    d2 = (
+        "list_reduce(list_prepend(0.0, "
+        "[(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]) for i in range(1, {n})]), "
+        "(a,x) -> a+x)".format(n=dim + 1)
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)",
+        f"""c0 AS (SELECT CAST(vec_id / {stride} AS BIGINT) cid, v AS cv
+            FROM e WHERE vec_id % {stride} = 0 AND vec_id < {stride * k})""",
+    ]
+    for it in range(1, iterations + 1):
+        ctes.append(f"""d{it} AS (
+            SELECT e.vec_id, e.v, c.cid, {d2} AS d2
+            FROM e, c{it - 1} c)""")
+        ctes.append(f"""a{it} AS (
+            SELECT vec_id, v, cid, d2 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cid) rn FROM d{it})
+            WHERE rn = 1)""")
+        if it < iterations:
+            ctes.append(f"""c{it} AS (
+            SELECT cid, list(cx ORDER BY dim) cv FROM (
+                SELECT cid, dim,
+                       CAST(sum(CAST(x AS DECIMAL(20,10))) AS DOUBLE)
+                           / count(*) AS cx
+                FROM (SELECT cid, generate_subscripts(v, 1) dim,
+                             unnest(v) x FROM a{it})
+                GROUP BY cid, dim)
+            GROUP BY cid)""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT cid AS cluster_id, count(*) AS n_vectors,
+           CAST(round(sum(CAST(d2 AS DECIMAL(27,10))), 4) AS DOUBLE)
+               AS inertia
+    FROM a{iterations} GROUP BY cid
+    """
+
+
+@register("kmeans_clusters", oracle=_kmeans_oracle())
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-2-iteration Lloyd k-means (k=8, stride init): broadcast
+    k-row centroid table per iteration, no driver collect, decimal-exact
+    means/inertia — the clustering step of an embedding pipeline."""
+    from ..operators.clustering import kmeans_clusters
+
+    return kmeans_clusters(_embs(spark, sf_dir))
+
+
 @register("similarity_topk_lsh", oracle=_topk_lsh_oracle())
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH (16 tables x 4

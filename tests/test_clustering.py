@@ -1,0 +1,75 @@
+"""Lloyd k-means (operators/clustering.py): partition totality,
+monotone inertia, deterministic assignment, plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flight_events_flink_job_spark.operators.clustering import kmeans_clusters
+from flight_events_flink_job_spark.sources.fixtures import load_table
+
+
+def _embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_kmeans_partitions_all_vectors(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    n = embs.count()
+    out = kmeans_clusters(embs).collect()
+    assert sum(r.n_vectors for r in out) == n
+    assert len(out) <= 8
+    assert all(0 <= r.cluster_id < 8 for r in out)
+    assert all(r.inertia >= 0.0 for r in out)
+
+
+def test_kmeans_inertia_never_increases_with_iterations(spark, sf_dir):
+    """Lloyd's algorithm is monotone: total inertia after the
+    (assign, update, assign) sequence cannot exceed the initial
+    assignment's inertia."""
+    embs = _embs(spark, sf_dir)
+
+    def total(iters: int) -> float:
+        rows = kmeans_clusters(embs, iterations=iters).collect()
+        return sum(r.inertia for r in rows)
+
+    assert total(2) <= total(1) + 1e-6
+
+
+def test_kmeans_deterministic_across_runs(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    a = sorted(map(tuple, kmeans_clusters(embs).collect()))
+    b = sorted(map(tuple, kmeans_clusters(embs.repartition(7)).collect()))
+    assert a == b
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Two well-separated planted blobs with centroid seeds inside each
+    blob must be recovered exactly (vectors 0,7 are the stride-init
+    seeds for k=2)."""
+    dim = 4
+    rows = []
+    for i in range(14):
+        # even stride-ids land in blob A, odds in blob B, by construction:
+        # vec_id 0..6 near (+10), 7..13 near (-10)
+        base = 10.0 if i < 7 else -10.0
+        rows.append((i, [base + 0.01 * i] * dim, 0))
+    embs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    out = {r.cluster_id: r.n_vectors for r in
+           kmeans_clusters(embs, k=2, iterations=2).collect()}
+    assert out == {0: 7, 1: 7}
+
+
+def test_kmeans_plan_has_no_cartesian_product(spark, sf_dir):
+    plan = (
+        kmeans_clusters(_embs(spark, sf_dir))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # broadcast of the k-row centroid table is the intended join; a
+    # CartesianProduct would mean the hint was lost
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

@@ -24,6 +24,9 @@ BNLJ_ALLOWED = {
     # 3 stage-count rows x 1 broadcast denominator row (the lazy
     # funnel's conversion divisor) — bounded by construction.
     "conversion_funnel",
+    # k-row centroid table broadcast onto the vector scan per Lloyd
+    # iteration — bounded by the k parameter.
+    "kmeans_clusters",
 }
 
 
