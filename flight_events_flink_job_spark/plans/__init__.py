@@ -43,6 +43,9 @@ _PRIORITY = [
     "approx_distinct_users",
     "event_value_quantiles_sketch",
     "multimodal_resize",
+    # -- new in round 4 ------------------------------------------------------
+    "kmeans_clusters",
+    "stream_update_mode_stats",
     # -- plan/oracle touched in round 4 -------------------------------------
     "value_anomalies",
     "user_event_enrichment",
@@ -70,8 +73,6 @@ _PRIORITY = [
     "route_delay_stats",
     "hourly_delay_stats",
     "rejected_rows",
-    "dedup_exact",
-    "similarity_topk",
 ]
 
 
