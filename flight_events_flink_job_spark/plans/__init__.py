@@ -46,6 +46,7 @@ _PRIORITY = [
     # -- new in round 4 ------------------------------------------------------
     "kmeans_clusters",
     "stream_update_mode_stats",
+    "airline_stats_jdbc",
     # -- plan/oracle touched in round 4 -------------------------------------
     "value_anomalies",
     "user_event_enrichment",

@@ -34,6 +34,7 @@ from .registry import ORACLES, register
 BENCH_SKIP = {
     "streaming_airline_stats",
     "stream_update_mode_stats",
+    "airline_stats_jdbc",
     "user_activity_state",
     "stream_interval_join",
     "stream_dedup_redelivery",
@@ -54,6 +55,32 @@ def q_streaming_airline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_airline_stats(
         spark.read.parquet(f"{warehouse}/airline_delay_stats_partial")
     )
+
+
+@register("airline_stats_jdbc", oracle=ORACLES["airline_delay_stats"])
+def q_airline_stats_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 through a REAL JDBC wire (embedded Derby, in-process): the A1
+    aggregate is written with executor-parallel batched inserts and read
+    back through a bounds-partitioned parallel JDBC scan; the round trip
+    must hash-equal the batch A1 oracle exactly (sources/jdbc.py — the
+    reference's ClickHouse-JDBC serving path, readme.txt:41-49)."""
+    from ..operators.aggregates import airline_stats
+    from ..sources.flight_adapter import shared_flights
+    from ..sources.jdbc import derby_url, read_jdbc_table, write_jdbc_table
+
+    base = tempfile.mkdtemp(prefix="jdbc_serving_")
+    url = derby_url(f"{base}/db")
+    stats = airline_stats(shared_flights(spark, sf_dir))
+    write_jdbc_table(
+        stats, url, "airline_delay_stats",
+        column_types="airline VARCHAR(64)",
+    )
+    out = read_jdbc_table(
+        spark, url, "airline_delay_stats",
+        partition_column="total_flights",
+        lower_bound=0, upper_bound=1_000_000, num_partitions=4,
+    )
+    return out.select(stats.columns)
 
 
 @register("stream_update_mode_stats", oracle=ORACLES["airline_delay_stats"])
