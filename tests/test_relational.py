@@ -262,6 +262,26 @@ def test_conversion_funnel_requires_order(spark):
     }
 
 
+def test_conversion_funnel_no_signups_yields_null_rates(spark):
+    """Zero signup events: conversions must be NULL (guarded WHEN n1>0)
+    on both engines, not a NaN-vs-divide-by-zero divergence (ADVICE r3)."""
+    from datetime import datetime
+
+    from flight_events_flink_job_spark.operators.relational import (
+        conversion_funnel,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1), "view", 1.0)],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    rows = {r.stage: r for r in conversion_funnel(df).collect()}
+    assert {s: r.n_users for s, r in rows.items()} == {
+        "1_signup": 0, "2_view_after_signup": 0, "3_purchase_after_view": 0
+    }
+    assert all(r.conversion_from_start is None for r in rows.values())
+
+
 def test_event_transitions_order_and_shares(spark):
     from datetime import datetime
 
