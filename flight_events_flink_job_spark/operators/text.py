@@ -315,6 +315,56 @@ def doc_fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-one-
+    smoothed bigram model trained on the corpus itself — the KenLM-style
+    fluency filter of an LLM data pipeline (stitched/boilerplate text
+    scores low even when its unigrams look fine, which is exactly what
+    :func:`doc_logfreq_score` cannot see).
+
+    P(w2 | w1) = (c(w1,w2) + 1) / (c(w1,·) + V), V = corpus vocabulary.
+
+    Plan: bigrams come from zip_with over two array slices (per-row,
+    zero shuffle, no window over the token stream); the model is two
+    hash aggregates over narrow (w1, w2, count) rows; scoring re-joins
+    the bigram stream to the model on its natural keys and the 1-row
+    vocabulary count rides a broadcast. Per-token logs are rounded to
+    6 dp then DECIMAL-summed (the :func:`doc_logfreq_score` pattern) so
+    partial-aggregation order cannot move the mean. Docs with < 2
+    tokens have no bigrams and are absent from the output.
+    """
+    ts = tokens(F.col("text"))
+    pairs = F.zip_with(
+        F.slice(ts, 1, F.size(ts) - 1),
+        F.slice(ts, 2, F.size(ts) - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    vocab = docs.select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    ).agg(F.count_distinct("tok").alias("nv"))
+    logp = F.round(
+        F.log((F.col("n2") + F.lit(1.0)) / (F.col("n1") + F.col("nv"))), 6
+    ).cast("decimal(20,6)")
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", logp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("lp").cast("double") / F.count("*"), 4).alias(
+                "mean_log_prob"
+            ),
+        )
+    )
+
+
 def top_ngrams_per_lang(docs: DataFrame, n: int = 2, k: int = 5) -> DataFrame:
     """Top-k word n-grams (default bigrams) per language by corpus
     frequency — the phrase-level twin of :func:`term_frequency`.

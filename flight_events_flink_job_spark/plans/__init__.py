@@ -47,6 +47,7 @@ _PRIORITY = [
     "kmeans_clusters",
     "stream_update_mode_stats",
     "airline_stats_jdbc",
+    "bigram_lm_score",
     # -- plan/oracle touched in round 4 -------------------------------------
     "value_anomalies",
     "user_event_enrichment",

@@ -43,6 +43,7 @@ from ..operators.similarity import (
     knn_label_vote,
 )
 from ..operators.text import (
+    bigram_lm_score,
     chunk_documents,
     doc_novelty,
     vocab_coverage_bands,
@@ -400,6 +401,35 @@ def _topk_lsh_oracle(
         FROM scored
     ) WHERE rank <= {k}
     """
+
+
+@register(
+    "bigram_lm_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(ts[:len(ts)-1]) w1, unnest(ts[2:]) w2
+      FROM t WHERE len(ts) >= 2
+    ),
+    c2 AS (SELECT w1, w2, count(*) n2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(n2) n1 FROM c2 GROUP BY w1),
+    v AS (SELECT count(DISTINCT tok) nv
+          FROM (SELECT unnest(ts) tok FROM t)),
+    s AS (
+      SELECT bg.doc_id,
+             CAST(round(ln((c2.n2 + 1.0) / (c1.n1 + v.nv)), 6)
+                  AS DECIMAL(20,6)) lp
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS mean_log_prob
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram LM fluency score per document (corpus-
+    trained, per-token logs 6dp-rounded then DECIMAL-summed)."""
+    return bigram_lm_score(_docs(spark, sf_dir))
 
 
 def _kmeans_oracle(

@@ -222,3 +222,38 @@ def test_doc_logfreq_score_prefers_common_tokens(spark):
     assert out[0].n_tokens == 3 and out[1].n_tokens == 3
     # doc 0 repeats the corpus's most frequent token -> higher mean log tf
     assert out[0].mean_log_tf > out[1].mean_log_tf
+
+
+def test_bigram_lm_score_prefers_fluent_repetition(spark):
+    from flight_events_flink_job_spark.operators.text import bigram_lm_score
+
+    rows = [
+        (0, "a b a b a b a b", "en", "s", 15),  # one dominant bigram pattern
+        (1, "q w e r t y u i", "en", "s", 15),  # all-singleton bigrams
+        (2, "x", "en", "s", 1),                  # < 2 tokens: no output row
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_bigrams == 7 and out[1].n_bigrams == 7
+    # high-count bigrams -> higher (less negative) mean log-probability
+    assert out[0].mean_log_prob > out[1].mean_log_prob
+
+
+def test_bigram_lm_score_matches_hand_model(spark):
+    import math
+
+    from flight_events_flink_job_spark.operators.text import bigram_lm_score
+
+    rows = [(0, "a b a b", "en", "s", 7)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    r = bigram_lm_score(docs).collect()[0]
+    # bigrams: (a,b) x2, (b,a) x1; c1: a->2, b->1; V=2
+    lp = [
+        math.log((2 + 1) / (2 + 2)),  # a b
+        math.log((1 + 1) / (1 + 2)),  # b a
+        math.log((2 + 1) / (2 + 2)),  # a b
+    ]
+    want = round(sum(round(x, 6) for x in lp) / 3, 4)
+    assert r.n_bigrams == 3
+    assert abs(r.mean_log_prob - want) < 1e-9
