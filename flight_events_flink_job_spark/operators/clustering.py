@@ -35,7 +35,7 @@ per-row fold would move into a pandas_udf matmul like
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import to_double
@@ -72,15 +72,29 @@ def kmeans_clusters(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     assigned = None
     for it in range(iterations):
+        # argmin via min_by over a (d2, cid) struct, NOT a row_number
+        # window: the hash aggregate partial-combines each partition's
+        # k candidates per vector to one row BEFORE the exchange, so
+        # the shuffle carries N rows, not N*k window-sort input. Ties
+        # break by cid (struct comparison is lexicographic; cid is
+        # unique per vec_id candidate set -> deterministic).
         assigned = (
             e.crossJoin(F.broadcast(cent))
             .withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cid", "d2")
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("v", "cid", "d2"), F.struct("d2", "cid")
+                ).alias("m")
+            )
+            .select(
+                "vec_id",
+                F.col("m.v").alias("v"),
+                F.col("m.cid").alias("cid"),
+                F.col("m.d2").alias("d2"),
+            )
         )
         if it < iterations - 1:
             cent = (
