@@ -115,6 +115,63 @@ def event_value_quantiles_sketch_checked(
     )
 
 
+def embedding_norm_outliers(
+    embeddings: DataFrame, z_cut: float = 3.0
+) -> DataFrame:
+    """(label, n_vectors, mean_norm, n_norm_outliers): per-label L2-norm
+    audit — the broken-embedding detector of a vector pipeline (a
+    truncated/zeroed/double-scaled vector shows up as a norm outlier
+    long before any similarity query goes wrong).
+
+    Same two-pass shape as :func:`value_anomalies`: per-label DECIMAL
+    norm moments, tiny stats row broadcast back over the scan, z-score
+    per vector, zero-variance labels guarded (``std > 0``) identically
+    to the oracle. The norm is a sequential left fold over dimensions
+    (bit-identical to DuckDB's ``list_reduce``), so the whole audit is
+    hash-exact.
+    """
+    from ..functions.vectors import to_double
+
+    v = to_double(F.col("embedding"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        )
+    )
+    base = spread(embeddings).select("label", norm.alias("norm"))
+    stats = base.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.col("norm").cast("decimal(27,10)")).alias("s"),
+        F.sum((F.col("norm") * F.col("norm")).cast("decimal(27,10)")).alias(
+            "ss"
+        ),
+    )
+    mean = F.col("s").cast("double") / F.col("n_vectors")
+    var = F.col("ss").cast("double") / F.col("n_vectors") - mean * mean
+    stats = stats.select(
+        F.col("label").alias("lb"),
+        "n_vectors",
+        mean.alias("mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"),
+    )
+    flag = F.when(
+        (F.col("std") > 0)
+        & (F.abs(F.col("norm") - F.col("mean")) / F.col("std") > z_cut),
+        1,
+    ).otherwise(0)
+    return (
+        base.join(F.broadcast(stats), F.col("label") == F.col("lb"))
+        .groupBy("label", "n_vectors", "mean", "std")
+        .agg(F.sum(flag).cast("bigint").alias("n_norm_outliers"))
+        .select(
+            "label",
+            "n_vectors",
+            F.round(F.col("mean"), ROUND_DP).alias("mean_norm"),
+            "n_norm_outliers",
+        )
+    )
+
+
 def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the
     storage/serving compression step of an embedding pipeline (float32

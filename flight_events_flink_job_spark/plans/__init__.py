@@ -48,6 +48,8 @@ _PRIORITY = [
     "stream_update_mode_stats",
     "airline_stats_jdbc",
     "bigram_lm_score",
+    "stream_jdbc_serving",
+    "embedding_norm_outliers",
     # -- plan/oracle touched in round 4 -------------------------------------
     "value_anomalies",
     "user_event_enrichment",

@@ -64,6 +64,7 @@ from ..operators.text import (
     tf_idf_top_terms,
 )
 from ..operators.vectors_agg import (
+    embedding_norm_outliers,
     event_value_quantiles,
     label_centroid_similarity,
     label_centroids,
@@ -401,6 +402,49 @@ def _topk_lsh_oracle(
         FROM scored
     ) WHERE rank <= {k}
     """
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             sqrt(list_reduce(list_prepend(0.0,
+                 [CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                  for i in range(1, 65)]),
+                 (a, x) -> a + x)) AS norm
+      FROM embeddings
+    ),
+    st AS (
+      SELECT label, count(*) n_vectors,
+             sum(CAST(norm AS DECIMAL(27,10))) s,
+             sum(CAST(norm * norm AS DECIMAL(27,10))) ss
+      FROM e GROUP BY label
+    ),
+    m AS (
+      SELECT label, n_vectors,
+             CAST(s AS DOUBLE) / n_vectors AS mean,
+             sqrt(greatest(
+                 CAST(ss AS DOUBLE) / n_vectors
+                 - (CAST(s AS DOUBLE) / n_vectors)
+                   * (CAST(s AS DOUBLE) / n_vectors),
+                 0.0)) AS std
+      FROM st
+    )
+    SELECT e.label, m.n_vectors,
+           round(m.mean, 4) AS mean_norm,
+           CAST(count(*) FILTER (
+               WHERE m.std > 0
+                 AND abs(e.norm - m.mean) / m.std > 3.0) AS BIGINT)
+               AS n_norm_outliers
+    FROM e JOIN m USING (label)
+    GROUP BY e.label, m.n_vectors, m.mean, m.std
+    """,
+)
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm audit: decimal-exact moments, broadcast stats
+    join, z-score outlier count (broken-embedding detector)."""
+    return embedding_norm_outliers(_embs(spark, sf_dir))
 
 
 @register(

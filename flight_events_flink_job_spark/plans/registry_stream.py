@@ -18,6 +18,7 @@ from ..sources.fixtures import load_table
 from ..streaming.job import (
     merge_airline_stats,
     run_file_stream,
+    run_file_stream_jdbc,
     stage_flight_event_json,
     streaming_airline_stats_update,
 )
@@ -35,6 +36,7 @@ BENCH_SKIP = {
     "streaming_airline_stats",
     "stream_update_mode_stats",
     "airline_stats_jdbc",
+    "stream_jdbc_serving",
     "user_activity_state",
     "stream_interval_join",
     "stream_dedup_redelivery",
@@ -54,6 +56,24 @@ def q_streaming_airline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_file_stream(spark, staging, warehouse, ckpt, max_files_per_trigger=2)
     return merge_airline_stats(
         spark.read.parquet(f"{warehouse}/airline_delay_stats_partial")
+    )
+
+
+@register("stream_jdbc_serving", oracle=ORACLES["airline_delay_stats"])
+def q_stream_jdbc_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full serving topology on a real wire: streamed
+    micro-batches -> windowed partial aggregates -> JDBC batch inserts
+    (embedded Derby) -> serving-side merge. Must hash-equal the batch
+    A1 oracle exactly (streaming/job.py run_file_stream_jdbc)."""
+    from ..sources.jdbc import derby_url, read_jdbc_table
+
+    base = tempfile.mkdtemp(prefix="stream_jdbc_")
+    staging, ckpt = f"{base}/in", f"{base}/ckpt"
+    url = derby_url(f"{base}/db")
+    stage_flight_event_json(spark, sf_dir, staging, parts=4)
+    run_file_stream_jdbc(spark, staging, url, ckpt)
+    return merge_airline_stats(
+        read_jdbc_table(spark, url, "airline_stats_partial")
     )
 
 

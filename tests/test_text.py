@@ -257,3 +257,22 @@ def test_bigram_lm_score_matches_hand_model(spark):
     want = round(sum(round(x, 6) for x in lp) / 3, 4)
     assert r.n_bigrams == 3
     assert abs(r.mean_log_prob - want) < 1e-9
+
+
+def test_embedding_norm_outliers_detects_planted_break(spark):
+    from flight_events_flink_job_spark.operators.vectors_agg import (
+        embedding_norm_outliers,
+    )
+
+    rows = [(i, [1.0, 0.0, 0.0, 1.0], 0) for i in range(40)]
+    rows.append((100, [80.0, 80.0, 80.0, 80.0], 0))  # double-scaled junk
+    rows.append((101, [0.5, 0.5, 0.5, 0.5], 1))      # lone label: std=0
+    embs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    # operator assumes dim from data; the oracle pins 64 but the
+    # operator itself is dim-agnostic
+    out = {r.label: r for r in embedding_norm_outliers(embs).collect()}
+    assert out[0].n_vectors == 41
+    assert out[0].n_norm_outliers == 1    # exactly the planted vector
+    assert out[1].n_norm_outliers == 0    # std=0 guard: no divide blowup
