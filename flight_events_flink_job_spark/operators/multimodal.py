@@ -193,6 +193,55 @@ def sample_frames(
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_waveform_stats(media: DataFrame) -> DataFrame:
+    """Audio-branch plumbing: interpret the payload as little-endian
+    int16 mono PCM (trailing odd byte dropped) and emit per-item
+    waveform stats — sample count, peak |amplitude|, RMS. This is where
+    soundfile/librosa decode would run; the stand-in "decode" is pure
+    byte math (sample i = b[2i] | b[2i+1] << 8, sign-corrected), so the
+    whole branch stays deterministic and oracle-checkable like the
+    image (:func:`resize_thumbnails`) and video (:func:`sample_frames`)
+    branches. RMS = sqrt(sum(s^2)/n): integer sum is exact, one double
+    division + sqrt — association-free, hash-exact cross-engine.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b) // 2
+                if n == 0:
+                    continue
+                samples = np.frombuffer(b[: 2 * n], dtype="<i2").astype(
+                    np.int64
+                )
+                # raw double, deliberately unrounded: sqrt(exact_int/n)
+                # is a deterministic IEEE value both engines reproduce
+                # bit-for-bit (Python round() here would banker's-round
+                # and diverge from SQL round() at .xxxx5 boundaries)
+                rms = float(np.sqrt(float((samples * samples).sum()) / n))
+                rows.append(
+                    (doc_id, n, int(np.abs(samples).max()), rms)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "peak", "rms"]
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
 def multimodal_features(docs: DataFrame) -> DataFrame:
     """End-to-end: attach binary payload, extract features, stable order
     columns for the driver contract."""

@@ -50,6 +50,7 @@ _PRIORITY = [
     "bigram_lm_score",
     "stream_jdbc_serving",
     "embedding_norm_outliers",
+    "multimodal_audio_stats",
     # -- plan/oracle touched in round 4 -------------------------------------
     "value_anomalies",
     "user_event_enrichment",

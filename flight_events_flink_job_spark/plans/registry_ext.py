@@ -30,6 +30,7 @@ from ..operators.dedup import (
     simhash_near_pairs,
 )
 from ..operators.multimodal import (
+    audio_waveform_stats,
     multimodal_features,
     resize_thumbnails,
     sample_frames,
@@ -402,6 +403,47 @@ def _topk_lsh_oracle(
         FROM scored
     ) WHERE rank <= {k}
     """
+
+
+@register(
+    "multimodal_audio_stats",
+    # DuckDB replay of operators/multimodal.py audio_waveform_stats:
+    # payload = UTF-8 bytes of text (ASCII fixtures: byte i ==
+    # unicode(text[i])); sample i = b[2i] | b[2i+1] << 8 sign-corrected
+    # to int16 (dead branch on ASCII data but implemented identically);
+    # RMS = sqrt(exact integer sum / n) — unrounded deterministic IEEE.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             [CAST(unicode(text[i]) AS BIGINT)
+              for i in range(1, len(text)+1)] AS bytes
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, len(bytes) // 2 AS n, bytes
+      FROM b WHERE len(bytes) >= 2
+    ),
+    smp AS (
+      SELECT doc_id, n,
+             unnest([CASE WHEN bytes[2*i-1] + (bytes[2*i] << 8) >= 32768
+                          THEN bytes[2*i-1] + (bytes[2*i] << 8) - 65536
+                          ELSE bytes[2*i-1] + (bytes[2*i] << 8) END
+                     for i in range(1, n + 1)]) AS v
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(max(abs(v)) AS INTEGER) AS peak,
+           sqrt(CAST(sum(v * v) AS DOUBLE) / n) AS rms
+    FROM smp GROUP BY doc_id, n
+    """,
+)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-branch plumbing: payload as int16-LE PCM -> per-item
+    waveform stats via mapInPandas (the librosa/soundfile slot), byte
+    math replayed exactly by the oracle — completes the image / video /
+    audio branch triple."""
+    return audio_waveform_stats(with_binary_payload(_docs(spark, sf_dir)))
 
 
 @register(

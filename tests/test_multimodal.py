@@ -85,3 +85,26 @@ def test_sample_frames_every_nth(spark):
     assert [r.frame_idx for r in rows] == [0, 4]
     assert rows[0].frame_checksum == sum(payload[:64]) % 997
     assert rows[1].frame_checksum == sum(payload[256:320]) % 997
+
+
+def test_audio_waveform_stats_int16_semantics(spark):
+    import math
+    import struct
+
+    from flight_events_flink_job_spark.operators.multimodal import (
+        audio_waveform_stats,
+    )
+
+    samples = [1000, -2000, 32767, -32768, 0]
+    payload = struct.pack("<5h", *samples) + b"\x01"  # odd tail dropped
+    media = spark.createDataFrame(
+        [(3, bytearray(payload)), (4, bytearray(b"\x01"))],  # doc 4: <2 bytes
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in audio_waveform_stats(media).collect()}
+    assert set(rows) == {3}  # sub-sample payload yields no row
+    r = rows[3]
+    assert r.n_samples == 5
+    assert r.peak == 32768  # |-32768|: the int16 asymmetric extreme
+    want = math.sqrt(sum(s * s for s in samples) / 5)
+    assert r.rms == want  # deterministic IEEE value, no rounding
