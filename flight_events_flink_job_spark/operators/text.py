@@ -365,6 +365,52 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def zipf_slope(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """(lang, n_terms, zipf_slope): least-squares slope of
+    log(frequency) vs log(rank) over each language's ``top_n`` terms —
+    the power-law audit of a corpus (natural language sits near -1;
+    generated/templated text flattens, boilerplate steepens; a drifting
+    slope between two crawl snapshots is a cheap contamination alarm).
+
+    Plan: term frequencies are one hash aggregate; the ranking window
+    runs over the aggregated vocabulary rows per language (bounded),
+    never the token stream. Portability: per-term log(rank)/log(freq)
+    are rounded to 6 dp and DECIMAL-summed into the five regression
+    moments (n, Sx, Sy, Sxy, Sxx), then the closed-form slope is a
+    fixed sequence of double ops mirrored verbatim in the oracle.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tf").desc(), F.col("token"))
+    ranked = tf.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 6)
+    y = F.round(F.log(F.col("tf").cast("double")), 6)
+    dec = lambda c: F.round(c, 6).cast("decimal(20,6)")  # noqa: E731
+    moments = ranked.groupBy("lang").agg(
+        F.count("*").alias("n_terms"),
+        F.sum(dec(x)).alias("sx"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(x * y)).alias("sxy"),
+        F.sum(dec(x * x)).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return moments.select(
+        "lang", "n_terms", F.round(slope, 4).alias("zipf_slope")
+    )
+
+
 def top_ngrams_per_lang(docs: DataFrame, n: int = 2, k: int = 5) -> DataFrame:
     """Top-k word n-grams (default bigrams) per language by corpus
     frequency — the phrase-level twin of :func:`term_frequency`.

@@ -51,6 +51,7 @@ _PRIORITY = [
     "stream_jdbc_serving",
     "embedding_norm_outliers",
     "multimodal_audio_stats",
+    "zipf_slope",
     # -- plan/oracle touched in round 4 -------------------------------------
     "value_anomalies",
     "user_event_enrichment",

@@ -46,6 +46,7 @@ from ..operators.similarity import (
 from ..operators.text import (
     bigram_lm_score,
     chunk_documents,
+    zipf_slope,
     doc_novelty,
     vocab_coverage_bands,
     cross_source_leakage,
@@ -403,6 +404,49 @@ def _topk_lsh_oracle(
         FROM scored
     ) WHERE rank <= {k}
     """
+
+
+@register(
+    "zipf_slope",
+    oracle="""
+    WITH tf AS (
+      SELECT lang, tok AS token, count(*) tf
+      FROM (SELECT lang, unnest(string_split(text, ' ')) tok FROM documents)
+      GROUP BY lang, tok
+    ),
+    ranked AS (
+      SELECT lang, tf,
+             row_number() OVER (
+                 PARTITION BY lang ORDER BY tf DESC, token) AS rank
+      FROM tf QUALIFY rank <= 100
+    ),
+    mom AS (
+      SELECT lang, count(*) n_terms,
+             sum(CAST(round(round(ln(CAST(rank AS DOUBLE)), 6), 6)
+                      AS DECIMAL(20,6))) sx,
+             sum(CAST(round(round(ln(CAST(tf AS DOUBLE)), 6), 6)
+                      AS DECIMAL(20,6))) sy,
+             sum(CAST(round(round(ln(CAST(rank AS DOUBLE)), 6)
+                            * round(ln(CAST(tf AS DOUBLE)), 6), 6)
+                      AS DECIMAL(20,6))) sxy,
+             sum(CAST(round(round(ln(CAST(rank AS DOUBLE)), 6)
+                            * round(ln(CAST(rank AS DOUBLE)), 6), 6)
+                      AS DECIMAL(20,6))) sxx
+      FROM ranked GROUP BY lang
+    )
+    SELECT lang, n_terms,
+           round((n_terms * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n_terms * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+               AS zipf_slope
+    FROM mom
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency power-law slope per language over the top-100
+    terms (6dp-rounded logs, DECIMAL regression moments)."""
+    return zipf_slope(_docs(spark, sf_dir))
 
 
 @register(

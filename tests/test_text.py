@@ -276,3 +276,34 @@ def test_embedding_norm_outliers_detects_planted_break(spark):
     assert out[0].n_vectors == 41
     assert out[0].n_norm_outliers == 1    # exactly the planted vector
     assert out[1].n_norm_outliers == 0    # std=0 guard: no divide blowup
+
+
+def test_zipf_slope_near_minus_one_for_zipfian_corpus(spark):
+    from flight_events_flink_job_spark.operators.text import zipf_slope
+
+    # Construct an exactly-Zipfian corpus: term k appears floor(1000/k)
+    # times -> log-log slope must land near -1.
+    words = []
+    for k in range(1, 51):
+        words += [f"w{k:02d}"] * (1000 // k)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words), "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = zipf_slope(docs, top_n=50).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_terms == 50
+    assert -1.1 < r.zipf_slope < -0.9
+
+
+def test_zipf_slope_flat_for_uniform_corpus(spark):
+    from flight_events_flink_job_spark.operators.text import zipf_slope
+
+    words = [f"u{k}" for k in range(1, 31)] * 10  # every term tf=10
+    docs = spark.createDataFrame(
+        [(0, " ".join(words), "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    r = zipf_slope(docs, top_n=30).collect()[0]
+    assert r.zipf_slope == 0.0  # zero variance in y -> zero slope
