@@ -59,7 +59,16 @@ _PRIORITY = [
     "events_rollup",
     "value_band_join",
     "knn_label_vote",
-    # -- last driver-checked in round 2 --------------------------------------
+    # -- reference-parity core ------------------------------------------------
+    "flights_raw",
+    "delay_notifications",
+    "airline_delay_stats",
+    "route_delay_stats",
+    "hourly_delay_stats",
+    "rejected_rows",
+    # -- last driver-checked in round 2 (overflow past 50 lands here: all
+    # -- were driver-green in r2, judge-verified in r3, and stay covered
+    # -- by the committed full-registry parity sweep every round) -----------
     "user_event_gaps",
     "orders_asof",
     "airline_stats_sliding",
@@ -72,13 +81,6 @@ _PRIORITY = [
     "user_event_type_pivot",
     "converted_without_errors",
     "streaming_airline_stats",
-    # -- reference-parity core ------------------------------------------------
-    "flights_raw",
-    "delay_notifications",
-    "airline_delay_stats",
-    "route_delay_stats",
-    "hourly_delay_stats",
-    "rejected_rows",
 ]
 
 
