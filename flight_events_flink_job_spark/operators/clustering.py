@@ -38,25 +38,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import to_double
+from ..functions.vectors import cosine, to_double
 from .util import spread
 
 
-def kmeans_clusters(
+def kmeans_assign(
     embeddings: DataFrame, k: int = 8, iterations: int = 2, stride: int = 7
 ) -> DataFrame:
-    """(cluster_id, n_vectors, inertia): fixed-``iterations`` Lloyd
-    k-means, reporting the final assignment's cluster sizes and exact
-    decimal-summed inertia (rounded 4dp).
+    """(vec_id, v, cid, d2): the final-iteration Lloyd assignment.
 
-    Init is deterministic and oracle-replayable: centroid ``i`` is the
-    vector with ``vec_id == i * stride`` (every ``stride``-th vector,
-    first ``k``) — a data-independent draw, the k-means analogue of the
-    IVF stride sample. Each iteration assigns every vector to its
-    nearest centroid (ties by centroid id) and recomputes centroids as
-    per-dimension decimal-exact means; the last iteration's assignment
-    is returned un-reassigned (``iterations`` assign steps,
-    ``iterations - 1`` update steps).
+    The shared core of :func:`kmeans_clusters` and
+    :func:`semdedup` — fixed-``iterations`` Lloyd with deterministic
+    stride init (centroid ``i`` = vector ``i * stride``), broadcast
+    k-row centroid table per iteration, nothing collected. Each
+    iteration assigns every vector to its nearest centroid (ties by
+    centroid id) and recomputes centroids as per-dimension
+    decimal-exact means; the last iteration's assignment is returned
+    un-reassigned (``iterations`` assign steps, ``iterations - 1``
+    update steps).
     """
     e = spread(embeddings).select(
         "vec_id", to_double(F.col("embedding")).alias("v")
@@ -114,6 +113,18 @@ def kmeans_clusters(
                     ).alias("cv")
                 )
             )
+    return assigned
+
+
+def kmeans_clusters(
+    embeddings: DataFrame, k: int = 8, iterations: int = 2, stride: int = 7
+) -> DataFrame:
+    """(cluster_id, n_vectors, inertia): fixed-``iterations`` Lloyd
+    k-means, reporting the final assignment's cluster sizes and exact
+    decimal-summed inertia (rounded 4dp). See :func:`kmeans_assign`
+    for the iteration/init contract.
+    """
+    assigned = kmeans_assign(embeddings, k=k, iterations=iterations, stride=stride)
     return (
         assigned.groupBy("cid")
         .agg(
@@ -123,4 +134,73 @@ def kmeans_clusters(
             .alias("inertia"),
         )
         .select(F.col("cid").alias("cluster_id"), "n_vectors", "inertia")
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    stride: int = 7,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """(cluster_id, n_vectors, n_dropped, n_kept): SemDedup-style
+    semantic deduplication — k-means-bucketed cosine pruning over the
+    embedding space (Abbas et al. 2023, arXiv:2303.09540).
+
+    Rule (deterministic, oracle-replayable): within each final k-means
+    cluster, embedding ``v`` is DROPPED iff some same-cluster embedding
+    ``u`` with keep-precedence is ≥ ``threshold`` cosine-similar to it.
+    Precedence keeps the member farthest from its centroid (the paper's
+    low-centroid-similarity keeper): ``u`` precedes ``v`` iff
+    ``u.d2 > v.d2``, ties broken by lower ``vec_id``.
+
+    Scale shape: candidate pairs come from an equi-join on the cluster
+    id — NEVER a corpus cross join — so pair work is bounded by cluster
+    occupancy; at production scale ``k`` grows with the corpus to hold
+    expected cluster size constant (the paper runs k ~ sqrt(N)).
+    Assignment itself is the broadcast-k Lloyd chain of
+    :func:`kmeans_assign`; the dedup verdict never moves raw vectors
+    through more than one shuffle. Cosine and d2 are left-to-right
+    double folds, bit-identical to the DuckDB oracle's ``list_reduce``
+    / ``list_cosine_similarity``, so the threshold and precedence
+    comparisons agree across engines exactly. The 0.4 default is tuned
+    to the synthetic fixture corpus (isotropic vectors: max pairwise
+    cosine ~0.51, no planted duplicates); real embedding corpora run
+    this at ~0.95+.
+    """
+    assigned = kmeans_assign(
+        embeddings, k=k, iterations=iterations, stride=stride
+    ).persist()
+    x, y = assigned.alias("x"), assigned.alias("y")
+    precedence = (F.col("y.d2") > F.col("x.d2")) | (
+        (F.col("y.d2") == F.col("x.d2")) & (F.col("y.vec_id") < F.col("x.vec_id"))
+    )
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cid") == F.col("y.cid"))
+            & (F.col("x.vec_id") != F.col("y.vec_id"))
+            & precedence
+            & (cosine(F.col("x.v"), F.col("y.v")) >= F.lit(threshold)),
+            "left_semi",
+        )
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .withColumn("is_dropped", F.lit(1).cast("bigint"))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0).cast("bigint"))).alias(
+                "n_dropped"
+            ),
+        )
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vectors",
+            "n_dropped",
+            (F.col("n_vectors") - F.col("n_dropped")).alias("n_kept"),
+        )
     )

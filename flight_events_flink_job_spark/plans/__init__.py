@@ -37,6 +37,8 @@ _PRIORITY = [
     "stream_dedup_redelivery",
     "stream_session_windows",
     "stream_static_enrichment",
+    # -- new late in round 4 (never driver-checked) -------------------------
+    "semdedup",
     # -- oracle-ified in round 4 (rows-only before) -------------------------
     "dedup_simhash",
     "similarity_topk_lsh",

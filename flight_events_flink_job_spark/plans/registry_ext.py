@@ -562,13 +562,15 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(_docs(spark, sf_dir))
 
 
-def _kmeans_oracle(
+def _kmeans_ctes(
     k: int = 8, iterations: int = 2, stride: int = 7, dim: int = 64
-) -> str:
-    """DuckDB twin of operators/clustering.kmeans_clusters: same stride
-    init, per-iteration sequential-fold L2 assignment with (d2, cid)
-    tie-break, DECIMAL-mean centroid update, DECIMAL-summed inertia —
-    the CTE chain is generated per iteration to mirror the Spark loop."""
+) -> list[str]:
+    """Shared CTE chain replaying operators/clustering.kmeans_assign in
+    DuckDB: same stride init, per-iteration sequential-fold L2
+    assignment with (d2, cid) tie-break, DECIMAL-mean centroid update —
+    generated per iteration to mirror the Spark loop. The final
+    assignment CTE is ``a{iterations}``; kmeans_clusters and semdedup
+    both build on it."""
     d2 = (
         "list_reduce(list_prepend(0.0, "
         "[(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]) for i in range(1, {n})]), "
@@ -598,13 +600,55 @@ def _kmeans_oracle(
                              unnest(v) x FROM a{it})
                 GROUP BY cid, dim)
             GROUP BY cid)""")
-    joined = ",\n    ".join(ctes)
+    return ctes
+
+
+def _kmeans_oracle(
+    k: int = 8, iterations: int = 2, stride: int = 7, dim: int = 64
+) -> str:
+    joined = ",\n    ".join(_kmeans_ctes(k, iterations, stride, dim))
     return f"""
     WITH {joined}
     SELECT cid AS cluster_id, count(*) AS n_vectors,
            CAST(round(sum(CAST(d2 AS DECIMAL(27,10))), 4) AS DOUBLE)
                AS inertia
     FROM a{iterations} GROUP BY cid
+    """
+
+
+def _semdedup_oracle(
+    k: int = 8,
+    iterations: int = 2,
+    stride: int = 7,
+    dim: int = 64,
+    threshold: float = 0.4,
+) -> str:
+    """Twin of operators/clustering.semdedup: the kmeans_assign CTE
+    chain, then the drop verdict — x is dropped iff a same-cluster y
+    with keep-precedence (farther from centroid, ties lower vec_id) is
+    >= threshold cosine-similar. ``list_cosine_similarity`` on
+    DOUBLE[] reproduces the Spark fold bit-exactly (functions/
+    vectors.py), so the threshold cut agrees across engines."""
+    ctes = _kmeans_ctes(k, iterations, stride, dim)
+    a = f"a{iterations}"
+    ctes.append(f"""dropped AS (
+        SELECT DISTINCT x.vec_id
+        FROM {a} x JOIN {a} y
+          ON x.cid = y.cid AND x.vec_id != y.vec_id
+         AND (y.d2 > x.d2 OR (y.d2 = x.d2 AND y.vec_id < x.vec_id))
+         AND list_cosine_similarity(x.v, y.v) >= {threshold})""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT a.cid AS cluster_id,
+           count(*) AS n_vectors,
+           CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           count(*) - CAST(sum(CASE WHEN d.vec_id IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM {a} a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    GROUP BY a.cid
     """
 
 
@@ -616,6 +660,17 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import kmeans_clusters
 
     return kmeans_clusters(_embs(spark, sf_dir))
+
+
+@register("semdedup", oracle=_semdedup_oracle())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (arXiv:2303.09540): k-means-bucketed cosine pruning —
+    per-cluster kept/dropped counts at cosine >= 0.4 (fixture-tuned), keeping the
+    member farthest from its centroid. Pair work bounded by cluster
+    occupancy (equi-join on cluster id, never a corpus cross join)."""
+    from ..operators.clustering import semdedup
+
+    return semdedup(_embs(spark, sf_dir))
 
 
 @register("similarity_topk_lsh", oracle=_topk_lsh_oracle())

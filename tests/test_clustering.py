@@ -5,7 +5,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from flight_events_flink_job_spark.operators.clustering import kmeans_clusters
+from flight_events_flink_job_spark.operators.clustering import (
+    kmeans_clusters,
+    semdedup,
+)
 from flight_events_flink_job_spark.sources.fixtures import load_table
 
 
@@ -60,6 +63,38 @@ def test_kmeans_recovers_planted_clusters(spark):
     out = {r.cluster_id: r.n_vectors for r in
            kmeans_clusters(embs, k=2, iterations=2).collect()}
     assert out == {0: 7, 1: 7}
+
+
+def test_semdedup_accounting_and_determinism(spark, sf_dir):
+    """Cluster sizes must match kmeans, kept+dropped must total, and
+    the verdict must not depend on input partitioning."""
+    embs = _embs(spark, sf_dir)
+    km = {r.cluster_id: r.n_vectors for r in kmeans_clusters(embs).collect()}
+    out = semdedup(embs).collect()
+    assert {r.cluster_id: r.n_vectors for r in out} == km
+    assert all(r.n_kept + r.n_dropped == r.n_vectors for r in out)
+    assert sum(r.n_dropped for r in out) > 0  # non-vacuous at 0.4
+    again = semdedup(embs.repartition(5)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_semdedup_drops_planted_duplicate(spark):
+    """An exact duplicate pair in one blob must lose exactly one member
+    (the one nearer the centroid), never both."""
+    dim = 4
+    rows = []
+    for i in range(14):
+        base = 10.0 if i < 7 else -10.0
+        rows.append((i, [base + 0.01 * i] * dim, 0))
+    # vec 14 duplicates vec 2 exactly (cos = 1.0, same blob A)
+    rows.append((14, [10.0 + 0.01 * 2] * dim, 0))
+    embs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    out = semdedup(embs, k=2, iterations=2, threshold=0.999999).collect()
+    assert sum(r.n_dropped for r in out) >= 1
+    # every cluster keeps at least one member
+    assert all(r.n_kept >= 1 for r in out)
 
 
 def test_kmeans_plan_has_no_cartesian_product(spark, sf_dir):

@@ -27,6 +27,7 @@ BNLJ_ALLOWED = {
     # k-row centroid table broadcast onto the vector scan per Lloyd
     # iteration — bounded by the k parameter.
     "kmeans_clusters",
+    "semdedup",
     # 1-row vocabulary count broadcast onto the bigram stream.
     "bigram_lm_score",
 }
