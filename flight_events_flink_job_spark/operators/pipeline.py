@@ -411,3 +411,80 @@ def per_group_sample(
             "n_chars",
         )
     )
+
+
+def dsir_importance(
+    documents: DataFrame, target_lang: str = "en", buckets: int = 1024
+) -> DataFrame:
+    """(doc_id, n_grams, log_weight): hashed-n-gram importance weights
+    for Data Selection via Importance Resampling (DSIR — Xie et al.
+    2023, arXiv:2302.03169).
+
+    The target distribution is estimated from the in-corpus slice
+    ``lang == target_lang`` (a stand-in for "looks like the domain we
+    want more of"), the proposal from the whole corpus. Features are
+    word unigrams + bigrams with multiplicity, hashed into ``buckets``
+    cells by the portable polynomial hash; per-cell add-one-smoothed
+    log-likelihood ratios are summed per document. High log_weight =
+    target-like; downstream selection resamples proportionally.
+
+    Scale shape: the gram stream is scan → explode (narrow); BOTH
+    bucket models are <= ``buckets``-row aggregates, so scoring is a
+    broadcast hash join of a ~1k-row weight table onto the gram stream
+    followed by one per-doc hash aggregate — the corpus shuffles once,
+    on doc_id partials. Engine-portability: the hash is the shared
+    poly-hash (functions/textual.py), per-gram log-ratios are rounded
+    to 6 dp then DECIMAL-summed (the doc_logfreq_score pattern), so
+    partial-aggregation order cannot move the sum.
+    """
+    from ..functions.textual import poly_hash, tokens
+
+    ts = tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(ts, 1, F.size(ts) - 1),
+        F.slice(ts, 2, F.size(ts) - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    grams = F.when(F.size(ts) >= 2, F.concat(ts, bigrams)).otherwise(ts)
+    g = documents.select(
+        "doc_id",
+        "lang",
+        F.explode(grams).alias("gram"),
+    ).select(
+        "doc_id",
+        "lang",
+        (poly_hash(F.col("gram")) % buckets).alias("bkt"),
+    )
+    cs = g.groupBy("bkt").agg(F.count("*").alias("ns"))
+    ct = (
+        g.filter(F.col("lang") == target_lang)
+        .groupBy("bkt")
+        .agg(F.count("*").alias("nt"))
+    )
+    tot = cs.agg(
+        F.sum("ns").alias("total_s"),
+    ).crossJoin(ct.agg(F.sum("nt").alias("total_t")))
+    nt0 = F.coalesce(F.col("nt"), F.lit(0).cast("bigint"))
+    lw = F.round(
+        F.log(
+            ((nt0 + F.lit(1.0)) / (F.col("total_t") + F.lit(float(buckets))))
+            / (
+                (F.col("ns") + F.lit(1.0))
+                / (F.col("total_s") + F.lit(float(buckets)))
+            )
+        ),
+        6,
+    ).cast("decimal(20,6)")
+    model = (
+        cs.join(ct, "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("bkt", lw.alias("lw"))
+    )
+    return (
+        g.join(F.broadcast(model), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.sum("lw"), 4).cast("double").alias("log_weight"),
+        )
+    )

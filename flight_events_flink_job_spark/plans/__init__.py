@@ -39,6 +39,7 @@ _PRIORITY = [
     "stream_static_enrichment",
     # -- new late in round 4 (never driver-checked) -------------------------
     "semdedup",
+    "dsir_importance",
     # -- oracle-ified in round 4 (rows-only before) -------------------------
     "dedup_simhash",
     "similarity_topk_lsh",

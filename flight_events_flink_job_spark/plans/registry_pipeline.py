@@ -294,3 +294,53 @@ def q_per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5-per-language spot-check sample (md5 rank inside
     group partitions — reproducible, append-stable, no rand())."""
     return per_group_sample(_docs(spark, sf_dir), "lang", 5)
+
+
+@register(
+    "dsir_importance",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') ts
+               FROM documents),
+    g0 AS (
+        SELECT doc_id, lang, unnest(ts) gram FROM t
+        UNION ALL
+        SELECT doc_id, lang,
+               unnest([ts[i] || ' ' || ts[i+1]
+                       for i in range(1, len(ts))]) gram
+        FROM t WHERE len(ts) >= 2
+    ),
+    g AS (
+        SELECT doc_id, lang,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(unicode(gram[i]) AS BIGINT)
+                    for i in range(1, len(gram)+1)]),
+                   (a, c) -> (a * 31 + c) % 1000000007) % 1024 AS bkt
+        FROM g0
+    ),
+    cs AS (SELECT bkt, count(*) AS ns FROM g GROUP BY bkt),
+    ct AS (SELECT bkt, count(*) AS nt FROM g WHERE lang = 'en'
+           GROUP BY bkt),
+    tot AS (SELECT (SELECT CAST(sum(ns) AS BIGINT) FROM cs) AS total_s,
+                   (SELECT CAST(sum(nt) AS BIGINT) FROM ct) AS total_t),
+    model AS (
+        SELECT cs.bkt,
+               CAST(round(ln(
+                   ((COALESCE(ct.nt, 0) + 1.0) / (tot.total_t + 1024.0))
+                   / ((cs.ns + 1.0) / (tot.total_s + 1024.0))), 6)
+                   AS DECIMAL(20,6)) AS lw
+        FROM cs LEFT JOIN ct ON cs.bkt = ct.bkt CROSS JOIN tot
+    )
+    SELECT g.doc_id, count(*) AS n_grams,
+           CAST(round(sum(m.lw), 4) AS DOUBLE) AS log_weight
+    FROM g JOIN model m ON g.bkt = m.bkt
+    GROUP BY g.doc_id
+    """,
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (arXiv:2302.03169): hashed unigram+bigram
+    likelihood ratios of the lang='en' target slice vs the whole corpus,
+    add-one smoothed over 1024 buckets; the data-selection scorer of an
+    importance-resampling curation pass."""
+    from ..operators.pipeline import dsir_importance
+
+    return dsir_importance(_docs(spark, sf_dir))

@@ -273,3 +273,34 @@ def test_source_mix_sample_copies(spark):
         per_doc.setdefault(r.doc_id, []).append(r.copy_idx)
     assert all(sorted(v) == [1, 2] for v in per_doc.values())
     assert len(per_doc) == 20
+
+
+def test_dsir_scores_target_slice_higher(spark, sf_dir):
+    """DSIR importance weights must rank the target slice (lang='en')
+    above the rest on average — the defining property of the
+    likelihood-ratio scorer — and every document must be scored."""
+    from flight_events_flink_job_spark.operators.pipeline import dsir_importance
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_importance(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    assert scored.count() == docs.count()
+    means = {
+        r.is_target: r.mean_lw
+        for r in scored.groupBy((F.col("lang") == "en").alias("is_target"))
+        .agg(F.avg("log_weight").alias("mean_lw"))
+        .collect()
+    }
+    assert means[True] > means[False]
+
+
+def test_dsir_deterministic_across_partitioning(spark, sf_dir):
+    from flight_events_flink_job_spark.operators.pipeline import dsir_importance
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, dsir_importance(docs).collect()))
+    b = sorted(map(tuple, dsir_importance(docs.repartition(13)).collect()))
+    assert a == b

@@ -30,6 +30,8 @@ BNLJ_ALLOWED = {
     "semdedup",
     # 1-row vocabulary count broadcast onto the bigram stream.
     "bigram_lm_score",
+    # 1-row corpus-totals broadcast onto the <=1024-row bucket model.
+    "dsir_importance",
 }
 
 
