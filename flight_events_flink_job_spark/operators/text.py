@@ -682,3 +682,51 @@ def doc_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+def bpe_pair_stats(docs: DataFrame, k: int = 20) -> DataFrame:
+    """(rank, pair, n_occurrences): the top-``k`` adjacent character
+    pairs by corpus frequency — the merge-candidate statistics of one
+    byte-pair-encoding training iteration (Sennrich et al. 2016,
+    arXiv:1508.07909; the same pair-counting step GPT-2's byte-level
+    BPE iterates).
+
+    Scale shape (the classic BPE trick): pairs are counted over the
+    WORD-FREQUENCY table, not the token stream — the corpus collapses
+    to its vocabulary in one hash aggregate first, so the pair explode
+    touches |vocab| rows regardless of corpus size; per-pair counts
+    weight by word frequency. The global top-k is orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps, k rows to the
+    driver-side stage, never a full sort). Further merge iterations
+    repeat this same plan on the re-segmented vocabulary (the
+    fixed-iteration pattern of clustering.kmeans_assign).
+    """
+    from pyspark.sql import Window
+
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    pairs = wf.select(
+        "wf",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    ranked = (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return ranked.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "pair",
+        "n_occurrences",
+    )

@@ -40,6 +40,7 @@ _PRIORITY = [
     # -- new late in round 4 (never driver-checked) -------------------------
     "semdedup",
     "dsir_importance",
+    "bpe_pair_stats",
     # -- oracle-ified in round 4 (rows-only before) -------------------------
     "dedup_simhash",
     "similarity_topk_lsh",

@@ -1455,3 +1455,32 @@ def q_event_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFram
     return event_value_quantiles_sketch_checked(
         load_table(spark, sf_dir, "events")
     )
+
+
+@register(
+    "bpe_pair_stats",
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    wf AS (SELECT word, count(*) AS wf FROM w
+           WHERE len(word) >= 2 GROUP BY word),
+    p AS (SELECT wf, unnest([substr(word, i, 2)
+                             for i in range(1, len(word))]) AS pair
+          FROM wf),
+    pc AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS n_occurrences
+           FROM p GROUP BY pair
+           ORDER BY n_occurrences DESC, pair LIMIT 20)
+    SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair)
+                AS BIGINT) AS rank,
+           pair, n_occurrences
+    FROM pc
+    """,
+)
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration's merge-candidate statistics
+    (arXiv:1508.07909): top-20 adjacent character pairs weighted by
+    word frequency — pair counting over the vocabulary table, global
+    top-k via TakeOrderedAndProject."""
+    from ..operators.text import bpe_pair_stats
+
+    return bpe_pair_stats(_docs(spark, sf_dir))

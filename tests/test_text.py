@@ -307,3 +307,23 @@ def test_zipf_slope_flat_for_uniform_corpus(spark):
     )
     r = zipf_slope(docs, top_n=30).collect()[0]
     assert r.zipf_slope == 0.0  # zero variance in y -> zero slope
+
+
+def test_bpe_pair_stats_counts_and_ranks(spark):
+    """Hand-checkable corpus: 'ab' appears in every word of 'abc abc abd'
+    -> top pair is 'ab' with 3 weighted occurrences; ranks are dense
+    and frequency-sorted with lexicographic ties."""
+    from flight_events_flink_job_spark.operators.text import bpe_pair_stats
+
+    docs = spark.createDataFrame(
+        [(1, "abc abc abd", "en", "s", 11)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    rows = bpe_pair_stats(docs, k=10).collect()
+    assert [tuple(r) for r in rows][0] == (1, "ab", 3)
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    # 'bc' twice, 'bd' once
+    d = {r.pair: r.n_occurrences for r in rows}
+    assert d["bc"] == 2 and d["bd"] == 1
