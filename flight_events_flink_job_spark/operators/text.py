@@ -730,3 +730,99 @@ def bpe_pair_stats(docs: DataFrame, k: int = 20) -> DataFrame:
         "pair",
         "n_occurrences",
     )
+
+
+def heavy_hitters_checked(docs: DataFrame, k: int = 80) -> DataFrame:
+    """(pair, n_exact, within_bound): guaranteed heavy hitters of the
+    character-pair stream under a merged Misra-Gries summary — the
+    one-pass bounded-memory frequent-items sketch (Misra & Gries 1982;
+    mergeability per Agarwal et al. 2013, "Mergeable Summaries").
+
+    Each input partition keeps a k-counter MG summary (mapInPandas,
+    Arrow-batched, O(k) memory); summaries merge by summing counters
+    then subtracting the (k+1)-th largest merged value. Total
+    undercount is bounded: per-partition decrements sum to at most
+    n_p/(k+1) each and the merge subtraction is at most n/(k+1), so
+    ``exact - est <= 2n/(k+1)`` and every item with
+    ``exact > 2n/(k+1)`` is GUARANTEED present in the merged summary.
+
+    The emitted rows are that guaranteed set (deterministic regardless
+    of partitioning) with exact counts from the verification tier;
+    ``within_bound`` asserts presence + the two-sided bound, all in
+    integer arithmetic, so the oracle can require literal TRUE. The
+    sketch path (mapInPandas + a <=32k-row merge) is the 100 TB shape:
+    the token stream never shuffles, only k rows per partition do; the
+    exact GROUP BY here is verification-only, like
+    relational.approx_distinct_users_checked.
+    """
+    from pyspark.sql import Window
+
+    w = docs.select(F.explode(tokens(F.col("text"))).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["pair"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    dead = []
+                    for t in counters:
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            dead.append(t)
+                    for t in dead:
+                        del counters[t]
+        yield pd.DataFrame(
+            {"pair": list(counters.keys()), "est": list(counters.values())}
+        )
+
+    merged = (
+        pairs.mapInPandas(mg, "pair string, est long")
+        .groupBy("pair")
+        .agg(F.sum("est").alias("s"))
+    )
+    # (k+1)-th largest merged counter; the window runs over <= 32*k
+    # summary rows (bounded by construction), never the stream.
+    wnd = Window.orderBy(F.col("s").desc(), F.col("pair"))
+    thr = (
+        merged.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") == k + 1)
+        .agg(F.coalesce(F.max("s"), F.lit(0).cast("bigint")).alias("thr"))
+    )
+    summary = (
+        merged.crossJoin(F.broadcast(thr))
+        .select("pair", (F.col("s") - F.col("thr")).alias("est"))
+        .filter(F.col("est") > 0)
+    )
+    exact = pairs.groupBy("pair").agg(F.count("*").alias("n_exact"))
+    tot = pairs.agg(F.count("*").alias("n"))
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_exact") * (k + 1) > F.lit(2) * F.col("n"))
+        .join(summary, "pair", "left")
+        .select(
+            "pair",
+            "n_exact",
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("n_exact"))
+                & (
+                    (F.col("n_exact") - F.col("est")) * (k + 1)
+                    <= F.lit(2) * F.col("n")
+                )
+            ).alias("within_bound"),
+        )
+    )

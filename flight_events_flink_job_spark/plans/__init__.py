@@ -41,6 +41,7 @@ _PRIORITY = [
     "semdedup",
     "dsir_importance",
     "bpe_pair_stats",
+    "heavy_hitters",
     # -- oracle-ified in round 4 (rows-only before) -------------------------
     "dedup_simhash",
     "similarity_topk_lsh",

@@ -1484,3 +1484,29 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bpe_pair_stats
 
     return bpe_pair_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "heavy_hitters",
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    p AS (SELECT unnest([substr(word, i, 2)
+                         for i in range(1, len(word))]) AS pair
+          FROM w WHERE len(word) >= 2),
+    e AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_exact
+          FROM p GROUP BY pair),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p)
+    SELECT pair, n_exact, TRUE AS within_bound
+    FROM e, tot
+    WHERE n_exact * 81 > 2 * n
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged Misra-Gries frequent-items sketch (k=80) over the
+    character-pair stream: emits the guaranteed heavy hitters
+    (exact > 2n/(k+1)) with an integer-arithmetic presence+bound
+    verdict the oracle asserts literally TRUE."""
+    from ..operators.text import heavy_hitters_checked
+
+    return heavy_hitters_checked(_docs(spark, sf_dir))

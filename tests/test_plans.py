@@ -32,6 +32,9 @@ BNLJ_ALLOWED = {
     "bigram_lm_score",
     # 1-row corpus-totals broadcast onto the <=1024-row bucket model.
     "dsir_importance",
+    # two 1-row broadcasts: the (k+1)-th-largest merge threshold onto
+    # the <=32k-row summary, and the stream total onto the exact side.
+    "heavy_hitters",
 }
 
 

@@ -327,3 +327,33 @@ def test_bpe_pair_stats_counts_and_ranks(spark):
     # 'bc' twice, 'bd' once
     d = {r.pair: r.n_occurrences for r in rows}
     assert d["bc"] == 2 and d["bd"] == 1
+
+
+def test_heavy_hitters_guaranteed_set_and_verdicts(spark, sf_dir):
+    """Every emitted row must be a true heavy hitter (exact share >
+    2/(k+1)) with a TRUE verdict, and the verdict must survive a
+    repartition of the input (MG guarantees are partitioning-free)."""
+    from flight_events_flink_job_spark.operators.text import heavy_hitters_checked
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = heavy_hitters_checked(docs).collect()
+    assert len(rows) > 0  # non-vacuous on the fixture corpus
+    assert all(r.within_bound for r in rows)
+    again = heavy_hitters_checked(docs.repartition(9)).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_heavy_hitters_planted_skew(spark):
+    """A stream where one pair dominates: 'aa' from 'aaa'*many must be
+    the guaranteed hitter even at tiny k."""
+    from flight_events_flink_job_spark.operators.text import heavy_hitters_checked
+
+    text = " ".join(["aaa"] * 200 + ["bc", "de", "fg", "hi", "jk"] * 4)
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    rows = heavy_hitters_checked(docs, k=4).collect()
+    d = {r.pair: (r.n_exact, r.within_bound) for r in rows}
+    assert "aa" in d and d["aa"] == (400, True)
