@@ -1097,3 +1097,80 @@ def error_rate_windows(
             F.round(share, 4).alias("error_share"),
         )
     )
+
+
+def event_pagerank(
+    events: DataFrame, damping: str = "0.85", iterations: int = 3
+) -> DataFrame:
+    """(node, pagerank): fixed-``iterations`` PageRank power iteration
+    over the event-type transition graph (Page et al. 1999) — the
+    third iterative-algorithm shape in the engine next to
+    dedup.connected_components (unbounded + convergence flag) and
+    clustering.kmeans_assign (fixed rounds over vectors).
+
+    Graph: nodes = event types; edge weights = consecutive-pair counts
+    per user (the event_transitions matrix); transition probabilities
+    are the row-normalized weights ROUNDED ONCE to an 8dp DECIMAL.
+    From there every operation is exact decimal arithmetic — products,
+    sums, the damping blend, and the per-iteration re-quantization to
+    10dp — so the result is identical on any partitioning and in the
+    DuckDB oracle (no double appears anywhere until the final edge
+    cast). Dangling mass (types with no outgoing edge) leaks, as in
+    the classic formulation.
+
+    Scale shape: the edge aggregate is |types|^2; each iteration is a
+    join of the edge table with the |types|-row rank vector + one hash
+    aggregate — at real graph scale the same plan co-partitions edges
+    and ranks on src (edges never re-shuffle across iterations when
+    pre-partitioned), ranks being the only per-iteration exchange.
+    """
+    from decimal import Decimal
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+    )
+    out_deg = edges.groupBy("src").agg(F.sum("c").alias("tot"))
+    p = edges.join(out_deg, "src").select(
+        "src",
+        "dst",
+        F.round(F.col("c").cast("decimal(19,9)") / F.col("tot"), 8)
+        .cast("decimal(9,8)")
+        .alias("p"),
+    )
+    nodes = events.select(F.col("event_type").alias("node")).distinct()
+    # |types| is a bounded model scalar (the tf_idf_top_terms N
+    # pattern): one count embedded as a literal, never per-row work.
+    n_nodes = nodes.count()
+    base = str(Decimal(1).scaleb(-10) * (10**10 // n_nodes))  # round-down 1/N
+    d = Decimal(damping)
+    offset = str((1 - d) * Decimal(base))
+    ranks = nodes.select(
+        "node", F.lit(base).cast("decimal(12,10)").alias("r")
+    )
+    for _ in range(iterations):
+        contrib = p.join(ranks, p["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"), (F.col("r") * F.col("p")).alias("x")
+        )
+        summed = contrib.groupBy("node").agg(F.sum("x").alias("s"))
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(offset).cast("decimal(14,12)")
+                + F.lit(damping).cast("decimal(3,2)")
+                * F.coalesce(F.col("s"), F.lit(0).cast("decimal(30,18)")),
+                10,
+            )
+            .cast("decimal(12,10)")
+            .alias("r"),
+        )
+    return ranks.select(
+        "node", F.round(F.col("r"), 6).cast("double").alias("pagerank")
+    )

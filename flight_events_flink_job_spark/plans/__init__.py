@@ -42,6 +42,7 @@ _PRIORITY = [
     "dsir_importance",
     "bpe_pair_stats",
     "heavy_hitters",
+    "event_pagerank",
     # -- oracle-ified in round 4 (rows-only before) -------------------------
     "dedup_simhash",
     "similarity_topk_lsh",

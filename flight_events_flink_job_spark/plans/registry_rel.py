@@ -874,3 +874,64 @@ def q_error_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed error-rate alert (batch twin of a streaming monitor):
     epoch-aligned 5-minute buckets, HAVING-filter on aggregated rows."""
     return error_rate_windows(_events(spark, sf_dir))
+
+
+def _pagerank_oracle(
+    damping: str = "0.85", iterations: int = 3, n_nodes: int = 5
+) -> str:
+    """Twin of operators/relational.event_pagerank: probabilities are
+    quantized once to DECIMAL(9,8); every iteration is exact decimal
+    arithmetic re-quantized to 10dp — bit-identical on both engines
+    (no double until the final edge cast). n_nodes must match the
+    fixture's event-type count (asserted by the Spark side's count)."""
+    from decimal import Decimal
+
+    base = str(Decimal(1).scaleb(-10) * (10**10 // n_nodes))
+    offset = str((1 - Decimal(damping)) * Decimal(base))
+    ctes = [
+        """lagged AS (
+        SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS src,
+               event_type AS dst
+        FROM events)""",
+        """edges AS (SELECT src, dst, count(*) AS c FROM lagged
+                     WHERE src IS NOT NULL GROUP BY src, dst)""",
+        """outdeg AS (SELECT src, CAST(sum(c) AS BIGINT) AS tot
+                      FROM edges GROUP BY src)""",
+        """p AS (SELECT e.src, e.dst,
+                        CAST(round(CAST(e.c AS DECIMAL(19,9)) / o.tot, 8)
+                             AS DECIMAL(9,8)) AS p
+                 FROM edges e JOIN outdeg o ON e.src = o.src)""",
+        """nodes AS (SELECT DISTINCT event_type AS node FROM events)""",
+        f"""r0 AS (SELECT node, CAST('{base}' AS DECIMAL(12,10)) AS r
+                   FROM nodes)""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""c{i} AS (
+            SELECT p.dst AS node, r.r * p.p AS x
+            FROM p JOIN r{i - 1} r ON p.src = r.node)""")
+        ctes.append(f"""s{i} AS (
+            SELECT node, sum(x) AS s FROM c{i} GROUP BY node)""")
+        ctes.append(f"""r{i} AS (
+            SELECT n.node,
+                   CAST(round(CAST('{offset}' AS DECIMAL(14,12))
+                              + CAST('{damping}' AS DECIMAL(3,2))
+                              * COALESCE(s.s, CAST(0 AS DECIMAL(30,18))),
+                              10) AS DECIMAL(12,10)) AS r
+            FROM nodes n LEFT JOIN s{i} s ON n.node = s.node)""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT node, CAST(round(r, 6) AS DOUBLE) AS pagerank
+    FROM r{iterations}
+    """
+
+
+@register("event_pagerank", oracle=_pagerank_oracle())
+def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-3-iteration PageRank power iteration over the event-type
+    transition graph — exact decimal arithmetic end-to-end, replayed
+    iteration-for-iteration by the oracle's generated CTE chain."""
+    from ..operators.relational import event_pagerank
+
+    return event_pagerank(_events(spark, sf_dir))

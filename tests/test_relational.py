@@ -308,3 +308,46 @@ def test_event_transitions_order_and_shares(spark):
     assert out[("view", "click")].share_from_source == 0.5
     assert out[("view", "view")].share_from_source == 0.5
     assert out[("click", "view")].share_from_source == 1.0
+
+
+def test_event_pagerank_is_a_distribution(spark, sf_dir):
+    """With every fixture event type having outgoing edges, rank mass
+    is conserved: the 5 ranks sum to ~1 (re-quantization slack only)
+    and each sits in (0, 1)."""
+    from flight_events_flink_job_spark.operators.relational import event_pagerank
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    rows = event_pagerank(load_table(spark, sf_dir, "events")).collect()
+    assert len(rows) == 5
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-4
+    assert all(0.0 < r.pagerank < 1.0 for r in rows)
+
+
+def test_event_pagerank_deterministic_and_favors_popular_target(spark):
+    """Planted chain where everything transitions into 'hub': hub must
+    out-rank the peripheral types; result identical across input
+    partitionings (exact decimal arithmetic)."""
+    import datetime as dt
+
+    from flight_events_flink_job_spark.operators.relational import event_pagerank
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    eid = 0
+    for u in range(20):
+        for step, et in enumerate(["a", "hub", "b", "hub", "c", "hub"]):
+            rows.append((eid, t0 + dt.timedelta(minutes=step), u, et, 1.0, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    pr = {r.node: r.pagerank for r in event_pagerank(events).collect()}
+    assert pr["hub"] == max(pr.values())
+    pr2 = {
+        r.node: r.pagerank
+        for r in event_pagerank(events.repartition(7)).collect()
+    }
+    assert pr == pr2
