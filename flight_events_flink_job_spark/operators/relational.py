@@ -1174,3 +1174,189 @@ def event_pagerank(
     return ranks.select(
         "node", F.round(F.col("r"), 6).cast("double").alias("pagerank")
     )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """(c_count, n_customers): TPC-H Q13 shape — the histogram of
+    orders-per-customer including zero-order customers.
+
+    Aggregate-before-join: order counts collapse to one row per
+    customer key BEFORE touching the customer table, so the join
+    carries |customers| rows, not |orders| (at 100 TB the counts
+    aggregate and the join co-partition on the customer key — one
+    exchange each); the final histogram is a tiny second aggregate.
+    """
+    ocounts = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return (
+        customer.select("c_custkey")
+        .join(ocounts, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def top_supplier_revenue(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """(s_suppkey, s_name, total_revenue): TPC-H Q15 shape — the
+    supplier(s) achieving maximum revenue in one ship-date quarter.
+
+    The revenue view is one filtered aggregate (date filter pushed to
+    the scan); the max is a 1-row broadcast compared against DECIMAL
+    revenue — exact equality, so "all suppliers tied at max" is
+    well-defined cross-engine. Supplier dimension is broadcast.
+    """
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    per_supp = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .select("l_suppkey", rev.alias("rev"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev").alias("total_rev"))
+    )
+    top = per_supp.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        per_supp.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def small_qty_order_revenue(
+    part: DataFrame, lineitem: DataFrame, brand: str = "Brand#23"
+) -> DataFrame:
+    """(n_small_lineitems, small_qty_revenue): TPC-H Q17 shape —
+    revenue in small-quantity orders of one brand's parts
+    (lineitems below 20% of their part's average quantity).
+
+    The brand part list and the per-part quantity thresholds are both
+    bounded (one brand ~ 1/25 of parts) and broadcast; the lineitem
+    fact never shuffles. Quantities are integral doubles, so avg() is
+    an exact double (integer sums < 2^53 are exact and associative) —
+    the 0.2*avg threshold is partitioning- and engine-independent.
+    """
+    parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("limit_qty")
+    )
+    return (
+        li.join(
+            F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("limit_qty"))
+        .agg(
+            F.count("*").alias("n_small_lineitems"),
+            # Total, not /7-annualized: decimal division result
+            # scale/rounding rules differ across engines, while the
+            # decimal SUM is exact — keep the edge engine-portable.
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("small_qty_revenue"),
+        )
+    )
+
+
+def large_order_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    threshold: float = 300.0,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 shape — customers who placed orders totaling more than
+    ``threshold`` units, top-``k`` by order value.
+
+    The HAVING aggregate runs on lineitem alone (quantities are
+    integral doubles — exact associative sums), producing a tiny
+    qualifying-order set that then joins orders (co-partitioned on the
+    order key) and the broadcast customer dimension; the global top-k
+    is orderBy+limit (TakeOrderedAndProject).
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > threshold)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    cutoff: str = "2000-01-01",
+) -> DataFrame:
+    """(n_name, n_customers, total_acctbal): TPC-H Q22 shape — above-
+    average-balance customers with no recent orders, rolled up by
+    nation.
+
+    The "above average" cut avoids cross-engine division entirely by
+    cross-multiplying: ``c_acctbal * n_pos > sum_pos`` with the sum
+    carried in exact DECIMAL (1-row broadcast) — no double division
+    whose last-ulp could flip a boundary customer. The recent-order
+    key set is a LEFT ANTI join (orders filtered by the pushed-down
+    date predicate first); nation is broadcast.
+    """
+    stats = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count("*").alias("n_pos"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_pos"),
+    )
+    rich = customer.crossJoin(F.broadcast(stats)).filter(
+        F.col("c_acctbal") * F.col("n_pos") > F.col("sum_pos").cast("double")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp")
+    ).select("o_custkey")
+    idle = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        idle.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )

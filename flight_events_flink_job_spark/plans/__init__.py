@@ -43,6 +43,11 @@ _PRIORITY = [
     "bpe_pair_stats",
     "heavy_hitters",
     "event_pagerank",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "small_qty_order_revenue",
+    "large_order_customers",
+    "idle_rich_customers",
     # -- oracle-ified in round 4 (rows-only before) -------------------------
     "dedup_simhash",
     "similarity_topk_lsh",

@@ -935,3 +935,149 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import event_pagerank
 
     return event_pagerank(_events(spark, sf_dir))
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    WITH oc AS (SELECT o_custkey, count(*) AS cnt FROM orders
+                GROUP BY o_custkey)
+    SELECT COALESCE(cnt, 0) AS c_count, count(*) AS n_customers
+    FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+    GROUP BY 1
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: orders-per-customer histogram incl. zero-order
+    customers — aggregate-before-join, then a tiny second aggregate."""
+    from ..operators.relational import customer_order_distribution
+
+    return customer_order_distribution(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+    WITH ps AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4))
+                      - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    ),
+    m AS (SELECT max(total_rev) AS max_rev FROM ps)
+    SELECT s_suppkey, s_name,
+           CAST(round(total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM ps CROSS JOIN m
+    JOIN supplier ON ps.l_suppkey = supplier.s_suppkey
+    WHERE total_rev = max_rev
+    """,
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: max-revenue supplier(s) for 1996Q1 — 1-row max
+    broadcast, exact DECIMAL tie semantics, broadcast supplier dim."""
+    from ..operators.relational import top_supplier_revenue
+
+    return top_supplier_revenue(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "small_qty_order_revenue",
+    oracle="""
+    WITH li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#23'
+    ),
+    t AS (SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS limit_qty
+          FROM li GROUP BY l_partkey)
+    SELECT count(*) AS n_small_lineitems,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS small_qty_revenue
+    FROM li JOIN t ON l_partkey = t_partkey
+    WHERE l_quantity < limit_qty
+    """,
+)
+def q_small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: small-quantity-lineitem revenue for one brand —
+    broadcast part list + broadcast per-part thresholds; the fact
+    table never shuffles (avg of integral doubles is exact)."""
+    from ..operators.relational import small_qty_order_revenue
+
+    return small_qty_order_revenue(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "large_order_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 300.0
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           total_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders over 300 total units with their customers —
+    HAVING on the lineitem aggregate first, broadcast customer dim,
+    global top-k via TakeOrderedAndProject."""
+    from ..operators.relational import large_order_customers
+
+    return large_order_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+    WITH stats AS (
+        SELECT count(*) AS n_pos,
+               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos
+        FROM customer WHERE c_acctbal > 0.0
+    ),
+    rich AS (
+        SELECT c.* FROM customer c CROSS JOIN stats
+        WHERE c_acctbal * n_pos > CAST(sum_pos AS DOUBLE)
+    ),
+    idle AS (
+        SELECT * FROM rich
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+    )
+    SELECT n_name, count(*) AS n_customers,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_acctbal
+    FROM idle JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers with no orders since
+    2000, by nation — cross-multiplied average cut (no double
+    division), LEFT ANTI recent-order probe, broadcast nation."""
+    from ..operators.relational import idle_rich_customers
+
+    return idle_rich_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )

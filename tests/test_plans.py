@@ -35,6 +35,11 @@ BNLJ_ALLOWED = {
     # two 1-row broadcasts: the (k+1)-th-largest merge threshold onto
     # the <=32k-row summary, and the stream total onto the exact side.
     "heavy_hitters",
+    # 1-row (n_pos, sum_pos) stats broadcast onto the customer scan
+    # (the cross-multiplied average cut).
+    "idle_rich_customers",
+    # 1-row max-revenue broadcast onto the per-supplier aggregate.
+    "top_supplier_revenue",
 }
 
 

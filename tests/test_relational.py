@@ -351,3 +351,69 @@ def test_event_pagerank_deterministic_and_favors_popular_target(spark):
         for r in event_pagerank(events.repartition(7)).collect()
     }
     assert pr == pr2
+
+
+def test_customer_order_distribution_counts_everyone(spark, sf_dir):
+    """Histogram masses must sum to |customer| and weighted counts to
+    |orders| (zero-order bucket carries no weight)."""
+    from flight_events_flink_job_spark.operators.relational import (
+        customer_order_distribution,
+    )
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rows = customer_order_distribution(customer, orders).collect()
+    assert sum(r.n_customers for r in rows) == customer.count()
+    assert sum(r.c_count * r.n_customers for r in rows) == orders.count()
+
+
+def test_large_order_customers_threshold_is_exact(spark, sf_dir):
+    """Every returned order's lineitem quantities must genuinely sum
+    above the threshold."""
+    from flight_events_flink_job_spark.operators.relational import (
+        large_order_customers,
+    )
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    rows = large_order_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    ).collect()
+    assert len(rows) > 0
+    assert all(r.total_qty > 300.0 for r in rows)
+
+
+def test_idle_rich_customers_excludes_recent_orderers(spark, sf_dir):
+    """No returned nation bucket may include a customer with an order
+    on/after the cutoff; every member is above the positive-balance
+    average."""
+    from flight_events_flink_job_spark.operators.relational import (
+        idle_rich_customers,
+    )
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    out = idle_rich_customers(customer, orders, nation)
+    total = out.agg(F.sum("n_customers")).collect()[0][0]
+    # recompute membership naively
+    stats = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("n"), F.sum("c_acctbal").alias("s")
+    ).collect()[0]
+    recent = {
+        r.o_custkey
+        for r in orders.filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    naive = [
+        r
+        for r in customer.collect()
+        if r.c_acctbal * stats.n > stats.s and r.c_custkey not in recent
+    ]
+    assert total == len(naive) and total > 0
