@@ -48,6 +48,7 @@ _PRIORITY = [
     "small_qty_order_revenue",
     "large_order_customers",
     "idle_rich_customers",
+    "stream_chained_agg",
     # -- oracle-ified in round 4 (rows-only before) -------------------------
     "dedup_simhash",
     "similarity_topk_lsh",

@@ -42,6 +42,7 @@ BENCH_SKIP = {
     "stream_dedup_redelivery",
     "stream_session_windows",
     "stream_static_enrichment",
+    "stream_chained_agg",
 }
 
 
@@ -222,3 +223,43 @@ def q_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_enriched_from_staged(
         spark, staging, ckpt, load_table(spark, sf_dir, "customer")
     )
+
+
+@register(
+    "stream_chained_agg",
+    oracle="""
+    WITH s1 AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b5,
+               count(*) AS n5,
+               round(sum(CAST(value AS DECIMAL(27,10))), 4) AS s5
+        FROM events GROUP BY 1, 2
+    )
+    SELECT TIMESTAMP '1970-01-01'
+               + to_seconds(CAST(floor(b5 / 3600) * 3600 AS BIGINT))
+               AS window_start,
+           event_type,
+           CAST(sum(n5) AS BIGINT) AS n_events,
+           count(*) AS n_windows,
+           max(n5) AS max_5m_events,
+           CAST(round(sum(s5), 4) AS DOUBLE) AS sum_value
+    FROM s1 GROUP BY 1, 2
+    """,
+)
+def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful streaming (multiple stateful operators, Spark
+    3.4+): 5-minute windowed aggregate re-rolled to hourly inside ONE
+    append-mode streaming query, driver-checked against the batch
+    two-tier SQL — losslessness engineered via time-ordered staging +
+    a watermark sentinel (streaming/chained.py contract)."""
+    from ..streaming.chained import (
+        drain_chained_from_staged,
+        stage_time_ordered,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_chained_")
+    staging, ckpt = f"{base}/in", f"{base}/ckpt"
+    stage_time_ordered(
+        spark, load_table(spark, sf_dir, "events"), staging, parts=4
+    )
+    return drain_chained_from_staged(spark, staging, ckpt)
