@@ -49,6 +49,7 @@ _PRIORITY = [
     "large_order_customers",
     "idle_rich_customers",
     "stream_chained_agg",
+    "stream_outer_interval_join",
     # -- oracle-ified in round 4 (rows-only before) -------------------------
     "dedup_simhash",
     "similarity_topk_lsh",

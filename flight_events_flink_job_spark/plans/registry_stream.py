@@ -43,6 +43,7 @@ BENCH_SKIP = {
     "stream_session_windows",
     "stream_static_enrichment",
     "stream_chained_agg",
+    "stream_outer_interval_join",
 }
 
 
@@ -263,3 +264,36 @@ def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, load_table(spark, sf_dir, "events"), staging, parts=4
     )
     return drain_chained_from_staged(spark, staging, ckpt)
+
+
+@register(
+    "stream_outer_interval_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS signup_event,
+           a.ts AS signup_ts,
+           b.event_id AS purchase_event,
+           b.ts AS purchase_ts,
+           b.value AS purchase_value
+    FROM events a LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    WHERE a.event_type = 'signup'
+    """,
+)
+def q_stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, driver-checked: every
+    signup with its 6-hour purchases OR one null-padded row once the
+    watermark proves no match can arrive — flushed losslessly via
+    time-ordered staging + per-side sentinels (streaming/outer_join.py
+    contract). Must equal the batch LEFT range join exactly."""
+    from ..streaming.outer_join import (
+        drain_left_join_from_staged,
+        stage_join_input,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_louter_")
+    staging, ckpt = f"{base}/in", f"{base}/ckpt"
+    stage_join_input(spark, load_table(spark, sf_dir, "events"), staging)
+    return drain_left_join_from_staged(spark, staging, ckpt)

@@ -489,3 +489,33 @@ def test_chained_agg_emits_multiple_batches(spark, sf_dir, tmp_path):
         if not f.startswith(".")
     ]
     assert len(commits) >= 4
+
+
+def test_left_outer_interval_join_parity_and_null_padding(
+    spark, sf_dir, tmp_path
+):
+    """The streamed LEFT OUTER interval join must equal the batch left
+    range join exactly, including null-padded unmatched signups (the
+    watermark-eviction emissions)."""
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+    from flight_events_flink_job_spark.streaming.outer_join import (
+        drain_left_join_from_staged,
+        signup_purchase_left_join,
+        stage_join_input,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    staging = str(tmp_path / "in")
+    stage_join_input(spark, ev, staging, parts=3)
+    streamed = drain_left_join_from_staged(
+        spark, staging, str(tmp_path / "ckpt")
+    )
+    batch = signup_purchase_left_join(
+        ev.filter(F.col("event_type") == "signup"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert s_rows == b_rows
+    assert any(r[3] is None for r in s_rows)  # null-padded rows exist
