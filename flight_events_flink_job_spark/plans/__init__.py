@@ -50,6 +50,7 @@ _PRIORITY = [
     "idle_rich_customers",
     "stream_chained_agg",
     "stream_outer_interval_join",
+    "airline_stats_csv",
     # -- oracle-ified in round 4 (rows-only before) -------------------------
     "dedup_simhash",
     "similarity_topk_lsh",

@@ -44,6 +44,7 @@ BENCH_SKIP = {
     "stream_static_enrichment",
     "stream_chained_agg",
     "stream_outer_interval_join",
+    "airline_stats_csv",
 }
 
 
@@ -297,3 +298,19 @@ def q_stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging, ckpt = f"{base}/in", f"{base}/ckpt"
     stage_join_input(spark, load_table(spark, sf_dir, "events"), staging)
     return drain_left_join_from_staged(spark, staging, ckpt)
+
+
+@register("airline_stats_csv", oracle=ORACLES["airline_delay_stats"])
+def q_airline_stats_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 through CSV: the A1 aggregate serialized to headered CSV and
+    read back under the enforced original schema must hash-equal the
+    batch A1 oracle exactly — the interchange-format serving twin
+    (streaming/sinks.py csv_roundtrip)."""
+    from ..operators.aggregates import airline_stats
+    from ..sources.flight_adapter import shared_flights
+    from ..streaming.sinks import csv_roundtrip
+
+    base = tempfile.mkdtemp(prefix="csv_serving_")
+    return csv_roundtrip(
+        airline_stats(shared_flights(spark, sf_dir)), f"{base}/csv"
+    )

@@ -85,3 +85,28 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def csv_roundtrip(df: DataFrame, path: str) -> DataFrame:
+    """Write ``df`` as headered CSV and read it back with the ORIGINAL
+    schema enforced (no inference) — the interchange-format twin of the
+    Parquet serving layer (SURVEY.md §2.1 notes the reference has no
+    file formats at all; our engine adds Parquet, JSON-lines staging,
+    JDBC, and CSV).
+
+    Losslessness contract: timestamps serialize as ISO-8601 with
+    microseconds; doubles round-trip via Spark's Ryu shortest-repr
+    writer and exact reader. The read enforces ``df.schema`` so column
+    types survive identically (a header-infer read would widen ints
+    and retype timestamps).
+    """
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    df.write.mode("overwrite").option("header", True).option(
+        "timestampFormat", ts_fmt
+    ).csv(path)
+    return (
+        df.sparkSession.read.schema(df.schema)
+        .option("header", True)
+        .option("timestampFormat", ts_fmt)
+        .csv(path)
+    )

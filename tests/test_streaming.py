@@ -519,3 +519,20 @@ def test_left_outer_interval_join_parity_and_null_padding(
     b_rows = sorted(map(tuple, batch.collect()))
     assert s_rows == b_rows
     assert any(r[3] is None for r in s_rows)  # null-padded rows exist
+
+
+def test_csv_roundtrip_preserves_schema_and_values(spark, sf_dir, tmp_path):
+    """CSV write+read under the enforced schema must be lossless for
+    strings, bigints, doubles and microsecond timestamps."""
+    from flight_events_flink_job_spark.operators.aggregates import airline_stats
+    from flight_events_flink_job_spark.sources.flight_adapter import shared_flights
+    from flight_events_flink_job_spark.streaming.sinks import csv_roundtrip
+
+    stats = airline_stats(shared_flights(spark, sf_dir))
+    back = csv_roundtrip(stats, str(tmp_path / "csv"))
+    # dtypes (not full schema): CSV reads are always nullable, which
+    # the driver's hash ignores; names and types must survive exactly.
+    assert back.dtypes == stats.dtypes
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, stats.collect())
+    )
