@@ -51,6 +51,7 @@ _PRIORITY = [
     "stream_chained_agg",
     "stream_outer_interval_join",
     "airline_stats_csv",
+    "datagen_flights",
     # -- oracle-ified in round 4 (rows-only before) -------------------------
     "dedup_simhash",
     "similarity_topk_lsh",

@@ -314,3 +314,42 @@ def q_airline_stats_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return csv_roundtrip(
         airline_stats(shared_flights(spark, sf_dir)), f"{base}/csv"
     )
+
+
+@register(
+    "datagen_flights",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 4999)) AS i)
+    SELECT 'G' || CAST(i AS VARCHAR) AS flight_id,
+           'FN' || CAST(i % 100 AS VARCHAR) AS flight_number,
+           'AL' || CAST(i % 7 AS VARCHAR) AS airline,
+           'AP' || CAST(i % 11 AS VARCHAR) AS origin,
+           'AP' || CAST((i * 7 + 3) % 11 AS VARCHAR) AS destination,
+           TIMESTAMP '1970-01-01' + to_seconds(1704067200 + i * 97)
+               AS scheduled_time,
+           TIMESTAMP '1970-01-01'
+               + to_seconds(1704067200 + i * 97 + (i % 41 - 8) * 60)
+               AS actual_time,
+           CAST(CASE WHEN i % 3 = 0
+                     THEN CASE WHEN i % 41 - 8 > 0 THEN 1 ELSE 0 END
+                     ELSE CASE WHEN (((i - i % 3) / 3) % 3) IN (0, 1)
+                               THEN 1 ELSE 0 END
+                END AS INTEGER) AS is_delayed,
+           'U' || CAST(i % 500 AS VARCHAR) AS user_id,
+           CAST(i % 41 - 8 AS BIGINT) AS delay_minutes
+    FROM ids
+    """,
+)
+def q_datagen_flights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 API; the Flink ``datagen``
+    connector analogue): 5000 deterministic JSON flight events
+    generated in partitioned id ranges with NO backing files, pushed
+    through the REAL P1-P4 parse pipeline; the oracle regenerates the
+    identical corpus arithmetically from generate_series
+    (sources/datagen.py)."""
+    from ..operators.parse import parse_flight_events, valid_flights
+    from ..sources.datagen import GEN_FORMAT, register_datagen
+
+    register_datagen(spark)
+    raw = spark.read.format(GEN_FORMAT).option("rows", 5000).load()
+    return valid_flights(parse_flight_events(raw))

@@ -135,3 +135,33 @@ def test_explicit_null_delayed_forces_not_delayed(spark):
     # absent key still falls through to status (FEA:55-57)
     row = _one(spark, _event(status="DELAYED"))
     assert row.is_delayed == 1
+
+
+def test_datagen_source_partitions_and_encodings(spark):
+    """The custom Python DataSource must produce partitioned,
+    deterministic payloads covering BOTH delay encodings and negative
+    delays (Q2/Q4 paths), and survive the real parse pipeline with
+    zero rejects."""
+    from flight_events_flink_job_spark.operators.parse import (
+        parse_flight_events,
+        rejected_rows,
+        valid_flights,
+    )
+    from flight_events_flink_job_spark.sources.datagen import (
+        GEN_FORMAT,
+        register_datagen,
+    )
+
+    register_datagen(spark)
+    raw = spark.read.format(GEN_FORMAT).option("rows", 600).load()
+    assert raw.rdd.getNumPartitions() > 1
+    parsed = parse_flight_events(raw)
+    assert rejected_rows(parsed).count() == 0
+    flights = valid_flights(parsed)
+    assert flights.count() == 600
+    raws = raw.collect()
+    assert any('"delayed":' in r.value for r in raws)
+    assert any('"status":"delayed"' in r.value for r in raws)  # lowercase
+    assert flights.filter("delay_minutes < 0").count() > 0
+    again = spark.read.format(GEN_FORMAT).option("rows", 600).load().collect()
+    assert sorted(r.value for r in raws) == sorted(r.value for r in again)
