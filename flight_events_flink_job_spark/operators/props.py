@@ -43,3 +43,33 @@ def props_mining(events: DataFrame) -> DataFrame:
             F.round(F.avg("prop_k"), ROUND_DP).alias("avg_k"),
         )
     )
+
+
+def props_variant_profile(events: DataFrame) -> DataFrame:
+    """Per-event-type payload profile through Spark 4's VARIANT type:
+    ``parse_json`` once into the shredded binary-JSON representation,
+    then typed path extraction (``try_variant_get``) and schema
+    inference (``schema_of_variant``) — the modern engine path for
+    semi-structured columns at scale (columnar shredding, no repeated
+    string parsing), vs :func:`props_mining`'s classic
+    ``get_json_object`` string path.
+
+    Columns: (event_type, n_events, n_valid, variant_schema,
+    min_k, max_k). ``n_valid`` counts payloads whose ``$.k`` extracts
+    as BIGINT; ``variant_schema`` is the (single) inferred object
+    schema — a literal golden value in the oracle.
+    """
+    v = events.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get(F.col("v"), "$.k", "bigint").alias("k"),
+        F.schema_of_variant(F.col("v")).alias("sch"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("k").alias("n_valid"),
+        F.max("sch").alias("variant_schema"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )

@@ -52,6 +52,7 @@ _PRIORITY = [
     "stream_outer_interval_join",
     "airline_stats_csv",
     "datagen_flights",
+    "props_variant_profile",
     # -- oracle-ified in round 4 (rows-only before) -------------------------
     "dedup_simhash",
     "similarity_topk_lsh",

@@ -1510,3 +1510,26 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import heavy_hitters_checked
 
     return heavy_hitters_checked(_docs(spark, sf_dir))
+
+
+@register(
+    "props_variant_profile",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT)
+               AS n_valid,
+           'OBJECT<k: BIGINT>' AS variant_schema,
+           min(CAST(props ->> '$.k' AS BIGINT)) AS min_k,
+           max(CAST(props ->> '$.k' AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_props_variant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path over events.props: parse_json once, typed
+    try_variant_get + schema_of_variant, grouped per event type (the
+    shredded-JSON twin of props_mining's string path)."""
+    from ..operators.props import props_variant_profile
+
+    return props_variant_profile(load_table(spark, sf_dir, "events"))

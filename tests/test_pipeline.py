@@ -304,3 +304,26 @@ def test_dsir_deterministic_across_partitioning(spark, sf_dir):
     a = sorted(map(tuple, dsir_importance(docs).collect()))
     b = sorted(map(tuple, dsir_importance(docs.repartition(13)).collect()))
     assert a == b
+
+
+def test_props_variant_profile_handles_malformed_and_mixed(spark):
+    """VARIANT path extraction must be null-safe: malformed JSON and
+    missing/differently-typed keys count as invalid, never throw."""
+    from flight_events_flink_job_spark.operators.props import (
+        props_variant_profile,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01T00:00:00", 1, "view", 1.0, '{"k": 5}'),
+            (2, "2024-01-01T00:00:01", 1, "view", 1.0, '{"k": "text"}'),
+            (3, "2024-01-01T00:00:02", 1, "view", 1.0, '{"other": 1}'),
+        ],
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    rows = props_variant_profile(events).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_events == 3 and r.n_valid == 1
+    assert r.min_k == 5 and r.max_k == 5
