@@ -53,6 +53,7 @@ _PRIORITY = [
     "airline_stats_csv",
     "datagen_flights",
     "props_variant_profile",
+    "stream_datagen_flights",
     # -- oracle-ified in round 4 (rows-only before) -------------------------
     "dedup_simhash",
     "similarity_topk_lsh",

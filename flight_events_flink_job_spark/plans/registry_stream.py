@@ -45,6 +45,7 @@ BENCH_SKIP = {
     "stream_chained_agg",
     "stream_outer_interval_join",
     "airline_stats_csv",
+    "stream_datagen_flights",
 }
 
 
@@ -353,3 +354,16 @@ def q_datagen_flights(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_datagen(spark)
     raw = spark.read.format(GEN_FORMAT).option("rows", 5000).load()
     return valid_flights(parse_flight_events(raw))
+
+
+@register("stream_datagen_flights", oracle=ORACLES["datagen_flights"])
+def q_stream_datagen_flights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource as a STREAMING source
+    (DataSourceStreamReader, Spark 4): offset-checkpointed micro-
+    batches of generated payloads through the parse pipeline into an
+    exactly-once parquet sink — must hash-equal the batch datagen
+    oracle exactly (sources/datagen.py drain contract)."""
+    from ..sources.datagen import drain_datagen_stream
+
+    base = tempfile.mkdtemp(prefix="stream_datagen_")
+    return drain_datagen_stream(spark, f"{base}/ckpt")

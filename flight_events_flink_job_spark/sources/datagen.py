@@ -18,7 +18,12 @@ end-to-end over a source with NO backing files at all.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 GEN_FORMAT = "flight_events_gen"
@@ -107,3 +112,105 @@ def register_datagen(spark) -> None:
         spark.dataSource.register(FlightEventsDataSource)
     except Exception:
         pass  # already registered on this session
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: DataSourceStreamReader with offset checkpointing
+# ---------------------------------------------------------------------------
+
+class FlightEventsStreamReader(DataSourceStreamReader):
+    """Offset-tracked micro-batch reader: offsets are row ids; each
+    ``latestOffset`` call advances by ``rowsPerBatch`` until ``rows``
+    is exhausted, then holds (the stream goes quiet). Offsets are
+    checkpointed by the engine — a restarted query resumes exactly
+    where the last commit left off (the exactly-once contract the
+    reference's latest-offset Kafka config explicitly lacks,
+    KafkaUtils.java:17,23-24)."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", DEFAULT_ROWS))
+        self.per_batch = int(options.get("rowsPerBatch", 1000))
+        self.n_parts = int(options.get("numPartitions", 4))
+        self._current = 0
+
+    def initialOffset(self):
+        return {"id": 0}
+
+    def latestOffset(self):
+        self._current = min(self._current + self.per_batch, self.n_rows)
+        return {"id": self._current}
+
+    def partitions(self, start, end):
+        lo, hi = start["id"], end["id"]
+        step = max(1, (hi - lo) // self.n_parts)
+        bounds = list(range(lo, hi, step)) + [hi]
+        return [
+            _RangePartition(bounds[i], bounds[i + 1])
+            for i in range(len(bounds) - 1)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield (gen_payload(i),)
+
+    def commit(self, end):
+        pass
+
+
+def _streamReader(self, schema):
+    return FlightEventsStreamReader(self.options)
+
+
+FlightEventsDataSource.streamReader = _streamReader
+
+
+def drain_datagen_stream(
+    spark,
+    checkpoint_dir: str,
+    rows: int = DEFAULT_ROWS,
+    rows_per_batch: int = 1000,
+    timeout_s: int = 300,
+):
+    """Run the streaming generator through the real parse pipeline into
+    an exactly-once parquet sink, stopping once all ``rows`` committed.
+
+    The stop condition polls the sink's row count (the source holds its
+    latest offset once exhausted, so the query idles at exactly
+    ``rows``); a restarted query would resume from the checkpointed
+    offset, not row 0.
+    """
+    import time as _time
+
+    from ..operators.parse import parse_flight_events, valid_flights
+
+    register_datagen(spark)
+    out_dir = f"{checkpoint_dir}_out"
+    raw = (
+        spark.readStream.format(GEN_FORMAT)
+        .option("rows", rows)
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+    )
+    q = (
+        valid_flights(parse_flight_events(raw))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    deadline = _time.time() + timeout_s
+    try:
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(out_dir).count() >= rows:
+                    break
+            except Exception:
+                pass  # sink directory not committed yet
+            _time.sleep(0.5)
+        else:
+            raise TimeoutError("datagen stream did not finish draining")
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -165,3 +165,38 @@ def test_datagen_source_partitions_and_encodings(spark):
     assert flights.filter("delay_minutes < 0").count() > 0
     again = spark.read.format(GEN_FORMAT).option("rows", 600).load().collect()
     assert sorted(r.value for r in raws) == sorted(r.value for r in again)
+
+
+def test_streaming_datagen_incremental_and_equal_to_batch(spark, tmp_path):
+    """The streaming generator must drain in multiple offset-tracked
+    micro-batches and produce exactly the batch generator's corpus."""
+    import os
+
+    from flight_events_flink_job_spark.operators.parse import (
+        parse_flight_events,
+        valid_flights,
+    )
+    from flight_events_flink_job_spark.sources.datagen import (
+        GEN_FORMAT,
+        drain_datagen_stream,
+        register_datagen,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    streamed = drain_datagen_stream(
+        spark, ckpt, rows=2500, rows_per_batch=800
+    )
+    register_datagen(spark)
+    batch = valid_flights(
+        parse_flight_events(
+            spark.read.format(GEN_FORMAT).option("rows", 2500).load()
+        )
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    commits = [
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    ]
+    assert len(commits) >= 4  # ceil(2500/800) = 4 non-empty batches
