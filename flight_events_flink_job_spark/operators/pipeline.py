@@ -431,14 +431,21 @@ def dsir_importance(
     Scale shape: the gram stream is scan → explode (narrow); BOTH
     bucket models are <= ``buckets``-row aggregates, so scoring is a
     broadcast hash join of a ~1k-row weight table onto the gram stream
-    followed by one per-doc hash aggregate — the corpus shuffles once,
-    on doc_id partials. Engine-portability: the hash is the shared
-    poly-hash (functions/textual.py), per-gram log-ratios are rounded
+    followed by one per-doc hash aggregate. The gram stream is
+    evaluated ONCE: it collapses immediately to a (doc, lang, bucket,
+    count) profile (partial-aggregated before its only exchange), from
+    which both the bucket model and the per-doc scores derive —
+    per-gram work never repeats and the corpus shuffles once. Engine-portability: the hash is the shared
+    poly-hash, evaluated Arrow-vectorized on this hot path
+    (functions/textual.py poly_hash_arrow — identical integer math to
+    the Catalyst fold the oracle replays); per-gram log-ratios are rounded
     to 6 dp then DECIMAL-summed (the doc_logfreq_score pattern), so
     partial-aggregation order cannot move the sum.
     """
-    from ..functions.textual import poly_hash, tokens
+    from ..functions.textual import poly_hash_arrow, tokens
+    from .util import spread
 
+    documents = spread(documents)
     ts = tokens(F.col("text"))
     bigrams = F.zip_with(
         F.slice(ts, 1, F.size(ts) - 1),
@@ -446,28 +453,35 @@ def dsir_importance(
         lambda x, y: F.concat_ws(" ", x, y),
     )
     grams = F.when(F.size(ts) >= 2, F.concat(ts, bigrams)).otherwise(ts)
-    g = documents.select(
-        "doc_id",
-        "lang",
-        F.explode(grams).alias("gram"),
-    ).select(
-        "doc_id",
-        "lang",
-        (poly_hash(F.col("gram")) % buckets).alias("bkt"),
+    gb = (
+        documents.select(
+            "doc_id",
+            "lang",
+            F.explode(grams).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (poly_hash_arrow(F.col("gram")) % buckets).alias("bkt"),
+        )
+        .groupBy("doc_id", "lang", "bkt")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
     )
-    cs = g.groupBy("bkt").agg(F.count("*").alias("ns"))
-    ct = (
-        g.filter(F.col("lang") == target_lang)
-        .groupBy("bkt")
-        .agg(F.count("*").alias("nt"))
+    model_counts = gb.groupBy("bkt").agg(
+        F.sum("cnt").alias("ns"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("cnt")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("nt"),
     )
-    tot = cs.agg(
-        F.sum("ns").alias("total_s"),
-    ).crossJoin(ct.agg(F.sum("nt").alias("total_t")))
-    nt0 = F.coalesce(F.col("nt"), F.lit(0).cast("bigint"))
+    tot = model_counts.agg(
+        F.sum("ns").alias("total_s"), F.sum("nt").alias("total_t")
+    )
     lw = F.round(
         F.log(
-            ((nt0 + F.lit(1.0)) / (F.col("total_t") + F.lit(float(buckets))))
+            ((F.col("nt") + F.lit(1.0)) / (F.col("total_t") + F.lit(float(buckets))))
             / (
                 (F.col("ns") + F.lit(1.0))
                 / (F.col("total_s") + F.lit(float(buckets)))
@@ -475,16 +489,16 @@ def dsir_importance(
         ),
         6,
     ).cast("decimal(20,6)")
-    model = (
-        cs.join(ct, "bkt", "left")
-        .crossJoin(F.broadcast(tot))
-        .select("bkt", lw.alias("lw"))
+    model = model_counts.crossJoin(F.broadcast(tot)).select(
+        "bkt", lw.alias("lw")
     )
     return (
-        g.join(F.broadcast(model), "bkt")
+        gb.join(F.broadcast(model), "bkt")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_grams"),
-            F.round(F.sum("lw"), 4).cast("double").alias("log_weight"),
+            F.sum("cnt").alias("n_grams"),
+            F.round(F.sum(F.col("lw") * F.col("cnt")), 4)
+            .cast("double")
+            .alias("log_weight"),
         )
     )
