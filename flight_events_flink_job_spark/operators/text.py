@@ -767,7 +767,7 @@ def heavy_hitters_checked(docs: DataFrame, k: int = 80) -> DataFrame:
                 lambda i: F.substring(F.col("word"), i, F.lit(2)),
             )
         ).alias("pair")
-    )
+    ).persist()  # consumed twice: the MG sketch pass + the exact tier
 
     def mg(batches):
         counters: dict[str, int] = {}
@@ -808,7 +808,8 @@ def heavy_hitters_checked(docs: DataFrame, k: int = 80) -> DataFrame:
         .filter(F.col("est") > 0)
     )
     exact = pairs.groupBy("pair").agg(F.count("*").alias("n_exact"))
-    tot = pairs.agg(F.count("*").alias("n"))
+    # stream total derives from the exact aggregate (no third scan)
+    tot = exact.agg(F.sum("n_exact").alias("n"))
     return (
         exact.crossJoin(F.broadcast(tot))
         .filter(F.col("n_exact") * (k + 1) > F.lit(2) * F.col("n"))
