@@ -1369,3 +1369,44 @@ def idle_rich_customers(
             .alias("total_acctbal"),
         )
     )
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """(n_lineitems, revenue_increase): TPC-H Q6 shape — revenue that
+    would be recovered by dropping small discounts in one ship year.
+
+    The canonical pure scan-filter-aggregate: ALL three predicates push
+    to the parquet scan (date range, discount band, quantity cap — the
+    `.explain` shows them in PushedFilters), no join, no shuffle beyond
+    the single 1-row aggregate exchange; revenue accumulates in exact
+    DECIMAL. At 100 TB this is the query shape that measures pure scan
+    bandwidth — row-group pruning on l_shipdate does most of the work.
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(year_start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(year_end).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * F.col("l_discount").cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue_increase"),
+        )
+    )

@@ -54,6 +54,7 @@ _PRIORITY = [
     "datagen_flights",
     "props_variant_profile",
     "stream_datagen_flights",
+    "forecast_revenue_change",
     # -- oracle-ified in round 4 (rows-only before) -------------------------
     "dedup_simhash",
     "similarity_topk_lsh",

@@ -1081,3 +1081,25 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "nation"),
     )
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT count(*) AS n_lineitems,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue_increase
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure scan-filter-aggregate with every predicate pushed
+    to the parquet scan; exact DECIMAL revenue."""
+    from ..operators.relational import forecast_revenue_change
+
+    return forecast_revenue_change(load_table(spark, sf_dir, "lineitem"))
