@@ -248,3 +248,57 @@ def multimodal_features(docs: DataFrame) -> DataFrame:
     return media_features(with_binary_payload(docs)).select(
         "doc_id", "mime", "byte_len", "checksum", "head_hex"
     )
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame, grid: int = 8, width: int = 9) -> DataFrame:
+    """(doc_id, height, dhash): perceptual difference-hash over the
+    image branch — the standard near-dup fingerprint for images
+    (dHash: reduce to a ``grid`` x ``width`` grayscale grid, set bit
+    (r, c) iff grid[r][c] < grid[r][c+1]; 63 bits at the 8x9 default —
+    the final comparison is dropped so the fingerprint stays inside
+    signed BIGINT identically in Spark, pandas and DuckDB).
+    Two re-encodes of the same photo differ by a few bits of Hamming
+    distance — pair generation then reuses the SimHash pigeonhole
+    machinery (operators/dedup.py simhash_near_pairs pattern).
+
+    The decode is the deterministic fake (:func:`decode_fake`, width 9
+    here) and the downscale is integer block means (floor of exact
+    integer sums), so the whole fingerprint is byte-math the DuckDB
+    oracle replays exactly; a real decoder slots into the same
+    iterator. Items shorter than ``grid`` rows are skipped (no
+    degenerate hash).
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_fake(bytes(payload), width)
+                h = img.shape[0]
+                if h < grid:
+                    continue
+                bh = h // grid
+                blocks = img[: bh * grid].astype(np.int64)
+                g = blocks.reshape(grid, bh, width).sum(axis=1) // bh
+                bits = 0
+                for r in range(grid):
+                    for c in range(width - 1):
+                        pos = r * (width - 1) + c
+                        if pos >= 63:  # stay inside signed BIGINT
+                            continue
+                        if g[r, c] < g[r, c + 1]:
+                            bits |= 1 << pos
+                rows.append((doc_id, int(h), bits))
+            yield pd.DataFrame(rows, columns=["doc_id", "height", "dhash"])
+
+    return media.mapInPandas(batches, schema=DHASH_SCHEMA)

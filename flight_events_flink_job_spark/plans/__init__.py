@@ -55,6 +55,7 @@ _PRIORITY = [
     "props_variant_profile",
     "stream_datagen_flights",
     "forecast_revenue_change",
+    "multimodal_image_dhash",
     # -- oracle-ified in round 4 (rows-only before) -------------------------
     "dedup_simhash",
     "similarity_topk_lsh",

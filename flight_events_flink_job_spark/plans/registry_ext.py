@@ -1533,3 +1533,45 @@ def q_props_variant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.props import props_variant_profile
 
     return props_variant_profile(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "multimodal_image_dhash",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, text,
+               len(text) // 9 AS h,
+               (len(text) // 9) // 8 AS bh
+        FROM documents
+        WHERE len(text) // 9 >= 8
+    ),
+    grids AS (
+        SELECT doc_id, CAST(h AS INTEGER) AS height,
+               flatten([[
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       [CAST(unicode(text[CAST((r*bh + i - 1)*9 + c + 1
+                                               AS INTEGER)]) AS BIGINT)
+                        for i in range(1, CAST(bh AS INTEGER) + 1)]),
+                       (a, x) -> a + x) // bh
+                   for c in range(0, 9)] for r in range(0, 8)]) AS g
+        FROM dims
+    )
+    SELECT doc_id, height,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               flatten([[CASE WHEN r*8 + c < 63
+                                   AND g[r*9 + c + 1] < g[r*9 + c + 2]
+                              THEN CAST(1 AS BIGINT) << (r*8 + c)
+                              ELSE CAST(0 AS BIGINT) END
+                         for c in range(0, 8)] for r in range(0, 8)])),
+               (a, x) -> a | x) AS dhash
+    FROM grids
+    """,
+)
+def q_multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash (dHash, 8x9 grid -> 63 bits) over the
+    image branch's deterministic fake decode — byte-math replayed
+    cell-for-cell by the oracle; real decoders slot into the same
+    mapInPandas iterator (operators/multimodal.py image_dhash)."""
+    from ..operators.multimodal import image_dhash, with_binary_payload
+
+    return image_dhash(with_binary_payload(_docs(spark, sf_dir)))

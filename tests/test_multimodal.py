@@ -108,3 +108,31 @@ def test_audio_waveform_stats_int16_semantics(spark):
     assert r.peak == 32768  # |-32768|: the int16 asymmetric extreme
     want = math.sqrt(sum(s * s for s in samples) / 5)
     assert r.rms == want  # deterministic IEEE value, no rounding
+
+
+def test_image_dhash_detects_near_identical_payloads(spark):
+    """Two payloads differing by one byte must have near-zero Hamming
+    distance between dhashes; unrelated payloads should differ in many
+    bits. A gradient payload exercises both bit polarities."""
+    from flight_events_flink_job_spark.operators.multimodal import (
+        image_dhash,
+        with_binary_payload,
+    )
+
+    base = "".join(chr(97 + (i * 7) % 26) for i in range(9 * 16))
+    tweaked = "z" + base[1:]
+    unrelated = "".join(chr(97 + (25 - (i * 11) % 26)) for i in range(9 * 16))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", len(base)),
+            (2, tweaked, "en", "s", len(tweaked)),
+            (3, unrelated, "en", "s", len(unrelated)),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    h = {r.doc_id: r.dhash for r in image_dhash(with_binary_payload(docs)).collect()}
+    assert all(0 <= v < (1 << 63) for v in h.values())
+    near = bin(h[1] ^ h[2]).count("1")
+    far = bin(h[1] ^ h[3]).count("1")
+    assert near <= 8
+    assert far > near
