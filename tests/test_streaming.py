@@ -536,3 +536,53 @@ def test_csv_roundtrip_preserves_schema_and_values(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, stats.collect())
     )
+
+
+def test_chained_agg_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Stop-and-resume: drain the first half of the staged stream to
+    completion, then add the remaining files + sentinel and drain AGAIN
+    over the SAME checkpoint/output. The union of both runs' append
+    emissions must equal the batch result exactly — finalized windows
+    are never re-emitted (exactly-once) and nothing is lost."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+    from flight_events_flink_job_spark.streaming.chained import (
+        CHAINED_SCHEMA,
+        SENTINEL_TYPE,
+        chained_hourly_rollup,
+        drain_chained_from_staged,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    staging, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    # run 1: first half only, in two time-ordered files
+    q1 = lo + (mid - lo) / 2
+    ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(q1))) \
+        .coalesce(1).write.mode("append").parquet(staging)
+    ev.filter((F.col("ts") >= F.lit(q1)) & (F.col("ts") < F.lit(mid))) \
+        .coalesce(1).write.mode("append").parquet(staging)
+    first = drain_chained_from_staged(spark, staging, ckpt).collect()
+    assert len(first) > 0  # watermark finalized some hour windows
+    # run 2: remaining files + the sentinel, SAME checkpoint
+    q3 = mid + (hi - mid) / 2
+    ev.filter((F.col("ts") >= F.lit(mid)) & (F.col("ts") < F.lit(q3))) \
+        .coalesce(1).write.mode("append").parquet(staging)
+    ev.filter(F.col("ts") >= F.lit(q3)) \
+        .coalesce(1).write.mode("append").parquet(staging)
+    sentinel = spark.createDataFrame(
+        [(int(-1), hi + dt.timedelta(hours=2), SENTINEL_TYPE, 0.0)],
+        CHAINED_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staging)
+    combined = drain_chained_from_staged(spark, staging, ckpt).collect()
+    batch = chained_hourly_rollup(ev).collect()
+    assert sorted(map(tuple, combined)) == sorted(map(tuple, batch))
+    # exactly-once: run 1's rows appear exactly once in the final union
+    assert set(map(tuple, first)) <= set(map(tuple, combined))
