@@ -60,3 +60,66 @@ def test_plan_has_no_scale_antipatterns(spark, sf_dir, name):
     )
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# ---------------------------------------------------------------------------
+# Pushdown / pruning gates: selected queries must keep their filters at
+# the parquet scan and their projections pruned — a silent regression
+# here (e.g. a cast or UDF wrapped around a filter column) would keep
+# values correct while destroying the 100 TB scan profile.
+# ---------------------------------------------------------------------------
+
+import re
+
+PUSHDOWN_EXPECTATIONS = {
+    # query -> (regex that must appear inside some PushedFilters [...])
+    # NOTE: plan toString truncates long PushedFilters lists mid-token
+    # ("GreaterThanOrEqual(l_shipda...") — match truncation-safe prefixes.
+    "forecast_revenue_change": r"IsNotNull\(l_shipdate\).*IsNotNull\(l_quantity\)",
+    "top_supplier_revenue": r"GreaterThanOrEqual\(l_shipdate",
+    "small_qty_order_revenue": r"EqualTo\(p_brand,Brand#23\)",
+    "idle_rich_customers": r"GreaterThanOrEqual\(o_orderdate",
+    "shipping_priority": r"(LessThan|GreaterThan)\(o_orderdate",
+    "delay_notifications": None,  # filter is post-parse (derived column)
+}
+
+# query -> (table column that must NOT be read: pruning proof)
+PRUNING_EXPECTATIONS = {
+    # Q6 touches 4 lineitem columns; the wide ones must not be scanned
+    "forecast_revenue_change": ("l_returnflag", "l_linestatus"),
+    # the histogram needs only keys: no acctbal/segment scan
+    "customer_order_distribution": ("c_acctbal", "c_mktsegment"),
+}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, p in PUSHDOWN_EXPECTATIONS.items() if p]
+)
+def test_filter_reaches_the_scan(spark, sf_dir, name):
+    plan = (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*", plan))
+    assert re.search(PUSHDOWN_EXPECTATIONS[name], pushed), (
+        f"{name}: expected filter not pushed to the parquet scan; "
+        f"PushedFilters were: {pushed[:400]}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(PRUNING_EXPECTATIONS))
+def test_projection_is_pruned_at_the_scan(spark, sf_dir, name):
+    plan = (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    schemas = " ".join(re.findall(r"ReadSchema: [^,]*struct<[^>]*>", plan))
+    for col in PRUNING_EXPECTATIONS[name]:
+        assert col not in schemas, (
+            f"{name}: column {col} is read by the scan but unused "
+            f"(column pruning regressed); ReadSchema: {schemas[:400]}"
+        )
