@@ -1410,3 +1410,61 @@ def forecast_revenue_change(
             .alias("revenue_increase"),
         )
     )
+
+
+def events_gapfill_locf(events: DataFrame, bucket_s: int = 300) -> DataFrame:
+    """(window_start, event_type, n_events, sum_value, locf_sum_value,
+    is_gap): the hypertable ``time_bucket_gapfill`` + LOCF shape — a
+    dense per-type 5-minute series where silent buckets materialize as
+    zero-count rows carrying the last observed value forward (the
+    missing piece between a plain windowed aggregate and a
+    dashboard-ready continuous series; TimescaleDB's gapfill/locf
+    analogue, built from explode(sequence) + LEFT JOIN + an
+    ignorenulls window).
+
+    Portability: per-bucket sums are ROUNDED DECIMALS (never a
+    double mean — cross-engine division); the LOCF window is
+    ``last(ignorenulls)`` over the bucket order, cast to double only at
+    the edge. Scale shape: the aggregate is one exchange; the dense
+    grid is |types| x time-span/bucket rows generated from a 1-row
+    bounds broadcast (never a scan blow-up); the LOCF window partitions
+    by type — at production span, sub-partition by coarse time segment
+    and seed each segment with its predecessor's closing value.
+    """
+    b = (
+        events.groupBy(
+            "event_type",
+            (
+                F.floor(F.unix_timestamp("ts") / bucket_s).cast("bigint")
+                * bucket_s
+            ).alias("b"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(27,10)")), 4).alias("s"),
+        )
+    )
+    bounds = b.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    types = events.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(bucket_s))
+        ).alias("b"),
+    )
+    joined = grid.join(b, ["event_type", "b"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.timestamp_seconds(F.col("b")).alias("window_start"),
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events"),
+        F.col("s").cast("double").alias("sum_value"),
+        F.last("s", ignorenulls=True).over(w).cast("double").alias(
+            "locf_sum_value"
+        ),
+        F.col("n").isNull().alias("is_gap"),
+    )

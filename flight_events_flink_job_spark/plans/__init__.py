@@ -56,6 +56,7 @@ _PRIORITY = [
     "stream_datagen_flights",
     "forecast_revenue_change",
     "multimodal_image_dhash",
+    "events_gapfill_locf",
     # -- oracle-ified in round 4 (rows-only before) -------------------------
     "dedup_simhash",
     "similarity_topk_lsh",

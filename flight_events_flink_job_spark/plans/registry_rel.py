@@ -1103,3 +1103,46 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import forecast_revenue_change
 
     return forecast_revenue_change(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "events_gapfill_locf",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b,
+               count(*) AS n,
+               round(sum(CAST(value AS DECIMAL(27,10))), 4) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+        SELECT t.event_type, unnest(generate_series(lo, hi, 300)) AS b
+        FROM types t CROSS JOIN bounds
+    ),
+    j AS (
+        SELECT g.event_type, g.b, b.n, b.s
+        FROM grid g LEFT JOIN b ON g.event_type = b.event_type
+                                AND g.b = b.b
+    )
+    SELECT TIMESTAMP '1970-01-01' + to_seconds(b) AS window_start,
+           event_type,
+           COALESCE(n, 0) AS n_events,
+           CAST(s AS DOUBLE) AS sum_value,
+           CAST(last_value(s IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY b
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS locf_sum_value,
+           n IS NULL AS is_gap
+    FROM j
+    """,
+)
+def q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gapfill + LOCF: dense 5-minute per-type series with
+    zero-count gap rows and last-observation-carried-forward sums
+    (explode(sequence) grid from a 1-row bounds broadcast + ignorenulls
+    window)."""
+    from ..operators.relational import events_gapfill_locf
+
+    return events_gapfill_locf(_events(spark, sf_dir))

@@ -40,6 +40,8 @@ BNLJ_ALLOWED = {
     "idle_rich_customers",
     # 1-row max-revenue broadcast onto the per-supplier aggregate.
     "top_supplier_revenue",
+    # 1-row (lo, hi) bounds broadcast onto the |types|-row grid seed.
+    "events_gapfill_locf",
 }
 
 

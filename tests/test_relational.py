@@ -417,3 +417,39 @@ def test_idle_rich_customers_excludes_recent_orderers(spark, sf_dir):
         if r.c_acctbal * stats.n > stats.s and r.c_custkey not in recent
     ]
     assert total == len(naive) and total > 0
+
+
+def test_gapfill_locf_densifies_and_carries_forward(spark):
+    """Hand-built series with a hole: the gap bucket must materialize
+    with n_events=0, NULL sum, the previous bucket's LOCF value, and
+    is_gap=True; head-of-series gaps stay NULL."""
+    import datetime as dt
+
+    from flight_events_flink_job_spark.operators.relational import (
+        events_gapfill_locf,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # type 'a': events in bucket 0 and bucket 2 -> bucket 1 is a gap
+        (1, t0, 1, "a", 10.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=11), 1, "a", 7.0, "{}"),
+        # type 'z': only bucket 2 -> buckets 0,1 are head gaps (NULL locf)
+        (3, t0 + dt.timedelta(minutes=12), 2, "z", 5.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    out = {
+        (r.event_type, str(r.window_start)): r
+        for r in events_gapfill_locf(events).collect()
+    }
+    assert len(out) == 6  # 2 types x 3 buckets, densified
+    gap = out[("a", "2024-01-01 00:05:00")]
+    assert gap.n_events == 0 and gap.is_gap and gap.sum_value is None
+    assert gap.locf_sum_value == 10.0
+    assert out[("a", "2024-01-01 00:10:00")].locf_sum_value == 7.0
+    head = out[("z", "2024-01-01 00:00:00")]
+    assert head.is_gap and head.locf_sum_value is None
