@@ -3,6 +3,7 @@ from . import registry_ext  # noqa: F401  (registers extension queries)
 from . import registry_pipeline  # noqa: F401  (registers training-pipeline queries)
 from . import registry_rel  # noqa: F401  (registers relational-extension queries)
 from . import registry_stream  # noqa: F401  (registers streaming queries)
+from . import registry_tpch  # noqa: F401  (registers the remaining TPC-H shapes)
 from .registry_stream import BENCH_SKIP  # noqa: F401
 
 # ---------------------------------------------------------------------------
@@ -17,6 +18,16 @@ from .registry_stream import BENCH_SKIP  # noqa: F401
 # 86 still run in pytest/tools-parity sweeps every round.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
+    # -- new TPC-H shapes (late round 4, never driver-checked) --------------
+    "min_cost_supplier",
+    "nation_market_share",
+    "product_type_profit",
+    "important_part_stock",
+    "shipmode_priority",
+    "part_supplier_counts",
+    "disjunctive_revenue",
+    "excess_suppliers",
+    "waiting_orders_suppliers",
     # -- never driver-checked before round 4 --------------------------------
     "per_lang_sample",
     "regional_supplier_volume",
