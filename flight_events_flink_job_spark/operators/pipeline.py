@@ -502,3 +502,103 @@ def dsir_importance(
             .alias("log_weight"),
         )
     )
+
+
+def incremental_dedup(
+    existing: DataFrame, incoming: DataFrame
+) -> DataFrame:
+    """Admit only incoming-snapshot documents whose canonical content
+    key appears nowhere in the existing corpus NOR earlier in the
+    incoming batch itself — the incremental-crawl dedup step (each new
+    CommonCrawl-style snapshot is deduped against everything already
+    ingested, not re-deduping the whole corpus from scratch).
+
+    Two-tier plan, both tiers key-partitioned:
+      1. cross-snapshot: LEFT ANTI join incoming-keys against
+         existing-keys. At 100 TB the existing side is far too large to
+         broadcast — this is deliberately a co-partitioned shuffle
+         hash/SMJ on the content key (the existing side can also be a
+         pre-bucketed key table, making the anti join shuffle-free);
+         the existing corpus projects to its KEY COLUMN ONLY before the
+         join, so the wide text column never moves.
+      2. within-snapshot: min_by argmax per key (hash aggregate, no
+         window sort) keeps the lowest doc_id of each surviving group.
+
+    Output: the admitted rows with their within-batch duplicate counts.
+    """
+    from ..functions.textual import token_set_key
+
+    inc = incoming.withColumn("key", token_set_key(F.col("text")))
+    old_keys = existing.select(
+        token_set_key(F.col("text")).alias("key")
+    ).distinct()
+    fresh = inc.join(old_keys, "key", "left_anti")
+    best = fresh.groupBy("key").agg(
+        F.min_by(
+            F.struct("doc_id", "lang", "source", "n_chars"), F.col("doc_id")
+        ).alias("keep"),
+        F.count("*").alias("n_batch_dups"),
+    )
+    return best.select(
+        F.col("keep.doc_id").alias("doc_id"),
+        F.col("keep.lang").alias("lang"),
+        F.col("keep.source").alias("source"),
+        F.col("keep.n_chars").alias("n_chars"),
+        "n_batch_dups",
+    )
+
+
+def quality_percentile_norm(documents: DataFrame, parts: int | None = None) -> DataFrame:
+    """(doc_id, lang, n_chars, lang_rank, pct): per-language percentile
+    normalization of a quality signal (n_chars as the deterministic
+    stand-in score) — the calibration step that makes quality cuts
+    comparable ACROSS languages (a raw threshold keeps different mass
+    per language; "keep the top 30% of each language" needs per-group
+    percentiles).
+
+    Scale design: ``percent_rank() OVER (PARTITION BY lang ...)`` puts
+    each whole language in ONE partition — at 100 TB the big languages
+    are terabytes, so that plan spills or dies. Instead the
+    distributed-total-order pattern *per group* (same as
+    corpus_shuffle, with the group key prepended): range-repartition on
+    (lang, score-key) so each language spans many ordered partitions,
+    rank within partitions in parallel, then add per-(lang, partition)
+    offsets — the offset table is partitions×langs rows, broadcast
+    back. The percentile is (rank-1)/(n_lang-1), two exact ints
+    divided once as doubles at the edge.
+    """
+    n = parts or documents.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        documents.select("doc_id", "lang", "n_chars")
+        .repartitionByRange(n, "lang", "n_chars", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_part = Window.partitionBy("pid", "lang").orderBy("n_chars", "doc_id")
+    counts = ranged.groupBy("pid", "lang").count()
+    w_prefix = (
+        Window.partitionBy("lang")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # tiny frame: one row per (lang, partition), never data-sized
+    offsets = counts.select(
+        "pid",
+        "lang",
+        F.coalesce(F.sum("count").over(w_prefix), F.lit(0)).alias("offset"),
+    )
+    totals = counts.groupBy("lang").agg(F.sum("count").alias("n_lang"))
+    return (
+        ranged.withColumn("rn", F.row_number().over(w_part))
+        .join(F.broadcast(offsets), ["pid", "lang"])
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("offset") + F.col("rn")).cast("long").alias("lang_rank"),
+            F.round(
+                (F.col("offset") + F.col("rn") - F.lit(1)).cast("double")
+                / F.greatest(F.col("n_lang") - F.lit(1), F.lit(1)).cast("double"),
+                6,
+            ).alias("pct"),
+        )
+    )

@@ -28,6 +28,9 @@ _PRIORITY = [
     "disjunctive_revenue",
     "excess_suppliers",
     "waiting_orders_suppliers",
+    "incremental_dedup",
+    "quality_percentile",
+    "airline_stats_orc",
     # -- never driver-checked before round 4 --------------------------------
     "per_lang_sample",
     "regional_supplier_volume",

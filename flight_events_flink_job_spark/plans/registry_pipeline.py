@@ -18,6 +18,7 @@ Oracle notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.pipeline import (
     EMAIL_RE,
@@ -344,3 +345,68 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pipeline import dsir_importance
 
     return dsir_importance(_docs(spark, sf_dir))
+
+
+_INCOMING_SRC = "('src0', 'src1', 'src2')"
+
+
+@register(
+    "incremental_dedup",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, source, n_chars,
+               array_to_string(
+                   list_sort(list_distinct(string_split(text, ' '))), ' ') AS key
+        FROM documents
+    ),
+    inc AS (SELECT * FROM keyed WHERE source IN {_INCOMING_SRC}),
+    fresh AS (
+        SELECT * FROM inc
+        WHERE key NOT IN (
+            SELECT DISTINCT key FROM keyed WHERE source NOT IN {_INCOMING_SRC}
+        )
+    )
+    SELECT doc_id, lang, source, n_chars, n_batch_dups FROM (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn,
+               count(*) OVER (PARTITION BY key) AS n_batch_dups
+        FROM fresh
+    ) WHERE rn = 1
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: the src0-2 slice plays the incoming
+    snapshot, everything else the already-ingested corpus; admitted =
+    content key unseen in the corpus, lowest doc_id within the batch.
+    Cross-snapshot tier is a co-partitioned LEFT ANTI on the content
+    key (existing side never broadcastable at scale)."""
+    from ..operators.pipeline import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    incoming = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    existing = docs.filter(~F.col("source").isin("src0", "src1", "src2"))
+    return incremental_dedup(existing, incoming)
+
+
+@register(
+    "quality_percentile",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(row_number() OVER w AS BIGINT) AS lang_rank,
+           round(CAST(row_number() OVER w - 1 AS DOUBLE)
+                 / CAST(greatest(count(*) OVER (PARTITION BY lang) - 1, 1)
+                        AS DOUBLE), 6) AS pct
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+    """,
+)
+def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile normalization of the quality signal via
+    the distributed-total-order pattern per group (range partition on
+    (lang, score), per-partition rank, broadcast (lang, partition)
+    offsets) — NOT percent_rank's one-partition-per-language plan. The
+    oracle replays it with the plain window (small data), definitionally
+    equal."""
+    from ..operators.pipeline import quality_percentile_norm
+
+    return quality_percentile_norm(_docs(spark, sf_dir))

@@ -45,6 +45,7 @@ BENCH_SKIP = {
     "stream_chained_agg",
     "stream_outer_interval_join",
     "airline_stats_csv",
+    "airline_stats_orc",
     "stream_datagen_flights",
 }
 
@@ -367,3 +368,19 @@ def q_stream_datagen_flights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="stream_datagen_")
     return drain_datagen_stream(spark, f"{base}/ckpt")
+
+
+@register("airline_stats_orc", oracle=ORACLES["airline_delay_stats"])
+def q_airline_stats_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 through ORC: the A1 aggregate written as ORC stripes and read
+    back under the enforced schema must hash-equal the batch A1 oracle
+    exactly — the Hive-lineage columnar serving twin
+    (streaming/sinks.py orc_roundtrip)."""
+    from ..operators.aggregates import airline_stats
+    from ..sources.flight_adapter import shared_flights
+    from ..streaming.sinks import orc_roundtrip
+
+    base = tempfile.mkdtemp(prefix="orc_serving_")
+    return orc_roundtrip(
+        airline_stats(shared_flights(spark, sf_dir)), f"{base}/orc"
+    )

@@ -110,3 +110,16 @@ def csv_roundtrip(df: DataFrame, path: str) -> DataFrame:
         .option("timestampFormat", ts_fmt)
         .csv(path)
     )
+
+
+def orc_roundtrip(df: DataFrame, path: str) -> DataFrame:
+    """Write ``df`` as ORC and read it back — the columnar-format twin
+    of the Parquet serving layer for warehouses standardized on ORC
+    (Hive-lineage clusters). ORC is self-describing and typed, so the
+    round trip is lossless by construction (zlib-compressed stripes,
+    column statistics for predicate pushdown on read — the same scan
+    properties the Parquet path gets at 100 TB); the schema is still
+    enforced on read for parity with the other serving twins.
+    """
+    df.write.mode("overwrite").orc(path)
+    return df.sparkSession.read.schema(df.schema).orc(path)

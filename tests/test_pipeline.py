@@ -327,3 +327,67 @@ def test_props_variant_profile_handles_malformed_and_mixed(spark):
     r = rows[0]
     assert r.n_events == 3 and r.n_valid == 1
     assert r.min_k == 5 and r.max_k == 5
+
+
+def test_incremental_dedup_cross_and_within_batch(spark):
+    from flight_events_flink_job_spark.operators.pipeline import (
+        incremental_dedup,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    existing = spark.createDataFrame(
+        [(1, "alpha beta", "en", "old", 10)], schema
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "beta alpha", "en", "new", 10),   # dup of corpus (reordered)
+            (11, "gamma delta", "en", "new", 11),  # fresh, first of pair
+            (12, "delta gamma", "en", "new", 11),  # within-batch dup of 11
+            (13, "epsilon", "en", "new", 7),       # fresh singleton
+        ],
+        schema,
+    )
+    out = {r.doc_id: r for r in incremental_dedup(existing, incoming).collect()}
+    assert set(out) == {11, 13}
+    assert out[11].n_batch_dups == 2 and out[13].n_batch_dups == 1
+
+
+def test_quality_percentile_matches_window_formulation(spark, sf_dir):
+    """The distributed-rank plan must equal percent_rank-style math and
+    be invariant to input partitioning."""
+    from flight_events_flink_job_spark.operators.pipeline import (
+        quality_percentile_norm,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.doc_id: r for r in quality_percentile_norm(docs).collect()}
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ref = docs.select(
+        "doc_id",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    ).collect()
+    assert len(got) == len(ref)
+    for r in ref:
+        g = got[r.doc_id]
+        assert g.lang_rank == r.rk
+        expect = round((r.rk - 1) / max(r.n - 1, 1), 6)
+        assert abs(g.pct - expect) < 1e-9
+    again = {
+        r.doc_id: r.lang_rank
+        for r in quality_percentile_norm(docs.repartition(17)).collect()
+    }
+    assert again == {k: v.lang_rank for k, v in got.items()}
+
+
+def test_orc_roundtrip_lossless(spark, tmp_path):
+    from flight_events_flink_job_spark.streaming.sinks import orc_roundtrip
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.5, dt.datetime(2024, 1, 1, 12, 0, 0, 123456))],
+        "id long, s string, v double, ts timestamp",
+    )
+    back = orc_roundtrip(df, str(tmp_path / "orc"))
+    assert back.schema == df.schema
+    assert back.collect() == df.collect()

@@ -42,6 +42,9 @@ BNLJ_ALLOWED = {
     "top_supplier_revenue",
     # 1-row (lo, hi) bounds broadcast onto the |types|-row grid seed.
     "events_gapfill_locf",
+    # 1-row nation-total broadcast onto the per-part value table (the
+    # Q11 cross-multiplied global-scalar HAVING cut).
+    "important_part_stock",
 }
 
 
@@ -125,3 +128,47 @@ def test_projection_is_pruned_at_the_scan(spark, sf_dir, name):
             f"{name}: column {col} is read by the scan but unused "
             f"(column pruning regressed); ReadSchema: {schemas[:400]}"
         )
+
+
+def test_runtime_bloom_filter_prefilters_shuffle_join(spark, sf_dir):
+    """The 100 TB shuffle-join knob: when a selective filter sits on one
+    side of a big-big join, Spark's runtime bloom filter (on by default,
+    spark.sql.optimizer.runtime.bloomFilter.enabled) pre-filters the
+    probe side at its scan, cutting the shuffle before it happens. The
+    local thresholds are tuned down only to reproduce the trigger at
+    fixture scale; at real scale the defaults fire on their own.
+    """
+    from pyspark.sql import functions as F
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        urgent = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
