@@ -204,3 +204,61 @@ def semdedup(
             (F.col("n_vectors") - F.col("n_dropped")).alias("n_kept"),
         )
     )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    stride: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, codes, q_error): Product Quantization encoding — the
+    compression half of the IVF-PQ index family (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"), completing the
+    repo's ANN scale path (exact → LSH → IVF → PQ codes).
+
+    The vector splits into ``m`` contiguous subspaces of ``dim/m``
+    dimensions; each subspace trains its own ``k``-codeword codebook
+    with the shared fixed-iteration Lloyd chain (:func:`kmeans_assign`
+    over the sliced vectors — broadcast codebooks, no driver collect);
+    a vector's code is its per-subspace nearest-codeword id and its
+    quantization error is the decimal-summed squared-L2 residual across
+    subspaces. A 64-dim float vector (256 B) compresses to m=4 byte
+    codes — the 64× shrink that lets a 100 TB corpus's index live in
+    executor memory while the ADC distance table (k*m entries per
+    query) reconstructs approximate distances.
+
+    Scale shape: the ``m`` Lloyd chains are independent narrow scans of
+    the same source (re-read per subspace, never cross-joined); the
+    final code assembly is ONE hash aggregate on vec_id over the
+    m-tagged union — codes never ride a window sort.
+    """
+    width = dim // m
+    parts = []
+    for s in range(m):
+        sub = embeddings.select(
+            "vec_id", F.slice("embedding", s * width + 1, width).alias("embedding")
+        )
+        a = kmeans_assign(sub, k=k, iterations=iterations, stride=stride)
+        parts.append(
+            a.select(
+                "vec_id",
+                F.lit(s).cast("bigint").alias("subspace"),
+                "cid",
+                "d2",
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "cid"))),
+            lambda st: st["cid"],
+        ).alias("codes"),
+        F.round(F.sum(F.col("d2").cast("decimal(27,10)")), 4)
+        .cast("double")
+        .alias("q_error"),
+    )

@@ -31,6 +31,8 @@ _PRIORITY = [
     "incremental_dedup",
     "quality_percentile",
     "airline_stats_orc",
+    "pq_codes",
+    "merge_upsert",
     # -- never driver-checked before round 4 --------------------------------
     "per_lang_sample",
     "regional_supplier_volume",

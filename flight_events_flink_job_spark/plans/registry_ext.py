@@ -616,6 +616,70 @@ def _kmeans_oracle(
     """
 
 
+def _pq_ctes(
+    s: int, width: int, k: int = 8, iterations: int = 2, stride: int = 7
+) -> list[str]:
+    """Per-subspace twin of _kmeans_ctes for PQ: the same stride-init
+    Lloyd chain, run over the s-th contiguous ``width``-dim slice of
+    the vector, CTE names prefixed ``s{s}_`` so the m chains coexist in
+    one WITH clause. Final assignment CTE: ``s{s}_a{iterations}``."""
+    p = f"s{s}_"
+    lo, hi = s * width + 1, (s + 1) * width
+    d2 = (
+        "list_reduce(list_prepend(0.0, "
+        "[(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]) for i in range(1, {n})]), "
+        "(a,x) -> a+x)".format(n=width + 1)
+    )
+    ctes = [
+        f"{p}e AS (SELECT vec_id, "
+        f"(CAST(embedding AS DOUBLE[]))[{lo}:{hi}] v FROM embeddings)",
+        f"""{p}c0 AS (SELECT CAST(vec_id / {stride} AS BIGINT) cid, v AS cv
+            FROM {p}e WHERE vec_id % {stride} = 0 AND vec_id < {stride * k})""",
+    ]
+    for it in range(1, iterations + 1):
+        ctes.append(f"""{p}d{it} AS (
+            SELECT e.vec_id, e.v, c.cid, {d2} AS d2
+            FROM {p}e e, {p}c{it - 1} c)""")
+        ctes.append(f"""{p}a{it} AS (
+            SELECT vec_id, v, cid, d2 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cid) rn FROM {p}d{it})
+            WHERE rn = 1)""")
+        if it < iterations:
+            ctes.append(f"""{p}c{it} AS (
+            SELECT cid, list(cx ORDER BY dim) cv FROM (
+                SELECT cid, dim,
+                       CAST(sum(CAST(x AS DECIMAL(20,10))) AS DOUBLE)
+                           / count(*) AS cx
+                FROM (SELECT cid, generate_subscripts(v, 1) dim,
+                             unnest(v) x FROM {p}a{it})
+                GROUP BY cid, dim)
+            GROUP BY cid)""")
+    return ctes
+
+
+def _pq_oracle(
+    m: int = 4, k: int = 8, iterations: int = 2, stride: int = 7, dim: int = 64
+) -> str:
+    width = dim // m
+    ctes: list[str] = []
+    for s in range(m):
+        ctes.extend(_pq_ctes(s, width, k, iterations, stride))
+    union = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {s} AS subspace, cid, d2 FROM s{s}_a{iterations}"
+        for s in range(m)
+    )
+    ctes.append(f"u AS ({union})")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT vec_id, list(cid ORDER BY subspace) AS codes,
+           CAST(round(sum(CAST(d2 AS DECIMAL(27,10))), 4) AS DOUBLE)
+               AS q_error
+    FROM u GROUP BY vec_id
+    """
+
+
 def _semdedup_oracle(
     k: int = 8,
     iterations: int = 2,
@@ -1575,3 +1639,15 @@ def q_multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import image_dhash, with_binary_payload
 
     return image_dhash(with_binary_payload(_docs(spark, sf_dir)))
+
+
+@register("pq_codes", oracle=_pq_oracle())
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product Quantization encoding (Jégou et al. 2011): m=4 subspace
+    codebooks trained by the shared fixed-iteration Lloyd chain over
+    vector slices; per-vector code tuple + decimal-exact quantization
+    error. The compression tier of the ANN family (exact → LSH → IVF →
+    PQ)."""
+    from ..operators.clustering import pq_encode
+
+    return pq_encode(_embs(spark, sf_dir))

@@ -1146,3 +1146,52 @@ def q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import events_gapfill_locf
 
     return events_gapfill_locf(_events(spark, sf_dir))
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH src AS (
+        SELECT o_custkey,
+               count(*) AS n_recent_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        GROUP BY o_custkey
+    ),
+    tgt AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        FROM customer WHERE c_acctbal > 0
+    ),
+    merged AS (
+        SELECT coalesce(t.c_custkey, s.o_custkey) AS c_custkey,
+               CASE
+                   WHEN t.c_custkey IS NOT NULL AND s.o_custkey IS NOT NULL
+                        AND t.c_mktsegment = 'MACHINERY' THEN 'delete'
+                   WHEN t.c_custkey IS NOT NULL AND s.o_custkey IS NOT NULL
+                        THEN 'update'
+                   WHEN t.c_custkey IS NULL THEN 'insert'
+                   ELSE 'keep'
+               END AS action,
+               CAST(coalesce(s.n_recent_orders, 0) AS BIGINT)
+                   AS n_recent_orders,
+               coalesce(t.bal, CAST(0 AS DECIMAL(18,2)))
+                   + coalesce(s.spend, CAST(0 AS DECIMAL(18,2))) AS balance_dec
+        FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.o_custkey
+    )
+    SELECT c_custkey,
+           CAST(round(balance_dec, 2) AS DOUBLE) AS balance,
+           n_recent_orders, action
+    FROM merged WHERE action <> 'delete'
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (lakehouse upsert) compiled to a co-partitioned
+    full-outer join with all four row fates (update / insert / keep /
+    delete-filter) — operators/merge.py."""
+    from ..operators.merge import merge_customer_snapshot
+
+    return merge_customer_snapshot(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )

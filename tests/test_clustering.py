@@ -108,3 +108,31 @@ def test_kmeans_plan_has_no_cartesian_product(spark, sf_dir):
     # CartesianProduct would mean the hint was lost
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_pq_encode_codes_and_error(spark, sf_dir):
+    """PQ codes: m entries per vector, codes in [0,k), q_error equals
+    the sum of per-subspace assignment distances; deterministic under
+    repartitioning."""
+    from flight_events_flink_job_spark.operators.clustering import (
+        kmeans_assign,
+        pq_encode,
+    )
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    out = {r.vec_id: r for r in pq_encode(embs, m=4, k=8).collect()}
+    assert len(out) == embs.count()
+    for r in out.values():
+        assert len(r.codes) == 4
+        assert all(0 <= c < 8 for c in r.codes)
+    # subspace 0 codes must equal a direct Lloyd run over the first slice
+    sub0 = embs.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    direct = {r.vec_id: r.cid for r in kmeans_assign(sub0, k=8).collect()}
+    assert all(r.codes[0] == direct[v] for v, r in out.items())
+    again = {
+        r.vec_id: (list(r.codes), r.q_error)
+        for r in pq_encode(embs.repartition(11), m=4, k=8).collect()
+    }
+    assert again == {v: (list(r.codes), r.q_error) for v, r in out.items()}

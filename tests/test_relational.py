@@ -453,3 +453,42 @@ def test_gapfill_locf_densifies_and_carries_forward(spark):
     assert out[("a", "2024-01-01 00:10:00")].locf_sum_value == 7.0
     head = out[("z", "2024-01-01 00:00:00")]
     assert head.is_gap and head.locf_sum_value is None
+
+
+def test_merge_upsert_all_four_fates(spark):
+    """MERGE semantics: update adds spend, insert materializes
+    source-only keys, keep passes untouched rows, delete drops
+    quarantined matches."""
+    import datetime as dt
+    from flight_events_flink_job_spark.operators.merge import (
+        merge_customer_snapshot,
+    )
+
+    customer = spark.createDataFrame(
+        [
+            (1, "a", 0, 100.0, "BUILDING"),   # matched -> update
+            (2, "b", 0, 50.0, "MACHINERY"),   # matched + purge -> delete
+            (3, "c", 0, 70.0, "BUILDING"),    # target-only -> keep
+            (4, "d", 0, -5.0, "BUILDING"),    # not in snapshot; its order inserts
+        ],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    d = dt.datetime(2000, 6, 1)
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "O", 10.0, d, "5-LOW"),
+            (11, 1, "O", 2.5, d, "5-LOW"),
+            (12, 2, "O", 1.0, d, "5-LOW"),
+            (13, 4, "O", 9.0, d, "5-LOW"),
+            (14, 1, "O", 99.0, dt.datetime(1999, 1, 1), "5-LOW"),  # pre-cutoff
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = {r.c_custkey: r for r in merge_customer_snapshot(customer, orders).collect()}
+    assert set(rows) == {1, 3, 4}  # 2 deleted
+    assert rows[1].action == "update" and rows[1].balance == 112.5
+    assert rows[1].n_recent_orders == 2
+    assert rows[3].action == "keep" and rows[3].balance == 70.0
+    assert rows[4].action == "insert" and rows[4].balance == 9.0
