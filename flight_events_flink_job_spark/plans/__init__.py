@@ -33,6 +33,7 @@ _PRIORITY = [
     "airline_stats_orc",
     "pq_codes",
     "merge_upsert",
+    "stream_topk_routes",
     # -- never driver-checked before round 4 --------------------------------
     "per_lang_sample",
     "regional_supplier_volume",

@@ -15,6 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.fixtures import load_table
+from ..sources.flight_adapter import FLIGHTS_CTE
 from ..streaming.job import (
     merge_airline_stats,
     run_file_stream,
@@ -47,6 +48,7 @@ BENCH_SKIP = {
     "airline_stats_csv",
     "airline_stats_orc",
     "stream_datagen_flights",
+    "stream_topk_routes",
 }
 
 
@@ -383,4 +385,34 @@ def q_airline_stats_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="orc_serving_")
     return orc_roundtrip(
         airline_stats(shared_flights(spark, sf_dir)), f"{base}/orc"
+    )
+
+
+@register(
+    "stream_topk_routes",
+    oracle=f"""
+    WITH {FLIGHTS_CTE}
+    SELECT origin || '-' || destination AS route,
+           count(*) AS total_flights,
+           CAST(sum(delay_minutes) AS BIGINT) AS total_delay_minutes
+    FROM flights
+    GROUP BY origin, destination
+    ORDER BY total_delay_minutes DESC, route
+    LIMIT 10
+    """,
+)
+def q_stream_topk_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: drain the staged event stream into
+    per-(route, window) mergeable partials, then serve the global
+    top-10 routes by accumulated delay minutes from the partials table
+    alone — must hash-equal the batch leaderboard over the raw events
+    (streaming/job.py topk_routes_from_partials)."""
+    from ..streaming.job import run_file_stream, topk_routes_from_partials
+
+    base = tempfile.mkdtemp(prefix="stream_topk_")
+    staging, warehouse, ckpt = f"{base}/in", f"{base}/wh", f"{base}/ckpt"
+    stage_flight_event_json(spark, sf_dir, staging, parts=4)
+    run_file_stream(spark, staging, warehouse, ckpt, max_files_per_trigger=2)
+    return topk_routes_from_partials(
+        spark.read.parquet(f"{warehouse}/route_delay_stats_partial")
     )

@@ -496,3 +496,36 @@ def streaming_airline_stats_update(
         ])
         .select(AIRLINE_STATS_COLUMNS)
     )
+
+
+def topk_routes_from_partials(partials: DataFrame, k: int = 10) -> DataFrame:
+    """(route, total_flights, total_delay_minutes): the incrementally-
+    maintained leaderboard snapshot — global top-``k`` routes by
+    accumulated delay minutes over everything the stream has ingested.
+
+    The leaderboard is NOT a streaming-state top-k (unbounded global
+    order is inexpressible in append mode): the stream maintains the
+    per-(route, window) mergeable partials, and the serving-side
+    snapshot re-aggregates route totals + TakeOrderedAndProject on
+    read. At 100 TB the partials table is bounded by |routes|×|windows|
+    (compacted), so the snapshot query touches aggregates, never raw
+    events. sum_delay is a sum of integral doubles (exact, associative)
+    — the leaderboard order is deterministic with the (delay, route)
+    tie-break, and the bigint cast at the edge is lossless.
+    """
+    return (
+        partials.groupBy("origin", "destination")
+        .agg(
+            F.sum("total_flights").alias("total_flights"),
+            F.sum("sum_delay").alias("sum_delay"),
+        )
+        .select(
+            F.concat_ws("-", F.col("origin"), F.col("destination")).alias("route"),
+            "total_flights",
+            F.col("sum_delay").cast("bigint").alias("total_delay_minutes"),
+        )
+        .orderBy(
+            F.col("total_delay_minutes").desc(), F.col("route")
+        )
+        .limit(k)
+    )

@@ -586,3 +586,46 @@ def test_chained_agg_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, combined)) == sorted(map(tuple, batch))
     # exactly-once: run 1's rows appear exactly once in the final union
     assert set(map(tuple, first)) <= set(map(tuple, combined))
+
+
+def test_stream_topk_routes_matches_batch_leaderboard(spark, sf_dir):
+    """The partials-served top-k snapshot equals the batch leaderboard
+    computed straight from the parsed flights."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flight_events_flink_job_spark.sources.flight_adapter import (
+        flights_from_events,
+    )
+    from flight_events_flink_job_spark.streaming.job import (
+        run_file_stream,
+        stage_flight_event_json,
+        topk_routes_from_partials,
+    )
+
+    base = tempfile.mkdtemp(prefix="topk_test_")
+    stage_flight_event_json(spark, sf_dir, f"{base}/in", parts=4)
+    run_file_stream(
+        spark, f"{base}/in", f"{base}/wh", f"{base}/ckpt", max_files_per_trigger=2
+    )
+    got = topk_routes_from_partials(
+        spark.read.parquet(f"{base}/wh/route_delay_stats_partial")
+    ).collect()
+    want = (
+        flights_from_events(spark, sf_dir)
+        .groupBy("origin", "destination")
+        .agg(
+            F.count("*").alias("total_flights"),
+            F.sum("delay_minutes").cast("bigint").alias("total_delay_minutes"),
+        )
+        .select(
+            F.concat_ws("-", "origin", "destination").alias("route"),
+            "total_flights",
+            "total_delay_minutes",
+        )
+        .orderBy(F.col("total_delay_minutes").desc(), "route")
+        .limit(10)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
