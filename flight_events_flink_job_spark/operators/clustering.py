@@ -35,7 +35,7 @@ per-row fold would move into a pandas_udf matmul like
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, to_double
@@ -57,6 +57,17 @@ def kmeans_assign(
     un-reassigned (``iterations`` assign steps, ``iterations - 1``
     update steps).
     """
+    assigned, _ = lloyd_chain(embeddings, k=k, iterations=iterations, stride=stride)
+    return assigned
+
+
+def lloyd_chain(
+    embeddings: DataFrame, k: int = 8, iterations: int = 2, stride: int = 7
+) -> tuple[DataFrame, DataFrame]:
+    """(assignment, codebook): the Lloyd loop of :func:`kmeans_assign`,
+    additionally returning the k-row centroid table the FINAL
+    assignment was computed against (what ADC distance tables need —
+    :func:`pq_topk`)."""
     e = spread(embeddings).select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
@@ -113,7 +124,7 @@ def kmeans_assign(
                     ).alias("cv")
                 )
             )
-    return assigned
+    return assigned, cent
 
 
 def kmeans_clusters(
@@ -261,4 +272,92 @@ def pq_encode(
         F.round(F.sum(F.col("d2").cast("decimal(27,10)")), 4)
         .cast("double")
         .alias("q_error"),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    iterations: int = 2,
+    stride: int = 7,
+    dim: int = 64,
+    num_queries: int = 16,
+    k: int = 10,
+) -> DataFrame:
+    """(q_id, n_id, adc_d2, rank): PQ search by Asymmetric Distance
+    Computation — approximate squared-L2 top-``k`` per query, where a
+    corpus vector's distance is looked up from its codes, never from
+    the vector itself (Jégou et al. 2011, the query half of IVF-PQ).
+
+    Per subspace, the query is compared against the k_codes-row
+    codebook once (the ADC distance table: |Q|·k_codes·m rows, tiny);
+    a corpus vector's approximate distance is the sum of its m table
+    entries. This is why PQ scales: after encoding, a 100 TB corpus
+    scan touches only (vec_id, subspace, code) triples joined against
+    a BROADCAST distance table — the raw vectors never participate.
+
+    Determinism: each per-subspace d2 is the standard left-to-right
+    double fold (bit-exact cross-engine); the cross-subspace sum
+    accumulates in DECIMAL (associative — micro-partitioning cannot
+    reorder it into a different double); ranks tie-break by neighbor
+    id. Self-matches are excluded like cosine_topk.
+    """
+    width = dim // m
+    queries = embeddings.filter(F.col("vec_id") < num_queries)
+    code_parts, dt_parts = [], []
+    d2q = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for s in range(m):
+        sub = embeddings.select(
+            "vec_id", F.slice("embedding", s * width + 1, width).alias("embedding")
+        )
+        assigned, cent = lloyd_chain(
+            sub, k=k_codes, iterations=iterations, stride=stride
+        )
+        code_parts.append(
+            assigned.select(
+                "vec_id", F.lit(s).cast("bigint").alias("subspace"), "cid"
+            )
+        )
+        qs = queries.select(
+            F.col("vec_id").alias("q_id"),
+            to_double(
+                F.slice("embedding", s * width + 1, width)
+            ).alias("qv"),
+        )
+        dt_parts.append(
+            qs.crossJoin(cent)
+            .select(
+                "q_id",
+                F.lit(s).cast("bigint").alias("subspace"),
+                "cid",
+                d2q.alias("d2"),
+            )
+        )
+    codes = code_parts[0]
+    for p in code_parts[1:]:
+        codes = codes.unionByName(p)
+    dtable = dt_parts[0]
+    for p in dt_parts[1:]:
+        dtable = dtable.unionByName(p)
+    adc = (
+        codes.join(F.broadcast(dtable), ["subspace", "cid"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(F.col("d2").cast("decimal(27,10)")).alias("adc_dec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dec"), F.col("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(F.col("adc_dec"), 4).cast("double").alias("adc_d2"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )

@@ -32,6 +32,7 @@ _PRIORITY = [
     "quality_percentile",
     "airline_stats_orc",
     "pq_codes",
+    "pq_topk",
     "merge_upsert",
     "stream_topk_routes",
     # -- never driver-checked before round 4 --------------------------------

@@ -680,6 +680,65 @@ def _pq_oracle(
     """
 
 
+def _pq_topk_oracle(
+    m: int = 4,
+    k_codes: int = 8,
+    iterations: int = 2,
+    stride: int = 7,
+    dim: int = 64,
+    num_queries: int = 16,
+    k: int = 10,
+) -> str:
+    """Twin of operators/clustering.pq_topk: per-subspace Lloyd chains
+    (codes from a{iterations}, codebook from c{iterations-1}), the ADC
+    distance table (query slice vs codeword, same sequential fold), a
+    DECIMAL sum across subspaces, and the (adc, n_id) rank."""
+    width = dim // m
+    ctes: list[str] = []
+    for s in range(m):
+        ctes.extend(_pq_ctes(s, width, k_codes, iterations, stride))
+    d2q = (
+        "list_reduce(list_prepend(0.0, "
+        "[(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1, {n})]), "
+        "(a,x) -> a+x)".format(n=width + 1)
+    )
+    for s in range(m):
+        lo, hi = s * width + 1, (s + 1) * width
+        ctes.append(
+            f"""q{s} AS (SELECT vec_id AS q_id,
+                (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] qv
+                FROM embeddings WHERE vec_id < {num_queries})"""
+        )
+        ctes.append(
+            f"""dt{s} AS (SELECT q.q_id, c.cid, {d2q} AS d2
+                FROM q{s} q, s{s}_c{iterations - 1} c)"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"""SELECT a.vec_id, d.q_id, d.d2
+            FROM s{s}_a{iterations} a JOIN dt{s} d ON a.cid = d.cid"""
+        for s in range(m)
+    )
+    ctes.append(f"parts AS ({union})")
+    ctes.append(
+        """adc AS (
+        SELECT q_id, vec_id,
+               sum(CAST(d2 AS DECIMAL(27,10))) AS adc_dec
+        FROM parts WHERE q_id <> vec_id GROUP BY q_id, vec_id)"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT q_id, vec_id AS n_id,
+           CAST(round(adc_dec, 4) AS DOUBLE) AS adc_d2,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY adc_dec, vec_id) AS rank
+        FROM adc)
+    WHERE rank <= {k}
+    """
+
+
 def _semdedup_oracle(
     k: int = 8,
     iterations: int = 2,
@@ -1651,3 +1710,14 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import pq_encode
 
     return pq_encode(_embs(spark, sf_dir))
+
+
+@register("pq_topk", oracle=_pq_topk_oracle())
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via Asymmetric Distance Computation: approximate
+    squared-L2 top-10 per query looked up from broadcast per-subspace
+    distance tables over the code triples — the query half of IVF-PQ
+    (operators/clustering.pq_topk)."""
+    from ..operators.clustering import pq_topk
+
+    return pq_topk(_embs(spark, sf_dir))
