@@ -35,6 +35,7 @@ _PRIORITY = [
     "pq_topk",
     "merge_upsert",
     "stream_topk_routes",
+    "airline_stats_compacted",
     # -- never driver-checked before round 4 --------------------------------
     "per_lang_sample",
     "regional_supplier_volume",

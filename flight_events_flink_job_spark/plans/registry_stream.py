@@ -49,6 +49,7 @@ BENCH_SKIP = {
     "airline_stats_orc",
     "stream_datagen_flights",
     "stream_topk_routes",
+    "airline_stats_compacted",
 }
 
 
@@ -416,3 +417,25 @@ def q_stream_topk_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_routes_from_partials(
         spark.read.parquet(f"{warehouse}/route_delay_stats_partial")
     )
+
+
+@register("airline_stats_compacted", oracle=ORACLES["airline_delay_stats"])
+def q_airline_stats_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance path, content-preserving by contract: drain the
+    stream into many small per-micro-batch partial files, COMPACT the
+    partials table into right-sized files (streaming/sinks.py
+    compact_table), then serve the merge from the compacted copy — must
+    still hash-equal the batch A1 oracle exactly."""
+    from ..streaming.sinks import compact_table
+
+    base = tempfile.mkdtemp(prefix="compact_serving_")
+    staging, warehouse, ckpt = f"{base}/in", f"{base}/wh", f"{base}/ckpt"
+    stage_flight_event_json(spark, sf_dir, staging, parts=4)
+    run_file_stream(spark, staging, warehouse, ckpt, max_files_per_trigger=1)
+    compacted = compact_table(
+        spark,
+        f"{warehouse}/airline_delay_stats_partial",
+        f"{base}/compacted",
+        sort_cols=["airline", "window_start"],
+    )
+    return merge_airline_stats(compacted)

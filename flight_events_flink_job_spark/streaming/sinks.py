@@ -123,3 +123,35 @@ def orc_roundtrip(df: DataFrame, path: str) -> DataFrame:
     """
     df.write.mode("overwrite").orc(path)
     return df.sparkSession.read.schema(df.schema).orc(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Small-files compaction of an append-accumulated table (the
+    maintenance pass every streaming partials/serving table needs: each
+    micro-batch appends a few small parquet files, and after days of
+    micro-batches the scan is metadata-bound, not IO-bound).
+
+    Rewrites the table into ``ceil(rows / target_rows_per_file)``
+    right-sized files (optionally re-clustered on ``sort_cols`` so
+    min/max row-group pruning works again after compaction) and returns
+    the compacted table's DataFrame. Content-preserving by
+    construction: one narrow read, one exchange, one write — at 100 TB
+    this runs per-partition-directory (each date partition compacts
+    independently and incrementally; the row-count heuristic stands in
+    for Spark's file-size-based maxRecordsPerFile knob, kept explicit
+    here so the file count is deterministic for the tests).
+    """
+    df = spark.read.parquet(path)
+    n = df.count()
+    files = max(1, -(-n // target_rows_per_file))
+    out = df.repartition(files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

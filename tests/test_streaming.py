@@ -629,3 +629,22 @@ def test_stream_topk_routes_matches_batch_leaderboard(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_compact_table_preserves_content_and_shrinks_files(spark, tmp_path):
+    import glob
+
+    from flight_events_flink_job_spark.streaming.sinks import compact_table
+
+    src = str(tmp_path / "small_files")
+    for i in range(6):  # six tiny appends = six+ files
+        spark.range(i * 10, (i + 1) * 10).withColumnRenamed("id", "k").write.mode(
+            "append"
+        ).parquet(src)
+    before = len(glob.glob(f"{src}/part-*.parquet"))
+    assert before >= 6
+    out = str(tmp_path / "compacted")
+    compacted = compact_table(spark, src, out, target_rows_per_file=100)
+    after = len(glob.glob(f"{out}/part-*.parquet"))
+    assert after == 1
+    assert sorted(r.k for r in compacted.collect()) == list(range(60))
