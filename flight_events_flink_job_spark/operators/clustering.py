@@ -241,30 +241,18 @@ def pq_encode(
     executor memory while the ADC distance table (k*m entries per
     query) reconstructs approximate distances.
 
-    Scale shape: the ``m`` Lloyd chains are independent narrow scans of
-    the same source (re-read per subspace, never cross-joined); the
-    final code assembly is ONE hash aggregate on vec_id over the
-    m-tagged union — codes never ride a window sort.
+    Scale shape: ONE fused Lloyd chain over the exploded (vec_id,
+    subspace) slice rows — the m chains share every scan, join, and
+    aggregate by keying the codebook on (subspace, cid) instead of
+    being built m times (the m-independent-chains form re-ran the
+    source scan and both Lloyd iterations per subspace: ~3x wall on the
+    fixture bench). The final code assembly is one hash aggregate on
+    vec_id — codes never ride a window sort. Math is per-(vec,
+    subspace) identical to m independent runs, so the per-subspace
+    oracle replay still matches hash-exactly.
     """
-    width = dim // m
-    parts = []
-    for s in range(m):
-        sub = embeddings.select(
-            "vec_id", F.slice("embedding", s * width + 1, width).alias("embedding")
-        )
-        a = kmeans_assign(sub, k=k, iterations=iterations, stride=stride)
-        parts.append(
-            a.select(
-                "vec_id",
-                F.lit(s).cast("bigint").alias("subspace"),
-                "cid",
-                "d2",
-            )
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    return u.groupBy("vec_id").agg(
+    assigned, _ = _pq_lloyd(embeddings, m, k, iterations, stride, dim)
+    return assigned.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("subspace", "cid"))),
             lambda st: st["cid"],
@@ -273,6 +261,90 @@ def pq_encode(
         .cast("double")
         .alias("q_error"),
     )
+
+
+def _pq_slices(embeddings: DataFrame, m: int, width: int) -> DataFrame:
+    """(vec_id, subspace, v): one row per vector per contiguous slice."""
+    return spread(embeddings).select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(to_double(F.col("embedding")), s * width + 1, width)
+                    for s in range(m)
+                ]
+            )
+        ).alias("subspace", "v"),
+    ).withColumn("subspace", F.col("subspace").cast("bigint"))
+
+
+def _pq_lloyd(
+    embeddings: DataFrame,
+    m: int,
+    k: int,
+    iterations: int,
+    stride: int,
+    dim: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(assignment, codebook) of the fused all-subspaces Lloyd chain:
+    assignment = (vec_id, subspace, cid, d2), codebook = (subspace,
+    cid, cv) as used by the FINAL assignment. Identical math to running
+    :func:`lloyd_chain` per slice (same stride init per subspace, same
+    fold, same (d2, cid) tie-break, same DECIMAL means)."""
+    width = dim // m
+    e = _pq_slices(embeddings, m, width)
+    cent = e.filter(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * k)
+    ).select(
+        "subspace",
+        (F.col("vec_id") / stride).cast("bigint").alias("cid"),
+        F.col("v").alias("cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = None
+    for it in range(iterations):
+        assigned = (
+            e.join(F.broadcast(cent), "subspace")
+            .withColumn("d2", d2)
+            .groupBy("vec_id", "subspace")
+            .agg(
+                F.min_by(
+                    F.struct("v", "cid", "d2"), F.struct("d2", "cid")
+                ).alias("mm")
+            )
+            .select(
+                "vec_id",
+                "subspace",
+                F.col("mm.v").alias("v"),
+                F.col("mm.cid").alias("cid"),
+                F.col("mm.d2").alias("d2"),
+            )
+        )
+        if it < iterations - 1:
+            cent = (
+                assigned.select(
+                    "subspace", "cid", F.posexplode("v").alias("dim0", "x")
+                )
+                .groupBy("subspace", "cid", "dim0")
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+                        / F.count("*")
+                    ).alias("cx")
+                )
+                .groupBy("subspace", "cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim0", "cx"))),
+                        lambda st: st["cx"],
+                    ).alias("cv")
+                )
+            )
+    return assigned, cent
 
 
 def pq_topk(
@@ -301,49 +373,25 @@ def pq_topk(
     double fold (bit-exact cross-engine); the cross-subspace sum
     accumulates in DECIMAL (associative — micro-partitioning cannot
     reorder it into a different double); ranks tie-break by neighbor
-    id. Self-matches are excluded like cosine_topk.
+    id. Self-matches are excluded like cosine_topk. Codebooks and codes
+    come from the same fused all-subspace Lloyd chain as
+    :func:`pq_encode` (one scan, not m).
     """
     width = dim // m
-    queries = embeddings.filter(F.col("vec_id") < num_queries)
-    code_parts, dt_parts = [], []
+    assigned, cent = _pq_lloyd(embeddings, m, k_codes, iterations, stride, dim)
+    codes = assigned.select("vec_id", "subspace", "cid")
     d2q = F.aggregate(
         F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    for s in range(m):
-        sub = embeddings.select(
-            "vec_id", F.slice("embedding", s * width + 1, width).alias("embedding")
-        )
-        assigned, cent = lloyd_chain(
-            sub, k=k_codes, iterations=iterations, stride=stride
-        )
-        code_parts.append(
-            assigned.select(
-                "vec_id", F.lit(s).cast("bigint").alias("subspace"), "cid"
-            )
-        )
-        qs = queries.select(
-            F.col("vec_id").alias("q_id"),
-            to_double(
-                F.slice("embedding", s * width + 1, width)
-            ).alias("qv"),
-        )
-        dt_parts.append(
-            qs.crossJoin(cent)
-            .select(
-                "q_id",
-                F.lit(s).cast("bigint").alias("subspace"),
-                "cid",
-                d2q.alias("d2"),
-            )
-        )
-    codes = code_parts[0]
-    for p in code_parts[1:]:
-        codes = codes.unionByName(p)
-    dtable = dt_parts[0]
-    for p in dt_parts[1:]:
-        dtable = dtable.unionByName(p)
+    qs = _pq_slices(
+        embeddings.filter(F.col("vec_id") < num_queries), m, width
+    ).select(F.col("vec_id").alias("q_id"), "subspace", F.col("v").alias("qv"))
+    dtable = (
+        qs.join(F.broadcast(cent), "subspace")
+        .select("q_id", "subspace", "cid", d2q.alias("d2"))
+    )
     adc = (
         codes.join(F.broadcast(dtable), ["subspace", "cid"])
         .filter(F.col("q_id") != F.col("vec_id"))

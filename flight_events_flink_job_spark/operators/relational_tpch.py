@@ -58,9 +58,13 @@ def min_cost_supplier(
     Plan: the part filter (type + size, both pushed to the scan) bounds
     the part list; supplier⋈nation⋈region collapses to a bounded
     broadcast dimension; the per-(part,supplier) MIN aggregates
-    lineitem in one shuffle on l_partkey (co-partitioned with the
-    per-part MIN re-aggregate — AQE reuses the exchange); the global
-    report is TakeOrderedAndProject.
+    lineitem in one shuffle on integer keys only (supplier attributes
+    join AFTER the aggregate, onto group-cardinality rows); the
+    correlated per-part minimum is a window MIN over the SAME
+    partitioning — no second evaluation of the aggregate subtree, no
+    join-back (the naive agg-then-self-join form re-ran the whole
+    scan+join+agg chain twice: 2x wall on the fixture bench); the
+    global report is TakeOrderedAndProject.
     """
     parts = part.filter(
         (F.col("p_type") == p_type) & (F.col("p_size") <= max_size)
@@ -79,20 +83,20 @@ def min_cost_supplier(
     cost = (
         lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(regional_supp),
+            F.broadcast(regional_supp.select("s_suppkey")),
             F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
         )
-        .groupBy("p_partkey", "p_size", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .groupBy("p_partkey", "p_size", "l_suppkey")
         .agg(F.min("l_extendedprice").alias("supply_cost"))
     )
-    min_cost = cost.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
-        F.min("supply_cost").alias("min_cost")
-    )
+    w = Window.partitionBy("p_partkey")
     return (
-        cost.join(
-            min_cost,
-            (F.col("p_partkey") == F.col("m_partkey"))
-            & (F.col("supply_cost") == F.col("min_cost")),
+        cost.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .join(
+            F.broadcast(regional_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .select(
             "s_acctbal",

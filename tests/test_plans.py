@@ -28,6 +28,10 @@ BNLJ_ALLOWED = {
     # iteration — bounded by the k parameter.
     "kmeans_clusters",
     "semdedup",
+    # per-subspace codebooks (k-row) and ADC distance tables
+    # (|Q|*k*m-row) broadcast onto the vector/code scans.
+    "pq_codes",
+    "pq_topk",
     # 1-row vocabulary count broadcast onto the bigram stream.
     "bigram_lm_score",
     # 1-row corpus-totals broadcast onto the <=1024-row bucket model.
