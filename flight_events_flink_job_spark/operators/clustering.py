@@ -409,3 +409,38 @@ def pq_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    per_cluster: int = 10,
+    k: int = 8,
+    iterations: int = 2,
+    stride: int = 7,
+) -> DataFrame:
+    """(cluster_id, sample_rank, vec_id, label): deterministic
+    ``per_cluster``-quota sample across the k-means clusters — the
+    diversity-aware subset selection step (cluster-balanced sampling
+    counteracts the head-heavy draw a uniform sample takes from a
+    skewed corpus; the embedding-space analogue of per_group_sample).
+
+    Membership is a pure function of md5(vec_id) within the
+    deterministic Lloyd assignment — append-stable, engine-portable,
+    no rand(). Plan: the Lloyd chain (broadcast codebook), then ONE
+    hash exchange on cluster id with a per-cluster rank window (quota
+    tiny, clusters bounded by k).
+    """
+    assigned = kmeans_assign(embeddings, k=k, iterations=iterations, stride=stride)
+    h = F.md5(F.col("vec_id").cast("string"))
+    w = Window.partitionBy("cid").orderBy(h, "vec_id")
+    return (
+        assigned.join(embeddings.select("vec_id", "label"), "vec_id")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= per_cluster)
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.col("sample_rank").cast("bigint").alias("sample_rank"),
+            "vec_id",
+            "label",
+        )
+    )

@@ -827,3 +827,59 @@ def heavy_hitters_checked(docs: DataFrame, k: int = 80) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+def source_kl_divergence(documents: DataFrame) -> DataFrame:
+    """(source, n_tokens, kl_nats): KL(P_source ‖ P_corpus) over
+    unigram distributions — the distribution-drift audit that flags a
+    source whose token mix diverges from the corpus (crawl rot, format
+    contamination, a scraper gone wrong), and the quantitative backbone
+    of source-weighting decisions.
+
+    Engine-portability: per-token log-likelihood ratios are computed
+    from four exact BIGINT counts in one double division + ln, rounded
+    to 6dp and cast DECIMAL(20,6) BEFORE summation (the DSIR/bigram-LM
+    pattern) — the per-source sum is decimal-exact, and the final
+    /n_tokens normalization is one double division at the edge.
+
+    Scale shape: the token stream explodes ONCE and collapses
+    immediately to the (source, token, cnt) profile (partial-aggregated
+    before its only big exchange); corpus token counts re-aggregate
+    FROM the profile (no second scan) and join back co-partitioned on
+    the token; per-source totals and the corpus grand total are tiny
+    broadcasts.
+    """
+    from ..functions.textual import tokens
+
+    prof = (
+        documents.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals_s = prof.groupBy("source").agg(F.sum("cnt").alias("total_s"))
+    corpus = prof.groupBy("t").agg(F.sum("cnt").alias("cnt_q"))
+    total_q = corpus.agg(F.sum("cnt_q").alias("total_q"))
+    lw = (
+        F.round(
+            F.log(
+                (F.col("cnt") * F.col("total_q")).cast("double")
+                / (F.col("total_s") * F.col("cnt_q")).cast("double")
+            ),
+            6,
+        )
+    ).cast("decimal(20,6)")
+    return (
+        prof.join(corpus, "t")
+        .join(F.broadcast(totals_s), "source")
+        .crossJoin(F.broadcast(total_q))
+        .select("source", "total_s", (F.col("cnt") * lw).alias("contrib"))
+        .groupBy("source", "total_s")
+        .agg(F.sum("contrib").alias("kl_dec"))
+        .select(
+            "source",
+            F.col("total_s").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.col("kl_dec").cast("double") / F.col("total_s").cast("double"), 6
+            ).alias("kl_nats"),
+        )
+    )

@@ -76,10 +76,14 @@ _PRIORITY = [
     "pq_topk",
     "merge_upsert",
     "stream_topk_routes",
-    "airline_stats_compacted",
     "incremental_dedup",
     "quality_percentile",
-    # ---- 50-entry driver window ends here ---------------------------------
+    "cluster_balanced_sample",
+    "source_kl_divergence",
+    # ---- 50-entry driver window ends here (50 names above) ----------------
+    # -- overflow: A1-oracle compaction round trip (pytest-gated; three
+    # -- sibling A1 round trips — csv/jdbc/stream — sit inside the window) --
+    "airline_stats_compacted",
     # -- TPC-H shapes added late in round 4 (plain SQL, lowest drift risk;
     # -- green in the committed parity sweep) -------------------------------
     "min_cost_supplier",

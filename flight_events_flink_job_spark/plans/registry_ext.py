@@ -1721,3 +1721,71 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import pq_topk
 
     return pq_topk(_embs(spark, sf_dir))
+
+
+def _cluster_sample_oracle(
+    per_cluster: int = 10, k: int = 8, iterations: int = 2, stride: int = 7
+) -> str:
+    joined = ",\n    ".join(_kmeans_ctes(k, iterations, stride))
+    return f"""
+    WITH {joined}
+    SELECT cid AS cluster_id,
+           CAST(rk AS BIGINT) AS sample_rank,
+           vec_id, label
+    FROM (
+        SELECT a.cid, a.vec_id, e2.label,
+               row_number() OVER (
+                   PARTITION BY a.cid
+                   ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id) AS rk
+        FROM a{iterations} a JOIN embeddings e2 ON a.vec_id = e2.vec_id)
+    WHERE rk <= {per_cluster}
+    """
+
+
+@register("cluster_balanced_sample", oracle=_cluster_sample_oracle())
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware subset selection: deterministic md5-ranked
+    10-per-cluster quota sample over the Lloyd assignment
+    (operators/clustering.cluster_balanced_sample)."""
+    from ..operators.clustering import cluster_balanced_sample
+
+    return cluster_balanced_sample(_embs(spark, sf_dir))
+
+
+@register(
+    "source_kl_divergence",
+    oracle="""
+    WITH prof AS (
+        SELECT source, t, count(*) AS cnt
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        GROUP BY source, t
+    ),
+    totals_s AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS total_s
+        FROM prof GROUP BY source
+    ),
+    corpus AS (
+        SELECT t, CAST(sum(cnt) AS BIGINT) AS cnt_q FROM prof GROUP BY t
+    ),
+    total_q AS (SELECT CAST(sum(cnt_q) AS BIGINT) AS total_q FROM corpus)
+    SELECT p.source,
+           ts.total_s AS n_tokens,
+           round(CAST(sum(p.cnt * CAST(round(ln(
+                     CAST(p.cnt * tq.total_q AS DOUBLE)
+                     / CAST(ts.total_s * c.cnt_q AS DOUBLE)), 6)
+                 AS DECIMAL(20,6))) AS DOUBLE)
+                 / CAST(ts.total_s AS DOUBLE), 6) AS kl_nats
+    FROM prof p
+    JOIN corpus c ON p.t = c.t
+    JOIN totals_s ts ON p.source = ts.source
+    CROSS JOIN total_q tq
+    GROUP BY p.source, ts.total_s
+    """,
+)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the corpus distribution —
+    the source-drift audit (operators/text.source_kl_divergence)."""
+    from ..operators.text import source_kl_divergence
+
+    return source_kl_divergence(_docs(spark, sf_dir))

@@ -166,6 +166,94 @@ def user_activity_from_staged(
 
 
 # ---------------------------------------------------------------------------
+# Event-time timers: state expiry (Flink onTimer analogue)
+# ---------------------------------------------------------------------------
+
+EXPIRE_OUTPUT_SCHEMA = "user_id LONG, n_events LONG, expired BOOLEAN"
+EXPIRE_STATE_SCHEMA = "n_events LONG"
+
+
+def _make_expire_fn(gap_seconds: int):
+    """Transition fn with EventTimeTimeout: each update re-arms the
+    key's timer at (max event time seen) + gap; when the watermark
+    passes that instant with no new events, the key is delivered with
+    ``state.hasTimedOut`` and an EMPTY batch iterator — exactly Flink's
+    ``onTimer`` contract — and emits its tombstone + drops its state.
+
+    This is the state-TTL pattern that keeps a 100 TB-keyspace stateful
+    job's store bounded: idle keys retire themselves; only keys inside
+    the activity horizon hold state.
+    """
+
+    def _expire(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (n_events,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n_events], "expired": [True]}
+            )
+            return
+        n_events = state.get[0] if state.exists else 0
+        max_ts = None
+        for c in pdfs:
+            if len(c):
+                n_events += len(c)
+                m = c["ts"].max()
+                max_ts = m if max_ts is None else max(max_ts, m)
+        state.update((n_events,))
+        if max_ts is not None:
+            state.setTimeoutTimestamp(
+                int(max_ts.timestamp() * 1000) + gap_seconds * 1000
+            )
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n_events], "expired": [False]}
+        )
+
+    return _expire
+
+
+def expire_idle_users(
+    events: DataFrame, gap_seconds: int = 50, watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """Per-user tracker with event-time state expiry: live updates emit
+    ``expired=false`` rows; a user idle past ``gap_seconds`` of event
+    time (watermark-driven) emits one ``expired=true`` tombstone and
+    leaves the state store. Input: STREAMING frame (user_id, ts, ...)."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_expire_fn(gap_seconds),
+            outputStructType=EXPIRE_OUTPUT_SCHEMA,
+            stateStructType=EXPIRE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def drain_expired_users(
+    events: DataFrame, checkpoint_dir: str, gap_seconds: int = 50
+) -> DataFrame:
+    """availableNow drain of :func:`expire_idle_users` into a memory
+    sink; returns every emission (live updates + expiry tombstones)."""
+    name = f"expire_users_{uuid.uuid4().hex}"
+    query = (
+        expire_idle_users(events, gap_seconds=gap_seconds)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return events.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
 # Stateful v2: transformWithStateInPandas (Spark 4 arbitrary state API)
 # ---------------------------------------------------------------------------
 

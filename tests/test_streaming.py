@@ -648,3 +648,61 @@ def test_compact_table_preserves_content_and_shrinks_files(spark, tmp_path):
     after = len(glob.glob(f"{out}/part-*.parquet"))
     assert after == 1
     assert sorted(r.k for r in compacted.collect()) == list(range(60))
+
+
+def test_event_time_timer_expires_idle_user(spark, tmp_path):
+    """Flink onTimer analogue: user A stops sending events; once the
+    watermark passes A's last event + gap, A's key times out (empty
+    batch iterator + hasTimedOut), emits one tombstone, and leaves the
+    state store. User B stays live and never expires."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flight_events_flink_job_spark.streaming.stateful import (
+        EVENT_STREAM_SCHEMA,
+        drain_expired_users,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    staging = str(tmp_path / "in")
+    os.makedirs(staging)
+
+    def stage(name, rows):
+        # Flat files (the streaming file source does not descend into
+        # plain subdirectories), microsecond timestamps (Spark cannot
+        # vector-read pandas' nanos as TimestampType).
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf),
+            f"{staging}/{name}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    # three time-ordered files -> three 1-file micro-batches
+    stage("b0", [(1, base, "a", 1.0), (2, base + dt.timedelta(seconds=5), "a", 1.0)])
+    stage("b1", [(2, base + dt.timedelta(seconds=100), "a", 1.0)])
+    stage("b2", [(2, base + dt.timedelta(seconds=200), "a", 1.0)])
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out = drain_expired_users(
+        stream, str(tmp_path / "ckpt"), gap_seconds=50
+    ).collect()
+    a = [r for r in out if r.user_id == 1]
+    b = [r for r in out if r.user_id == 2]
+    # A: one live update (n=1), then exactly one tombstone once the
+    # watermark (>=100s after batch b1) passes 0s + 50s gap.
+    assert [(r.n_events, r.expired) for r in a if not r.expired] == [(1, False)]
+    assert [(r.n_events, r.expired) for r in a if r.expired] == [(1, True)]
+    # B: only live updates, monotone counts, never expired.
+    assert all(not r.expired for r in b)
+    assert max(r.n_events for r in b) == 3
