@@ -28,6 +28,7 @@ BNLJ_ALLOWED = {
     # iteration — bounded by the k parameter.
     "kmeans_clusters",
     "semdedup",
+    "cluster_balanced_sample",
     # per-subspace codebooks (k-row) and ADC distance tables
     # (|Q|*k*m-row) broadcast onto the vector/code scans.
     "pq_codes",
@@ -49,6 +50,8 @@ BNLJ_ALLOWED = {
     # 1-row nation-total broadcast onto the per-part value table (the
     # Q11 cross-multiplied global-scalar HAVING cut).
     "important_part_stock",
+    # 1-row corpus grand total broadcast onto the (source, token) profile.
+    "source_kl_divergence",
 }
 
 
@@ -89,6 +92,11 @@ PUSHDOWN_EXPECTATIONS = {
     "small_qty_order_revenue": r"EqualTo\(p_brand,Brand#23\)",
     "idle_rich_customers": r"GreaterThanOrEqual\(o_orderdate",
     "shipping_priority": r"(LessThan|GreaterThan)\(o_orderdate",
+    "shipmode_priority": r"GreaterThanOrEqual\(l_shipdate",
+    "excess_suppliers": r"GreaterThanOrEqual\(l_shipdate",
+    "min_cost_supplier": r"EqualTo\(p_type,SMALL\)",
+    "product_type_profit": r"StringContains\(p_name,gizmo\)",
+    "merge_upsert": r"GreaterThanOrEqual\(o_orderdate",
     "delay_notifications": None,  # filter is post-parse (derived column)
 }
 
@@ -98,6 +106,10 @@ PRUNING_EXPECTATIONS = {
     "forecast_revenue_change": ("l_returnflag", "l_linestatus"),
     # the histogram needs only keys: no acctbal/segment scan
     "customer_order_distribution": ("c_acctbal", "c_mktsegment"),
+    # Q16 touches only the pair keys on lineitem: no money/qty scan
+    "part_supplier_counts": ("l_extendedprice", "l_quantity"),
+    # the KL audit never reads doc text metadata beyond source+text
+    "source_kl_divergence": ("n_chars", "lang"),
 }
 
 

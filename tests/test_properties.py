@@ -172,3 +172,121 @@ def test_pack_sequences_conserves_tokens_and_respects_offsets(spark, texts):
     ids = sorted(p.pack_id for p in packs)
     assert len(set(ids)) == len(ids)
     assert ids[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# MERGE upsert: the four row fates partition the key space exactly
+# ---------------------------------------------------------------------------
+
+_merge_customers = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=30),          # custkey
+        st.sampled_from(["BUILDING", "MACHINERY"]),       # segment
+        st.floats(min_value=-50, max_value=50).map(lambda x: round(x, 2)),
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+_merge_orders = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=30),          # custkey
+        st.integers(min_value=0, max_value=1),           # recent?
+        st.floats(min_value=0.5, max_value=99.5).map(lambda x: round(x, 2)),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(custs=_merge_customers, ords=_merge_orders)
+@settings(**PROP_SETTINGS)
+def test_merge_upsert_fates_partition_keyspace(spark, custs, ords):
+    """For ANY inputs: snapshot keys and recent-source keys are fully
+    accounted for — update = snapshot∩source (minus purged), insert =
+    source-only, keep = snapshot-only, delete = purged matches; and the
+    output never contains a purged or unknown key."""
+    import datetime as dt
+
+    from flight_events_flink_job_spark.operators.merge import (
+        merge_customer_snapshot,
+    )
+
+    customer = spark.createDataFrame(
+        [(k, f"c{k}", 0, bal, seg) for k, seg, bal in custs],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (
+                i,
+                k,
+                "O",
+                price,
+                dt.datetime(2000, 6, 1) if recent else dt.datetime(1999, 1, 1),
+                "5-LOW",
+            )
+            for i, (k, recent, price) in enumerate(ords)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = {r.c_custkey: r for r in merge_customer_snapshot(customer, orders).collect()}
+
+    snapshot = {k: seg for k, seg, bal in custs if bal > 0}
+    source = {k for k, recent, _ in ords if recent}
+    purged = {k for k in snapshot if k in source and snapshot[k] == "MACHINERY"}
+    expect_update = (snapshot.keys() & source) - purged
+    expect_insert = source - snapshot.keys()
+    expect_keep = snapshot.keys() - source
+
+    assert {k for k, r in out.items() if r.action == "update"} == expect_update
+    assert {k for k, r in out.items() if r.action == "insert"} == expect_insert
+    assert {k for k, r in out.items() if r.action == "keep"} == expect_keep
+    assert purged.isdisjoint(out.keys())
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: admitted keys are disjoint from the corpus, unique
+# within the batch, and cover every fresh key
+# ---------------------------------------------------------------------------
+
+_dedup_texts = st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=12).map(
+        lambda t: " ".join(t.split()) or "a"
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(old_texts=_dedup_texts, new_texts=_dedup_texts)
+@settings(**PROP_SETTINGS)
+def test_incremental_dedup_admits_exactly_fresh_keys(spark, old_texts, new_texts):
+    from flight_events_flink_job_spark.operators.pipeline import incremental_dedup
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    existing = spark.createDataFrame(
+        [(i, t, "en", "old", len(t)) for i, t in enumerate(old_texts)], schema
+    )
+    incoming = spark.createDataFrame(
+        [(1000 + i, t, "en", "new", len(t)) for i, t in enumerate(new_texts)],
+        schema,
+    )
+    out = incremental_dedup(existing, incoming).collect()
+
+    def key(t):
+        return " ".join(sorted(set(t.split())))
+
+    old_keys = {key(t) for t in old_texts}
+    fresh = {key(t) for t in new_texts} - old_keys
+    got_keys = {key(new_texts[r.doc_id - 1000]) for r in out}
+    assert got_keys == fresh                      # coverage + corpus-disjoint
+    assert len(out) == len(fresh)                 # one representative per key
+    for r in out:                                 # lowest doc_id representative
+        k = key(new_texts[r.doc_id - 1000])
+        first = min(
+            1000 + i for i, t in enumerate(new_texts) if key(t) == k
+        )
+        assert r.doc_id == first
