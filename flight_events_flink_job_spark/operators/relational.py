@@ -1468,3 +1468,82 @@ def events_gapfill_locf(events: DataFrame, bucket_s: int = 300) -> DataFrame:
         ),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+def pattern_match_funnel(
+    events: DataFrame, window_hours: int = 6
+) -> DataFrame:
+    """(user_id, signup_event, purchase_event, gap_seconds): the CEP /
+    MATCH_RECOGNIZE sequential pattern with NEGATION — per user, the
+    FIRST signup followed by the FIRST purchase within ``window_hours``,
+    matched only if NO error event falls strictly between the two.
+    (conversion_funnel counts staged populations; the interval join
+    emits every pair — this is the third CEP shape, one match per
+    partition with a negative condition, Flink's
+    ``A followedBy B, notFollowedBy C`` / SQL MATCH_RECOGNIZE.)
+
+    Plan: three slim event-type slices of one scan (type filter pushes
+    down), each aggregated or joined ON user_id — all co-partitioned
+    hash joins, no window over raw events; the negation is a LEFT ANTI
+    range join against the error slice. Ties at identical timestamps
+    break by event_id (min_by struct), so the match is deterministic.
+    ``gap_seconds`` is exact integer microseconds divided at the edge.
+    """
+    first_signup = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("ts").alias("s_ts"), F.col("event_id").alias("s_id")),
+                F.struct("ts", "event_id"),
+            ).alias("s")
+        )
+        .select("user_id", F.col("s.s_ts").alias("s_ts"), F.col("s.s_id").alias("s_id"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    first_purchase = (
+        first_signup.join(purchases, F.col("user_id") == F.col("p_user"))
+        .filter(
+            (F.col("p_ts") >= F.col("s_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("s_ts") + F.expr(f"INTERVAL {window_hours} HOURS")
+            )
+        )
+        .groupBy("user_id", "s_ts", "s_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("p_ts").alias("p_ts"), F.col("p_id").alias("p_id")),
+                F.struct("p_ts", "p_id"),
+            ).alias("p")
+        )
+        .select(
+            "user_id", "s_ts", "s_id",
+            F.col("p.p_ts").alias("p_ts"), F.col("p.p_id").alias("p_id"),
+        )
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    matched = first_purchase.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("s_ts"))
+        & (F.col("e_ts") < F.col("p_ts")),
+        "left_anti",
+    )
+    return matched.select(
+        "user_id",
+        F.col("s_id").alias("signup_event"),
+        F.col("p_id").alias("purchase_event"),
+        (
+            (
+                F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("s_ts"))
+            )
+            / F.lit(1_000_000)
+        ).alias("gap_seconds"),
+    )

@@ -63,7 +63,6 @@ _PRIORITY = [
     "stream_update_mode_stats",
     "stream_jdbc_serving",
     "airline_stats_jdbc",
-    "airline_stats_csv",
     "datagen_flights",
     "stream_datagen_flights",
     "props_variant_profile",
@@ -80,7 +79,11 @@ _PRIORITY = [
     "quality_percentile",
     "cluster_balanced_sample",
     "source_kl_divergence",
+    "pattern_match_funnel",
     # ---- 50-entry driver window ends here (50 names above) ----------------
+    # -- overflow: CSV round trip (three sibling A1 round trips — stream,
+    # -- jdbc x2 — sit inside the window) -----------------------------------
+    "airline_stats_csv",
     # -- overflow: A1-oracle compaction round trip (pytest-gated; three
     # -- sibling A1 round trips — csv/jdbc/stream — sit inside the window) --
     "airline_stats_compacted",

@@ -1195,3 +1195,46 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_customer_snapshot(
         load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
     )
+
+
+@register(
+    "pattern_match_funnel",
+    oracle="""
+    WITH first_signup AS (
+        SELECT user_id, ts AS s_ts, event_id AS s_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'signup') WHERE rn = 1
+    ),
+    first_purchase AS (
+        SELECT user_id, s_ts, s_id, p_ts, p_id FROM (
+            SELECT s.user_id, s.s_ts, s.s_id,
+                   p.ts AS p_ts, p.event_id AS p_id,
+                   row_number() OVER (
+                       PARTITION BY s.user_id
+                       ORDER BY p.ts, p.event_id) AS rn
+            FROM first_signup s JOIN events p
+              ON p.user_id = s.user_id AND p.event_type = 'purchase'
+             AND p.ts >= s.s_ts AND p.ts <= s.s_ts + INTERVAL 6 HOUR
+        ) WHERE rn = 1
+    )
+    SELECT f.user_id,
+           f.s_id AS signup_event,
+           f.p_id AS purchase_event,
+           CAST(epoch_us(f.p_ts) - epoch_us(f.s_ts) AS DOUBLE) / 1000000.0
+               AS gap_seconds
+    FROM first_purchase f
+    WHERE NOT EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.user_id = f.user_id AND e.event_type = 'error'
+          AND e.ts > f.s_ts AND e.ts < f.p_ts
+    )
+    """,
+)
+def q_pattern_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP / MATCH_RECOGNIZE shape with negation: first signup ->
+    first purchase within 6h, NO error strictly between
+    (operators/relational.pattern_match_funnel)."""
+    from ..operators.relational import pattern_match_funnel
+
+    return pattern_match_funnel(_events(spark, sf_dir))

@@ -492,3 +492,42 @@ def test_merge_upsert_all_four_fates(spark):
     assert rows[1].n_recent_orders == 2
     assert rows[3].action == "keep" and rows[3].balance == 70.0
     assert rows[4].action == "insert" and rows[4].balance == 9.0
+
+
+def test_pattern_match_negation_and_first_match(spark):
+    """CEP semantics: first signup -> FIRST purchase in window; an
+    error strictly between kills the match; errors outside the span or
+    other users' errors don't."""
+    import datetime as dt
+
+    from flight_events_flink_job_spark.operators.relational import (
+        pattern_match_funnel,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    rows = [
+        # user 1: signup, purchase at +10 and +20 -> match first (+10)
+        (1, t(0), 1, "signup", 0.0, "{}"),
+        (2, t(10), 1, "purchase", 1.0, "{}"),
+        (3, t(20), 1, "purchase", 1.0, "{}"),
+        (4, t(30), 1, "error", 0.0, "{}"),      # after purchase: harmless
+        # user 2: error strictly between signup and first purchase -> no match
+        (5, t(0), 2, "signup", 0.0, "{}"),
+        (6, t(5), 2, "error", 0.0, "{}"),
+        (7, t(10), 2, "purchase", 1.0, "{}"),
+        # user 3: purchase outside the 6h window -> no match
+        (8, t(0), 3, "signup", 0.0, "{}"),
+        (9, t(7 * 3600), 3, "purchase", 1.0, "{}"),
+        # user 4: purchase before signup only -> no match
+        (10, t(10), 4, "signup", 0.0, "{}"),
+        (11, t(0), 4, "purchase", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        [(e, ts, u, typ, v, p) for e, ts, u, typ, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.user_id: r for r in pattern_match_funnel(events).collect()}
+    assert set(out) == {1}
+    assert out[1].signup_event == 1 and out[1].purchase_event == 2
+    assert out[1].gap_seconds == 10.0
