@@ -883,3 +883,28 @@ def source_kl_divergence(documents: DataFrame) -> DataFrame:
             ).alias("kl_nats"),
         )
     )
+
+
+def sentence_udtf():
+    """Python UDTF (Spark 4 user-defined TABLE function API): one doc
+    in, one row per sentence out — the lateral-join surface
+    (``SELECT ... FROM docs, LATERAL split_sentences(doc_id, text)``).
+
+    API-surface demo ONLY, deliberately unregistered as a query: UDTFs
+    evaluate row-at-a-time Python (``BatchEvalPythonUDTF``), which this
+    repo's plan gate bans from hot paths — the production sentence/
+    chunk splitters are the codegen ``chunk_documents`` and
+    ``exploded_shingles`` paths. Keeping the demo in the operator
+    module (tested in tests/test_text.py) documents that the API
+    surface is covered and WHY it stays off the data path.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id INT, sentence STRING, n_tokens INT")
+    class SplitSentences:
+        def eval(self, doc_id: int, text: str):
+            parts = [t.strip() for t in (text or "").split(".")]
+            for i, s in enumerate(t for t in parts if t):
+                yield i, s, len(s.split())
+
+    return SplitSentences

@@ -357,3 +357,27 @@ def test_heavy_hitters_planted_skew(spark):
     rows = heavy_hitters_checked(docs, k=4).collect()
     d = {r.pair: (r.n_exact, r.within_bound) for r in rows}
     assert "aa" in d and d["aa"] == (400, True)
+
+
+def test_sentence_udtf_lateral_join(spark):
+    """Spark 4 Python UDTF surface: registered table function applied
+    via LATERAL join emits one row per sentence with stable chunk ids.
+    (API demo only — UDTFs are row-at-a-time Python and stay off the
+    registered-query hot paths by the test_plans gate.)"""
+    from flight_events_flink_job_spark.operators.text import sentence_udtf
+
+    spark.udtf.register("split_sentences", sentence_udtf())
+    out = spark.sql(
+        """
+        SELECT d.doc_id, s.chunk_id, s.sentence, s.n_tokens
+        FROM VALUES (1, 'hello world. second one.'), (2, 'only one')
+             AS d(doc_id, text),
+        LATERAL split_sentences(d.doc_id, d.text) s
+        """
+    ).collect()
+    rows = sorted((r.doc_id, r.chunk_id, r.sentence, r.n_tokens) for r in out)
+    assert rows == [
+        (1, 0, "hello world", 2),
+        (1, 1, "second one", 2),
+        (2, 0, "only one", 2),
+    ]
