@@ -87,6 +87,7 @@ _PRIORITY = [
     # -- overflow: A1-oracle compaction round trip (pytest-gated; three
     # -- sibling A1 round trips — csv/jdbc/stream — sit inside the window) --
     "airline_stats_compacted",
+    "segment_revenue_bucketed",
     # -- TPC-H shapes added late in round 4 (plain SQL, lowest drift risk;
     # -- green in the committed parity sweep) -------------------------------
     "min_cost_supplier",

@@ -1238,3 +1238,37 @@ def q_pattern_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import pattern_match_funnel
 
     return pattern_match_funnel(_events(spark, sf_dir))
+
+
+@register("segment_revenue_bucketed", oracle=ORACLES["segment_revenue"])
+def q_segment_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 through BUCKETED storage: lineitem and orders are written as
+    bucketed tables on the order key (the shuffle paid ONCE at write
+    time), then the same segment_revenue aggregate runs THROUGH the
+    bucketed tables and must hash-equal the plain oracle — the
+    co-located-join serving layout's value-correctness round trip
+    (tests/test_streaming.py asserts the exchange-free plan shape under
+    a forced big-big join; here fixture-size dims may still broadcast,
+    which is equally correct)."""
+    import tempfile
+    import uuid
+
+    from ..operators.relational import segment_revenue
+    from ..streaming.sinks import write_bucketed_table
+
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    tag = uuid.uuid4().hex[:8]
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    bl, bo = f"bj_lineitem_{tag}", f"bj_orders_{tag}"
+    write_bucketed_table(lineitem, bl, f"{base}/lineitem", ["l_orderkey"])
+    write_bucketed_table(orders, bo, f"{base}/orders", ["o_orderkey"])
+    return segment_revenue(
+        load_table(spark, sf_dir, "customer"),
+        spark.table(bo),
+        spark.table(bl),
+    )

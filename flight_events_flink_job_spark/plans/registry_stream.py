@@ -50,6 +50,7 @@ BENCH_SKIP = {
     "stream_datagen_flights",
     "stream_topk_routes",
     "airline_stats_compacted",
+    "segment_revenue_bucketed",
 }
 
 
