@@ -188,3 +188,47 @@ def test_runtime_bloom_filter_prefilters_shuffle_join(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The other half of the skew story: skew_salted_enrichment covers
+    DETERMINISTIC salting; this pins Spark's RUNTIME answer — AQE
+    detects the oversized shuffle partition at execution time and
+    splits it (SortMergeJoin(skew=true), AQEShuffleRead skewed).
+    Thresholds are tuned down only to reproduce the trigger at test
+    scale; at 100 TB the defaults fire on real skew.
+    """
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 < 19, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x"), F.col("id")).alias("payload"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k").groupBy().count()
+        assert j.collect()[0][0] > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
