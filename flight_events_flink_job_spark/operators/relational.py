@@ -1547,3 +1547,52 @@ def pattern_match_funnel(
             / F.lit(1_000_000)
         ).alias("gap_seconds"),
     )
+
+
+def sketch_distinct_rollup(
+    events: DataFrame, rel_err: float = 0.05
+) -> DataFrame:
+    """(grain, event_type, n_exact, within_bound): two-grain distinct
+    users via Apache DataSketches HLL (Spark 3.5 ``hll_sketch_agg`` /
+    ``hll_union_agg``) — the MERGEABLE cardinality sketch: per-type
+    sketches roll up to the global grain by register-max UNION, exactly
+    how a 100 TB tiered aggregation re-uses fine-grain sketches instead
+    of rescanning raw ids (what ``approx_count_distinct`` partials
+    cannot do across grains — they are query-internal).
+
+    Driver-checkable via the approx_distinct_users pattern: estimates
+    are engine-specific, so the output carries the exact count
+    (verification tier) and a bound verdict the oracle asserts TRUE —
+    for BOTH grains, which specifically catches a broken union (a
+    register-loss bug inflates the global estimate and flips the
+    global row's verdict). HLL union is order/partitioning-independent
+    (register max), so the verdicts are deterministic.
+    """
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    def verdict(est, exact):
+        bound = F.greatest(F.lit(rel_err) * exact.cast("double"), F.lit(1.0))
+        return (F.abs(est - exact).cast("double") <= bound).alias("within_bound")
+
+    fine = per_type.select(
+        F.lit("event_type").alias("grain"),
+        "event_type",
+        "n_exact",
+        verdict(F.hll_sketch_estimate("sk"), F.col("n_exact")),
+    )
+    global_exact = events.agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    global_row = (
+        per_type.agg(F.hll_union_agg("sk").alias("u"))
+        .crossJoin(F.broadcast(global_exact))
+        .select(
+            F.lit("all").alias("grain"),
+            F.lit("(all)").alias("event_type"),
+            "n_exact",
+            verdict(F.hll_sketch_estimate("u"), F.col("n_exact")),
+        )
+    )
+    return fine.unionByName(global_row)

@@ -88,6 +88,7 @@ _PRIORITY = [
     # -- sibling A1 round trips — csv/jdbc/stream — sit inside the window) --
     "airline_stats_compacted",
     "segment_revenue_bucketed",
+    "sketch_distinct_rollup",
     # -- TPC-H shapes added late in round 4 (plain SQL, lowest drift risk;
     # -- green in the committed parity sweep) -------------------------------
     "min_cost_supplier",

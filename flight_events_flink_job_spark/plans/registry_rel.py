@@ -1272,3 +1272,24 @@ def q_segment_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(bo),
         spark.table(bl),
     )
+
+
+@register(
+    "sketch_distinct_rollup",
+    oracle="""
+    SELECT 'event_type' AS grain, event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'all', '(all)', count(DISTINCT user_id), TRUE FROM events
+    """,
+)
+def q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL two-grain rollup: per-type sketches
+    UNION to the global grain (register-max merge); oracle asserts the
+    exact counts and both grains' bound verdicts
+    (operators/relational.sketch_distinct_rollup)."""
+    from ..operators.relational import sketch_distinct_rollup
+
+    return sketch_distinct_rollup(_events(spark, sf_dir))

@@ -87,3 +87,28 @@ def test_window_size_is_parameterized(spark):
     out = airline_stats(_flights(spark), "1 hour").collect()
     assert {r.airline for r in out} == {"AA", "UA"}
     assert all((r.window_end - r.window_start).total_seconds() == 3600 for r in out)
+
+
+def test_sketch_union_rollup_merges_registers(spark):
+    """DataSketches HLL mergeability: the global estimate from the
+    UNION of per-type sketches equals the estimate over raw ids (small
+    cardinality -> HLL exact), and verdicts hold under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from flight_events_flink_job_spark.operators.relational import (
+        sketch_distinct_rollup,
+    )
+
+    events = spark.range(0, 3000).select(
+        (F.col("id") % 200).alias("user_id"),
+        F.when(F.col("id") % 3 == 0, "a").when(F.col("id") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("event_type"),
+    )
+    for df in (events, events.repartition(17)):
+        rows = {
+            (r.grain, r.event_type): r for r in sketch_distinct_rollup(df).collect()
+        }
+        assert rows[("all", "(all)")].n_exact == 200
+        assert all(r.within_bound for r in rows.values())
+        assert len(rows) == 4
