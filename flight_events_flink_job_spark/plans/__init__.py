@@ -12,7 +12,7 @@ from .registry_stream import BENCH_SKIP  # noqa: F401
 # get a hard driver-green signal each round. The round-3 VERDICT set
 # the policy: never-driver-checked queries first, then the five
 # formerly rows-only queries whose new oracles need a driver row.
-# With 130 registered queries the window can't hold every
+# With 135 registered queries the window can't hold every
 # never-checked name, so the 50 are chosen by signal value:
 #   1. the 19 the VERDICT named explicitly (item 1);
 #   2. the 5 oracle-ified rows-only queries (items 2-5);

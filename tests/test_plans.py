@@ -52,6 +52,8 @@ BNLJ_ALLOWED = {
     "important_part_stock",
     # 1-row corpus grand total broadcast onto the (source, token) profile.
     "source_kl_divergence",
+    # 1-row global exact count broadcast onto the 1-row union sketch.
+    "sketch_distinct_rollup",
 }
 
 
