@@ -252,11 +252,19 @@ def pq_encode(
     oracle replay still matches hash-exactly.
     """
     assigned, _ = _pq_lloyd(embeddings, m, k, iterations, stride, dim)
+    # Scalar edge: the code tuple serializes as 's0-s1-...-s{m-1}' — the
+    # repo convention keeps array columns OFF query edges (the driver
+    # stringify-hash renders engine-native array types differently);
+    # downstream consumers (pq_topk) use the (subspace, cid) triples
+    # directly, never this display key.
     return assigned.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("subspace", "cid"))),
-            lambda st: st["cid"],
-        ).alias("codes"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "cid"))),
+                lambda st: st["cid"].cast("string"),
+            ),
+            "-",
+        ).alias("code_key"),
         F.round(F.sum(F.col("d2").cast("decimal(27,10)")), 4)
         .cast("double")
         .alias("q_error"),

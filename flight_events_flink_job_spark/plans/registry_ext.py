@@ -673,7 +673,9 @@ def _pq_oracle(
     joined = ",\n    ".join(ctes)
     return f"""
     WITH {joined}
-    SELECT vec_id, list(cid ORDER BY subspace) AS codes,
+    SELECT vec_id,
+           array_to_string(list(CAST(cid AS VARCHAR) ORDER BY subspace), '-')
+               AS code_key,
            CAST(round(sum(CAST(d2 AS DECIMAL(27,10))), 4) AS DOUBLE)
                AS q_error
     FROM u GROUP BY vec_id

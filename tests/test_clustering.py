@@ -124,18 +124,19 @@ def test_pq_encode_codes_and_error(spark, sf_dir):
     embs = load_table(spark, sf_dir, "embeddings")
     out = {r.vec_id: r for r in pq_encode(embs, m=4, k=8).collect()}
     assert len(out) == embs.count()
-    for r in out.values():
-        assert len(r.codes) == 4
-        assert all(0 <= c < 8 for c in r.codes)
+    codes = {v: [int(c) for c in r.code_key.split("-")] for v, r in out.items()}
+    for cs in codes.values():
+        assert len(cs) == 4
+        assert all(0 <= c < 8 for c in cs)
     # subspace 0 codes must equal a direct Lloyd run over the first slice
     sub0 = embs.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
     direct = {r.vec_id: r.cid for r in kmeans_assign(sub0, k=8).collect()}
-    assert all(r.codes[0] == direct[v] for v, r in out.items())
+    assert all(cs[0] == direct[v] for v, cs in codes.items())
     again = {
-        r.vec_id: (list(r.codes), r.q_error)
+        r.vec_id: (r.code_key, r.q_error)
         for r in pq_encode(embs.repartition(11), m=4, k=8).collect()
     }
-    assert again == {v: (list(r.codes), r.q_error) for v, r in out.items()}
+    assert again == {v: (r.code_key, r.q_error) for v, r in out.items()}
 
 
 def test_pq_topk_approximates_exact_l2(spark, sf_dir):
