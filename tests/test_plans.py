@@ -234,3 +234,19 @@ def test_aqe_splits_skewed_join_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", [n for n in QUERIES if n not in BENCH_SKIP])
+def test_query_edges_are_scalar_typed(spark, sf_dir, name):
+    """Engine-edge convention: registered queries emit only scalar
+    columns. Array/struct/map/binary outputs render differently under
+    the driver's stringified-value hash (pandas shows a Spark array as
+    a Python list but a DuckDB list as a numpy array — pq_codes
+    hash-failed exactly this way before its code tuple was serialized
+    to a string key), so complex types must be serialized (joined
+    string, long form, packed int) before the edge."""
+    for col, dtype in QUERIES[name](spark, sf_dir).dtypes:
+        assert not dtype.startswith(("array", "struct", "map", "binary")), (
+            f"{name}.{col} is {dtype}: serialize complex types before "
+            "the query edge (see pq_codes' code_key)"
+        )
