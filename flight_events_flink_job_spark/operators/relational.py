@@ -1596,3 +1596,44 @@ def sketch_distinct_rollup(
         )
     )
     return fine.unionByName(global_row)
+
+
+def events_grouping_sets(events: DataFrame) -> DataFrame:
+    """(event_type, hour_of_day, dow, level, n_events, sum_value):
+    explicit non-hierarchical GROUPING SETS — three unrelated grains
+    ((type), (hour), (type, day-of-week)) in ONE aggregate pass,
+    completing the grouping trio beside events_rollup (hierarchical)
+    and corpus_stats_cube (powerset). Spark 4's
+    ``DataFrame.groupingSets`` expands the sets inside the aggregate
+    (partial-aggregated before the single exchange) exactly like
+    rollup/cube; ``grouping_id`` disambiguates the grain and null keys
+    coalesce to sentinels so the edge is null-free and hash-stable.
+    Day-of-week is 1..7 Sunday=1 (the oracle's dayofweek()+1).
+    """
+    e = events.select(
+        "event_type",
+        F.hour("ts").alias("hour_of_day"),
+        F.dayofweek("ts").alias("dow"),
+        "value",
+    )
+    return (
+        e.groupingSets(
+            [["event_type"], ["hour_of_day"], ["event_type", "dow"]],
+            "event_type",
+            "hour_of_day",
+            "dow",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("level"),
+            F.count("*").alias("n_events"),
+            dec_sum().alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("hour_of_day"), F.lit(-1)).alias("hour_of_day"),
+            F.coalesce(F.col("dow"), F.lit(-1)).alias("dow"),
+            "level",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -89,6 +89,7 @@ _PRIORITY = [
     "airline_stats_compacted",
     "segment_revenue_bucketed",
     "sketch_distinct_rollup",
+    "events_grouping_sets",
     # -- TPC-H shapes added late in round 4 (plain SQL, lowest drift risk;
     # -- green in the committed parity sweep) -------------------------------
     "min_cost_supplier",

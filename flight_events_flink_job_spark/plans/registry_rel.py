@@ -1293,3 +1293,29 @@ def q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import sketch_distinct_rollup
 
     return sketch_distinct_rollup(_events(spark, sf_dir))
+
+
+@register(
+    "events_grouping_sets",
+    oracle="""
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(hour_of_day, -1) AS hour_of_day,
+           coalesce(dow, -1) AS dow,
+           CAST(grouping(event_type) * 4 + grouping(hour_of_day) * 2
+                + grouping(dow) AS BIGINT) AS level,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(27,10))), 4) AS DOUBLE)
+               AS sum_value
+    FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day,
+                 CAST(dayofweek(ts) + 1 AS INT) AS dow, value
+          FROM events)
+    GROUP BY GROUPING SETS ((event_type), (hour_of_day), (event_type, dow))
+    """,
+)
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit non-hierarchical GROUPING SETS (three unrelated grains,
+    one pass) — completes the grouping trio with events_rollup and
+    corpus_stats_cube (operators/relational.events_grouping_sets)."""
+    from ..operators.relational import events_grouping_sets
+
+    return events_grouping_sets(_events(spark, sf_dir))

@@ -531,3 +531,35 @@ def test_pattern_match_negation_and_first_match(spark):
     assert set(out) == {1}
     assert out[1].signup_event == 1 and out[1].purchase_event == 2
     assert out[1].gap_seconds == 10.0
+
+
+def test_grouping_sets_exact_grains(spark):
+    """Only the three requested grains appear — no grand total, no
+    (hour, dow) cross — and each grain's totals are consistent."""
+    import datetime as dt
+
+    from flight_events_flink_job_spark.operators.relational import (
+        events_grouping_sets,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 7, 10), 1, "a", 2.0, "{}"),   # Sun
+        (2, dt.datetime(2024, 1, 8, 10), 1, "a", 3.0, "{}"),   # Mon
+        (3, dt.datetime(2024, 1, 8, 11), 2, "b", 5.0, "{}"),   # Mon
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = events_grouping_sets(events).collect()
+    levels = {r.level for r in out}
+    # level bits (event_type=4, hour=2, dow=1): (type)->3, (hour)->5,
+    # (type, dow)->2
+    assert levels == {3, 5, 2}
+    by_type = {r.event_type: r for r in out if r.level == 3}
+    assert by_type["a"].n_events == 2 and by_type["a"].sum_value == 5.0
+    type_dow = {(r.event_type, r.dow): r.n_events for r in out if r.level == 2}
+    assert type_dow == {("a", 1): 1, ("a", 2): 1, ("b", 2): 1}
+    hours = {r.hour_of_day: r.n_events for r in out if r.level == 5}
+    assert hours == {10: 2, 11: 1}
