@@ -391,3 +391,26 @@ def test_orc_roundtrip_lossless(spark, tmp_path):
     back = orc_roundtrip(df, str(tmp_path / "orc"))
     assert back.schema == df.schema
     assert back.collect() == df.collect()
+
+
+def test_quality_percentile_tie_and_extremes(spark):
+    """Ties on the score break by doc_id (bijective ranks), the minimum
+    gets pct 0, the maximum pct 1, and a single-doc language gets 0."""
+    from flight_events_flink_job_spark.operators.pipeline import (
+        quality_percentile_norm,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x", "en", "s", 10),
+            (2, "x", "en", "s", 10),   # tie with doc 1 -> rank by doc_id
+            (3, "x", "en", "s", 30),
+            (4, "x", "zh", "s", 99),   # singleton language
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in quality_percentile_norm(docs).collect()}
+    assert [out[i].lang_rank for i in (1, 2, 3)] == [1, 2, 3]
+    assert out[1].pct == 0.0 and out[3].pct == 1.0
+    assert out[2].pct == 0.5
+    assert out[4].lang_rank == 1 and out[4].pct == 0.0

@@ -563,3 +563,36 @@ def test_grouping_sets_exact_grains(spark):
     assert type_dow == {("a", 1): 1, ("a", 2): 1, ("b", 2): 1}
     hours = {r.hour_of_day: r.n_events for r in out if r.level == 5}
     assert hours == {10: 2, 11: 1}
+
+
+def test_pattern_match_negation_is_strictly_between(spark):
+    """Boundary pin: an error at EXACTLY the signup or purchase
+    timestamp does not kill the match (the negation is strict
+    inequality on both ends), and a purchase at exactly signup+window
+    still matches (inclusive window end)."""
+    import datetime as dt
+
+    from flight_events_flink_job_spark.operators.relational import (
+        pattern_match_funnel,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    rows = [
+        # user 1: errors exactly AT signup and AT purchase -> match survives
+        (1, t(0), 1, "signup", 0.0, "{}"),
+        (2, t(0), 1, "error", 0.0, "{}"),
+        (3, t(10), 1, "error", 0.0, "{}"),
+        (4, t(10), 1, "purchase", 1.0, "{}"),
+        # user 2: purchase exactly at the 6h window end -> inclusive match
+        (5, t(0), 2, "signup", 0.0, "{}"),
+        (6, t(6 * 3600), 2, "purchase", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.user_id: r for r in pattern_match_funnel(events).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].purchase_event == 4
+    assert out[2].gap_seconds == 6 * 3600.0
