@@ -596,3 +596,35 @@ def test_pattern_match_negation_is_strictly_between(spark):
     assert set(out) == {1, 2}
     assert out[1].purchase_event == 4
     assert out[2].gap_seconds == 6 * 3600.0
+
+
+def test_merge_upsert_degenerate_sides(spark):
+    """Empty recent-source -> everything keeps; empty snapshot ->
+    everything inserts."""
+    import datetime as dt
+
+    from flight_events_flink_job_spark.operators.merge import (
+        merge_customer_snapshot,
+    )
+
+    cust_schema = (
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string"
+    )
+    ord_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    customer = spark.createDataFrame([(1, "a", 0, 10.0, "BUILDING")], cust_schema)
+    old_only = spark.createDataFrame(
+        [(10, 1, "O", 5.0, dt.datetime(1999, 1, 1), "5-LOW")], ord_schema
+    )
+    out = merge_customer_snapshot(customer, old_only).collect()
+    assert [(r.c_custkey, r.action, r.balance) for r in out] == [(1, "keep", 10.0)]
+
+    no_snapshot = spark.createDataFrame([], cust_schema)
+    recent = spark.createDataFrame(
+        [(11, 7, "O", 5.0, dt.datetime(2000, 6, 1), "5-LOW")], ord_schema
+    )
+    out2 = merge_customer_snapshot(no_snapshot, recent).collect()
+    assert [(r.c_custkey, r.action, r.balance) for r in out2] == [(7, "insert", 5.0)]

@@ -381,3 +381,25 @@ def test_sentence_udtf_lateral_join(spark):
         (1, 1, "second one", 2),
         (2, 0, "only one", 2),
     ]
+
+
+def test_source_kl_zero_for_identical_distribution(spark):
+    """KL(P‖Q) = 0 when a source IS the corpus distribution: a corpus
+    with one source (P = Q exactly) must score 0.0; two sources with
+    disjoint vocabularies must both score > 0."""
+    from flight_events_flink_job_spark.operators.text import (
+        source_kl_divergence,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    one = spark.createDataFrame(
+        [(1, "a b a", "en", "only", 5), (2, "b a", "en", "only", 3)], schema
+    )
+    out = source_kl_divergence(one).collect()
+    assert len(out) == 1 and out[0].kl_nats == 0.0 and out[0].n_tokens == 5
+
+    two = spark.createDataFrame(
+        [(1, "a a a", "en", "s1", 5), (2, "b b b", "en", "s2", 5)], schema
+    )
+    rows = {r.source: r.kl_nats for r in source_kl_divergence(two).collect()}
+    assert rows["s1"] > 0.0 and rows["s2"] > 0.0
