@@ -9,24 +9,84 @@ from .registry_stream import BENCH_SKIP  # noqa: F401
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's correctness pass records only the
 # FIRST 50 registry entries, so insertion order decides which queries
-# get a hard driver-green signal each round. The round-3 VERDICT set
-# the policy: never-driver-checked queries first, then the five
-# formerly rows-only queries whose new oracles need a driver row.
-# With 135 registered queries the window can't hold every
-# never-checked name, so the 50 are chosen by signal value:
-#   1. the 19 the VERDICT named explicitly (item 1);
-#   2. the 5 oracle-ified rows-only queries (items 2-5);
-#   3. the round-4 additions with the most environment-sensitive
-#      machinery (streaming round trips, datagen, VARIANT, sketches);
-#   4. the late-round infra/ANN additions (PQ, MERGE, compaction,
-#      snapshot dedup, percentile calibration).
-# Everything past 50 — including the plain-SQL TPC-H shapes, the
-# reference-parity core (driver-green in r1-r3), and the r2/r3-green
-# families — is covered by the committed full-registry parity sweep
+# get a hard driver-green signal each round. Round-5 policy (VERDICT r4
+# item 1): the 24 queries that have never had a driver-green row across
+# CORRECTNESS_r01-r04 go first — after this round every registered
+# query has been driver-checked at least once. The remaining 26 slots
+# re-check the STALEST greens: the 16 queries last green in round 2,
+# then 10 round-3 greens with the most environment-sensitive machinery
+# (streaming, dedup/LSH, curation pipeline). Everything past 50 is
+# covered by the committed full-registry parity sweep
 # (tools/parity_r4_sf001.log) that the judge can re-run in one command.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # -- 1. never driver-checked before round 4 (VERDICT item 1) ------------
+    # -- 1. the 24 never-driver-green queries (VERDICT r4 item 1) -----------
+    # Serving-format round trips (A1 oracle through ORC/CSV/compaction):
+    "airline_stats_orc",
+    "airline_stats_csv",
+    "airline_stats_compacted",
+    # Bucketed-table twin + sketch/grouping machinery:
+    "segment_revenue_bucketed",
+    "sketch_distinct_rollup",
+    "events_grouping_sets",
+    # The nine round-4 TPC-H shapes (relational_tpch.py):
+    "min_cost_supplier",
+    "nation_market_share",
+    "product_type_profit",
+    "important_part_stock",
+    "shipmode_priority",
+    "part_supplier_counts",
+    "disjunctive_revenue",
+    "excess_suppliers",
+    "waiting_orders_suppliers",
+    # The Q13/15/17/18/22 family:
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "small_qty_order_revenue",
+    "large_order_customers",
+    "idle_rich_customers",
+    # Late-round text/embedding/forecast additions:
+    "bigram_lm_score",
+    "embedding_norm_outliers",
+    "zipf_slope",
+    "forecast_revenue_change",
+    # -- 2. stalest greens: last driver-green in round 2 --------------------
+    "airline_stats_sliding",
+    "converted_without_errors",
+    "events_rollup",
+    "inactive_customers",
+    "orders_asof",
+    "pricing_summary",
+    "rolling_user_value",
+    "segment_revenue",
+    "similarity_topk_ivf",
+    "streaming_airline_stats",
+    "top_routes_per_airline",
+    "user_event_enrichment",
+    "user_event_gaps",
+    "user_event_type_pivot",
+    "user_sessions",
+    "value_band_join",
+    # -- 3. round-3 greens with environment-sensitive machinery -------------
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_keep_best",
+    "corpus_shuffle",
+    "curation_pipeline",
+    "decontaminate",
+    "chunk_documents",
+    "cross_source_leakage",
+    # ---- 50-entry driver window ends here (50 names above) ----------------
+    # -- reference-parity core (driver-green r1-r3) -------------------------
+    "flights_raw",
+    "delay_notifications",
+    "airline_delay_stats",
+    "route_delay_stats",
+    "hourly_delay_stats",
+    "rejected_rows",
+    # -- round-4 greens (freshest signal, lowest re-check value) ------------
     "per_lang_sample",
     "regional_supplier_volume",
     "returned_items_top_customers",
@@ -46,13 +106,11 @@ _PRIORITY = [
     "stream_dedup_redelivery",
     "stream_session_windows",
     "stream_static_enrichment",
-    # -- 2. oracle-ified in round 4 (rows-only before; VERDICT items 2-5) ---
     "dedup_simhash",
     "similarity_topk_lsh",
     "approx_distinct_users",
     "event_value_quantiles_sketch",
     "multimodal_resize",
-    # -- 3. round-4 additions, environment-sensitive machinery first --------
     "semdedup",
     "dsir_importance",
     "bpe_pair_stats",
@@ -70,7 +128,6 @@ _PRIORITY = [
     "multimodal_audio_stats",
     "events_gapfill_locf",
     "kmeans_clusters",
-    # -- 4. late-round infra / ANN / pipeline additions ---------------------
     "pq_codes",
     "pq_topk",
     "merge_upsert",
@@ -80,65 +137,6 @@ _PRIORITY = [
     "cluster_balanced_sample",
     "source_kl_divergence",
     "pattern_match_funnel",
-    # ---- 50-entry driver window ends here (50 names above) ----------------
-    # -- overflow: CSV round trip (three sibling A1 round trips — stream,
-    # -- jdbc x2 — sit inside the window) -----------------------------------
-    "airline_stats_csv",
-    # -- overflow: A1-oracle compaction round trip (pytest-gated; three
-    # -- sibling A1 round trips — csv/jdbc/stream — sit inside the window) --
-    "airline_stats_compacted",
-    "segment_revenue_bucketed",
-    "sketch_distinct_rollup",
-    "events_grouping_sets",
-    # -- TPC-H shapes added late in round 4 (plain SQL, lowest drift risk;
-    # -- green in the committed parity sweep) -------------------------------
-    "min_cost_supplier",
-    "nation_market_share",
-    "product_type_profit",
-    "important_part_stock",
-    "shipmode_priority",
-    "part_supplier_counts",
-    "disjunctive_revenue",
-    "excess_suppliers",
-    "waiting_orders_suppliers",
-    "airline_stats_orc",
-    # -- remaining round-4 additions ----------------------------------------
-    "customer_order_distribution",
-    "top_supplier_revenue",
-    "small_qty_order_revenue",
-    "large_order_customers",
-    "idle_rich_customers",
-    "bigram_lm_score",
-    "embedding_norm_outliers",
-    "zipf_slope",
-    "forecast_revenue_change",
-    # -- plan/oracle touched in round 4 -------------------------------------
-    "value_anomalies",
-    "user_event_enrichment",
-    "user_sessions",
-    "events_rollup",
-    "value_band_join",
-    "knn_label_vote",
-    # -- reference-parity core (driver-green in r1-r3) ----------------------
-    "flights_raw",
-    "delay_notifications",
-    "airline_delay_stats",
-    "route_delay_stats",
-    "hourly_delay_stats",
-    "rejected_rows",
-    # -- last driver-checked in round 2 (r2-green, judge-verified in r3) ----
-    "user_event_gaps",
-    "orders_asof",
-    "airline_stats_sliding",
-    "top_routes_per_airline",
-    "segment_revenue",
-    "inactive_customers",
-    "pricing_summary",
-    "similarity_topk_ivf",
-    "rolling_user_value",
-    "user_event_type_pivot",
-    "converted_without_errors",
-    "streaming_airline_stats",
 ]
 
 
