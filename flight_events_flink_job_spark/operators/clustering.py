@@ -61,13 +61,41 @@ def kmeans_assign(
     return assigned
 
 
+def _check_seed_density(embeddings: DataFrame, k: int, stride: int) -> None:
+    """Fail loudly if the stride init cannot seed exactly ``k``
+    centroids. Seeding takes vectors ``0, stride, 2*stride, ...,
+    (k-1)*stride`` — a deterministic, oracle-replayable draw that
+    PRESUMES vec_id is dense over [0, stride*k). A table with fewer
+    than stride*k rows or holes in its id space would silently train a
+    degenerate (<k codeword) codebook; this one tiny count (the filter
+    is pushed to the scan, touching at most k row groups) turns that
+    into an error at train time instead of skewed codes at query time.
+    """
+    seeds = (
+        embeddings.filter(
+            (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * k)
+        )
+        .select("vec_id")
+        .distinct()
+        .count()
+    )
+    if seeds != k:
+        raise ValueError(
+            f"stride init needs vec_id dense over [0, {stride * k}): "
+            f"found {seeds} of the {k} required seed vectors "
+            f"(stride={stride}). Re-id the table or lower stride/k."
+        )
+
+
 def lloyd_chain(
     embeddings: DataFrame, k: int = 8, iterations: int = 2, stride: int = 7
 ) -> tuple[DataFrame, DataFrame]:
     """(assignment, codebook): the Lloyd loop of :func:`kmeans_assign`,
     additionally returning the k-row centroid table the FINAL
     assignment was computed against (what ADC distance tables need —
-    :func:`pq_topk`)."""
+    :func:`pq_topk`). Precondition: vec_id dense over [0, stride*k)
+    (checked — see :func:`_check_seed_density`)."""
+    _check_seed_density(embeddings, k, stride)
     e = spread(embeddings).select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
@@ -298,7 +326,9 @@ def _pq_lloyd(
     assignment = (vec_id, subspace, cid, d2), codebook = (subspace,
     cid, cv) as used by the FINAL assignment. Identical math to running
     :func:`lloyd_chain` per slice (same stride init per subspace, same
-    fold, same (d2, cid) tie-break, same DECIMAL means)."""
+    fold, same (d2, cid) tie-break, same DECIMAL means). Precondition:
+    vec_id dense over [0, stride*k) (checked)."""
+    _check_seed_density(embeddings, k, stride)
     width = dim // m
     e = _pq_slices(embeddings, m, width)
     cent = e.filter(

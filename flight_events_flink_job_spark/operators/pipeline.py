@@ -250,6 +250,15 @@ def corpus_shuffle(
     (an exclusive prefix sum over the tiny partition-count vector,
     broadcast back). Positions are a pure function of the key ordering,
     so range-boundary sampling nondeterminism cannot change the output.
+
+    The partitioned frame is materialized ONCE (``localCheckpoint``)
+    before counts and ranks are derived from it: both subtrees must see
+    the SAME pid assignment, and without pinning, a re-evaluated range
+    exchange could re-sample different boundaries (ReuseExchange usually
+    dedupes the identical subtree, but that is an optimizer courtesy,
+    not a contract). The checkpoint costs what the shuffle already
+    costs, and if an executor dies the job fails loudly instead of
+    silently mixing two boundary sets.
     """
     sk = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
     n = parts or documents.sparkSession.sparkContext.defaultParallelism
@@ -257,6 +266,7 @@ def corpus_shuffle(
         documents.withColumn("sk", sk)
         .repartitionByRange(n, "sk")
         .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_part = Window.partitionBy("pid").orderBy("sk")
     counts = ranged.groupBy("pid").count()
@@ -566,12 +576,19 @@ def quality_percentile_norm(documents: DataFrame, parts: int | None = None) -> D
     offsets — the offset table is partitions×langs rows, broadcast
     back. The percentile is (rank-1)/(n_lang-1), two exact ints
     divided once as doubles at the edge.
+
+    As in :func:`corpus_shuffle`, the partitioned frame is pinned with
+    ``localCheckpoint`` so counts/offsets/totals and the final rank
+    join all read the SAME pid assignment — correctness must not hang
+    on ReuseExchange deduping the identical range shuffle, because a
+    re-evaluated exchange re-samples its boundaries.
     """
     n = parts or documents.sparkSession.sparkContext.defaultParallelism
     ranged = (
         documents.select("doc_id", "lang", "n_chars")
         .repartitionByRange(n, "lang", "n_chars", "doc_id")
         .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_part = Window.partitionBy("pid", "lang").orderBy("n_chars", "doc_id")
     counts = ranged.groupBy("pid", "lang").count()

@@ -657,9 +657,14 @@ def customer_value_deciles(customer: DataFrame, orders: DataFrame) -> DataFrame:
         )
     )
     n_parts = spend.sparkSession.sparkContext.defaultParallelism
-    ranged = spend.repartitionByRange(
-        n_parts, F.col("spend").desc(), F.col("o_custkey")
-    ).withColumn("pid", F.spark_partition_id())
+    # localCheckpoint pins the pid assignment: counts/offsets and the
+    # rank join must read the SAME range boundaries, and a re-evaluated
+    # exchange re-samples them (see corpus_shuffle for the full note).
+    ranged = (
+        spend.repartitionByRange(n_parts, F.col("spend").desc(), F.col("o_custkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     w_part = Window.partitionBy("pid").orderBy(
         F.col("spend").desc(), F.col("o_custkey")
     )

