@@ -31,6 +31,36 @@ SOURCE_TOPIC = "flight-events"  # KU:22
 NOTIFICATION_TOPIC = "flight-delay-notifications"  # KU:34
 
 
+def kafka_source_options(
+    bootstrap: str = DEFAULT_BOOTSTRAP,
+    topic: str = SOURCE_TOPIC,
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """The EXACT option map handed to the Kafka source — factored out
+    of the reader builder so a broker-less contract test can pin every
+    string against KafkaUtils.java:15-28 (a typo in a connector option
+    silently falls back to defaults at runtime; the test is the only
+    guard this sandbox can have)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,  # KU:13/:21
+        "subscribe": topic,  # KU:22 setTopics
+        "startingOffsets": starting_offsets,  # KU:17/:24 latest
+    }
+
+
+def kafka_sink_options(
+    checkpoint_dir: str,
+    bootstrap: str = DEFAULT_BOOTSTRAP,
+    topic: str = NOTIFICATION_TOPIC,
+) -> dict[str, str]:
+    """The EXACT option map handed to the Kafka sink (KU:30-38)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,  # KU:32
+        "topic": topic,  # KU:34
+        "checkpointLocation": checkpoint_dir,  # Spark-side exactly-once ledger
+    }
+
+
 def kafka_source_reader(
     spark: SparkSession,
     bootstrap: str = DEFAULT_BOOTSTRAP,
@@ -38,11 +68,8 @@ def kafka_source_reader(
     starting_offsets: str = "latest",
 ) -> DataStreamReader:
     """Configured (unloaded) streaming reader for the flight-events topic."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+    return spark.readStream.format("kafka").options(
+        **kafka_source_options(bootstrap, topic, starting_offsets)
     )
 
 
@@ -79,7 +106,5 @@ def kafka_notification_writer(
     return (
         notifications.select(F.col("notification").alias("value"))
         .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
+        .options(**kafka_sink_options(checkpoint_dir, bootstrap, topic))
     )
