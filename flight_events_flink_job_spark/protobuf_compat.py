@@ -1,0 +1,77 @@
+"""Locate a usable ``google.protobuf`` runtime without pip.
+
+Spark 4's ``transformWithStateInPandas`` state server speaks protobuf
+to the JVM: its gencode (pyspark/sql/streaming/proto/StateMessage_pb2)
+needs the real runtime — descriptor pool + wire-format codec — in the
+driver AND in every Python worker the JVM forks, so a hand-written stub
+can never satisfy it (the bytes cross the process boundary). When pip
+never installed protobuf (this container has no reachable package
+index; ``pip download protobuf`` fails with DNS errors), the next best
+thing is another package's bundled pure-Python runtime: the Google
+Cloud SDK ships protobuf 6.32 under the standard namespace.
+
+Two subtleties make this a module of its own:
+
+1. The env must be extended BEFORE the JVM launches — forked Python
+   workers inherit the JVM's environment as captured at gateway start,
+   so calling this from an operator after ``getOrCreate()`` fixes the
+   driver but leaves workers blind. :func:`flight_events_flink_job_
+   spark.session.get_spark` calls :func:`ensure_protobuf` pre-launch.
+2. Spark's gencode is emitted by protobuf 6.33 while the bundled
+   runtime is 6.32 — one minor version apart, identical wire format,
+   but protobuf's conservative version gate rejects it. Protobuf
+   itself ships the escape hatch
+   (``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK``), which is scoped
+   here to exactly this bundled-runtime fallback: a pip-installed
+   protobuf is used as-is, gate intact.
+
+Candidate directories come from ``$SPARK_GRAFT_PROTOBUF_PATH``
+(colon-separated) before the known public bundle locations.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_BUNDLE_CANDIDATES = [
+    # Google Cloud SDK's app-engine platform dir bundles pure-python
+    # protobuf (6.32 as of 2026) under the standard google.* namespace.
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+]
+
+
+def ensure_protobuf() -> bool:
+    """Return True if ``google.protobuf`` is importable, extending
+    ``sys.path`` + ``$PYTHONPATH`` with a bundled runtime if needed."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    candidates = [
+        p
+        for p in os.environ.get("SPARK_GRAFT_PROTOBUF_PATH", "").split(":")
+        if p
+    ] + _BUNDLE_CANDIDATES
+    for base in candidates:
+        if not os.path.isfile(
+            os.path.join(base, "google", "protobuf", "descriptor_pool.py")
+        ):
+            continue
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        if base not in sys.path:
+            sys.path.append(base)
+        pp = os.environ.get("PYTHONPATH", "")
+        if base not in pp.split(":"):
+            os.environ["PYTHONPATH"] = f"{pp}:{base}" if pp else base
+        try:
+            import google.protobuf.descriptor  # noqa: F401
+
+            return True
+        except ImportError:  # pragma: no cover - bundle unusable
+            continue
+    return False

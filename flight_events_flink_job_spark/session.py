@@ -20,6 +20,13 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults applied."""
+    # Must run BEFORE the JVM gateway launches: forked Python workers
+    # (incl. the transformWithState state-server worker) inherit the
+    # JVM's environment, so the PYTHONPATH extension for the bundled
+    # protobuf runtime has to be in place now, not at first use.
+    from .protobuf_compat import ensure_protobuf
+
+    ensure_protobuf()
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     builder = SparkSession.builder

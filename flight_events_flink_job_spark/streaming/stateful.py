@@ -26,6 +26,8 @@ with an empty batch iterator exactly like Flink timers.
 
 from __future__ import annotations
 
+import os
+import sys
 import uuid
 from collections.abc import Iterator
 
@@ -260,7 +262,13 @@ def drain_expired_users(
 try:  # Spark >= 4.0, and the state server speaks protobuf to the JVM —
     # without google.protobuf the driver worker crashes at query start.
     # The engine degrades to the v1 operator above when either is absent.
-    import google.protobuf.descriptor  # noqa: F401
+    # NOTE: the env side of ensure_protobuf only reaches forked Python
+    # workers when it runs BEFORE the JVM launches — get_spark calls it
+    # pre-launch; this call covers the driver-side import gate.
+    from ..protobuf_compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        raise ImportError("google.protobuf unavailable (no bundled runtime)")
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -331,3 +339,39 @@ def track_user_activity_v2(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def drain_user_activity_v2(events: DataFrame, checkpoint_dir: str) -> DataFrame:
+    """availableNow drain of :func:`track_user_activity_v2` into a
+    memory sink. transformWithState stores each state variable in its
+    own column family, which the default HDFS-backed provider rejects —
+    the RocksDB provider (the right store at scale anyway: disk-spilled
+    state, bounded memory, incremental checkpoints) is set for this
+    query and restored afterwards, same discipline as
+    ``streaming_airline_stats_update``."""
+    spark = events.sparkSession
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocksdb)
+    try:
+        name = f"user_activity_v2_{uuid.uuid4().hex}"
+        query = (
+            track_user_activity_v2(events)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table(name)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

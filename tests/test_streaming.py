@@ -396,14 +396,12 @@ def test_stateful_v2_matches_v1_emissions(spark, sf_dir, tmp_path):
     """transformWithStateInPandas (stateful v2) must emit exactly the
     same update rows as the applyInPandasWithState v1 tracker over the
     same rate-limited micro-batches."""
-    import uuid
-
     from flight_events_flink_job_spark.sources.fixtures import load_table
     from flight_events_flink_job_spark.streaming.stateful import (
         EVENT_STREAM_SCHEMA,
         HAS_TWS,
         drain_user_activity,
-        track_user_activity_v2,
+        drain_user_activity_v2,
     )
 
     if not HAS_TWS:
@@ -425,18 +423,7 @@ def test_stateful_v2_matches_v1_emissions(spark, sf_dir, tmp_path):
         )
 
     v1 = drain_user_activity(stream(), str(tmp_path / "ckpt1"))
-    name = f"v2_{uuid.uuid4().hex}"
-    (
-        track_user_activity_v2(stream())
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "ckpt2"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    v2 = spark.table(name)
+    v2 = drain_user_activity_v2(stream(), str(tmp_path / "ckpt2"))
     assert _rows(v1) == _rows(v2)
     assert v1.count() > 0
 
