@@ -17,6 +17,43 @@ from ..schemas import FIXTURE_TABLES
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# ---------------------------------------------------------------------------
+# Bronze-boundary ingest contract (round-5 adversarial hardening).
+#
+# Aggregating NaN is meaningless (one NaN poisons every sum/avg/window
+# downstream) and engines disagree about it in ways no per-query fix
+# can reconcile (DuckDB CASTs of NaN raise, Spark's NaN orders
+# greatest, both skip NULL); +-Inf is the same poison one step later.
+# So the engine declares what every serious lakehouse declares at its
+# bronze->silver step: NON-FINITE MEASURES ARE NULL, and embedding
+# components are finite and bounded (|v| <= 1e3 — far above any real
+# normalized embedding, small enough that the decimal-exact d2/mean
+# aggregations keep integer-digit headroom at fleet row counts).
+#
+# Both sanitizers are IDENTITY on the driver fixtures (finite by
+# construction); tools/parity.py applies the same contract to its
+# DuckDB views (EVENTS_VIEW_SQL / EMBEDDINGS_VIEW_SQL below) so the
+# oracle differential compares engine and oracle over the same
+# declared input on adversarial fixtures too.
+# ---------------------------------------------------------------------------
+
+EMB_CLAMP = 1000.0
+
+# DuckDB twins of the Spark-side sanitization in load_table — keep in
+# lockstep (they are one contract expressed twice).
+EVENTS_VIEW_SQL = (
+    "SELECT event_id, ts, user_id, event_type, "
+    "CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END "
+    "AS value, props FROM read_parquet('{path}')"
+)
+EMBEDDINGS_VIEW_SQL = (
+    "SELECT vec_id, "
+    "[CAST(CASE WHEN isnan(x) THEN 0.0 "
+    f"      ELSE least(greatest(x, -{EMB_CLAMP}), {EMB_CLAMP}) END "
+    " AS FLOAT) FOR x IN embedding] AS embedding, "
+    "label FROM read_parquet('{path}')"
+)
+
 
 def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
@@ -40,6 +77,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # disabled before the scan: NTZ wall-clock reinterpreted in the
         # (UTC) session TZ — identical instants, oracle-comparable type.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "events":
+        # Bronze contract: non-finite measures are NULL (see module
+        # header). Identity on the driver fixtures.
+        df = df.withColumn(
+            "value",
+            F.when(
+                F.isnan("value") | F.col("value").isin(
+                    float("inf"), float("-inf")
+                ),
+                F.lit(None).cast("double"),
+            ).otherwise(F.col("value")),
+        )
+    elif name == "embeddings":
+        # Bronze contract: embedding components finite and |v|<=1e3.
+        df = df.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x: F.when(F.isnan(x), F.lit(0.0))
+                .otherwise(
+                    F.least(
+                        F.greatest(x, F.lit(-EMB_CLAMP)), F.lit(EMB_CLAMP)
+                    )
+                )
+                .cast("float"),
+            ),
+        )
     return df
 
 

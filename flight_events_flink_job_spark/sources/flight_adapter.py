@@ -23,12 +23,22 @@ Mapping (all arithmetic chosen to be engine-portable):
     origin         = 'O' || user_id % 8
     destination    = 'D' || event_id % 6
     scheduled_time = date_trunc('second', ts)
-    offset_sec     = trunc(value)*60 + event_id % 90 - 300   -- some negative
+    offset_sec     = trunc(v_norm)*60 + event_id % 90 - 300  -- some negative
     actual_time    = scheduled_time + offset_sec seconds
-    delayed        = value > 15.0
+    delayed        = v_norm > 15.0
     user_id        = 'U' || user_id
 Derived downstream by the engine (parse.py): is_delayed 0/1,
 delay_minutes = trunc(offset_sec / 60) toward zero.
+
+The mapping is TOTAL over adversarial inputs (round-5 hardening —
+identity on the benign driver fixtures):
+    domain    events with a timestamp; ts IS NULL rows are outside the
+              producer contract and filtered on BOTH sides (an event
+              without a time cannot carry flight times)
+    v_norm    NULL/NaN value -> 0.0 (no delay information);
+              +-Inf and huge magnitudes clamp to +-1e6 (a raw 1e15
+              would overflow the interval arithmetic's Decimal(18,6)
+              seconds on the Spark side and to_seconds on DuckDB's)
 """
 
 from __future__ import annotations
@@ -53,7 +63,10 @@ def flight_event_json(events: DataFrame, keep_event_id: bool = False) -> DataFra
     # many-split scans).
     from ..operators.util import spread
 
-    e = spread(events).select(
+    v_norm = F.when(
+        F.col("value").isNull() | F.isnan(F.col("value")), F.lit(0.0)
+    ).otherwise(F.least(F.greatest(F.col("value"), F.lit(-1e6)), F.lit(1e6)))
+    e = spread(events).filter(F.col("ts").isNotNull()).select(
         F.col("event_id"),
         F.concat(F.lit("F"), F.col("event_id").cast("string")).alias("flight_id"),
         F.concat(F.lit("FL"), (F.col("event_id") % 1000).cast("string")).alias(
@@ -66,9 +79,9 @@ def flight_event_json(events: DataFrame, keep_event_id: bool = False) -> DataFra
         ),
         F.date_trunc("second", F.col("ts")).alias("scheduled_time"),
         (
-            F.expr("CAST(value AS BIGINT)") * 60 + F.col("event_id") % 90 - 300
+            v_norm.cast("bigint") * 60 + F.col("event_id") % 90 - 300
         ).alias("offset_sec"),
-        (F.col("value") > 15.0).alias("delayed_bool"),
+        (v_norm > 15.0).alias("delayed_bool"),
         F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("user_id"),
     ).withColumn(
         "actual_time", F.expr("scheduled_time + make_dt_interval(0, 0, 0, offset_sec)")
@@ -148,14 +161,19 @@ flights AS (
         'D'  || CAST(event_id % 6 AS VARCHAR)      AS destination,
         date_trunc('second', ts)                   AS scheduled_time,
         date_trunc('second', ts)
-          + to_seconds(CAST(trunc(value) AS BIGINT) * 60
+          + to_seconds(CAST(trunc(v_norm) AS BIGINT) * 60
                        + event_id % 90 - 300)      AS actual_time,
-        CAST(value > 15.0 AS INTEGER)              AS is_delayed,
+        CAST(v_norm > 15.0 AS INTEGER)             AS is_delayed,
         'U'  || CAST(user_id AS VARCHAR)           AS user_id,
-        CAST(trunc((CAST(trunc(value) AS BIGINT) * 60
+        CAST(trunc((CAST(trunc(v_norm) AS BIGINT) * 60
                     + event_id % 90 - 300) / 60.0) AS BIGINT)
                                                    AS delay_minutes
-    FROM events
+    FROM (
+        SELECT *,
+               CASE WHEN value IS NULL OR isnan(value) THEN 0.0
+                    ELSE least(greatest(value, -1e6), 1e6) END AS v_norm
+        FROM events WHERE ts IS NOT NULL
+    )
 )
 """
 

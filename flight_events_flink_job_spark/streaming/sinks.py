@@ -100,16 +100,23 @@ def csv_roundtrip(df: DataFrame, path: str) -> DataFrame:
     microseconds; doubles round-trip via Spark's Ryu shortest-repr
     writer and exact reader. The read enforces ``df.schema`` so column
     types survive identically (a header-infer read would widen ints
-    and retype timestamps).
+    and retype timestamps). NULL and empty string are distinct values
+    that CSV cannot tell apart by default (both serialize to an empty
+    field, and the reader maps both back to NULL) — an explicit
+    ``nullValue`` sentinel on write AND read keeps an empty-string key
+    an empty-string key through the trip (round-5 adversarial sweep:
+    an '' group key silently merged into the NULL group without it).
     """
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    null_tok = "\\N"  # classic *nix dump sentinel, never a fixture value
     df.write.mode("overwrite").option("header", True).option(
         "timestampFormat", ts_fmt
-    ).csv(path)
+    ).option("nullValue", null_tok).csv(path)
     return (
         df.sparkSession.read.schema(df.schema)
         .option("header", True)
         .option("timestampFormat", ts_fmt)
+        .option("nullValue", null_tok)
         .csv(path)
     )
 

@@ -107,16 +107,27 @@ def main() -> int:
     from flight_events_flink_job_spark.plans import ORACLES, QUERIES
     from flight_events_flink_job_spark.schemas import FIXTURE_TABLES
     from flight_events_flink_job_spark.session import get_spark
+    from flight_events_flink_job_spark.sources.fixtures import (
+        EMBEDDINGS_VIEW_SQL,
+        EVENTS_VIEW_SQL,
+    )
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     spark = get_spark("parity")
     con = duckdb.connect()
+    # events/embeddings get the bronze-boundary sanitization the engine
+    # applies in load_table (identity on driver fixtures) so oracle and
+    # engine compare over the same declared input on adversarial data.
+    special = {"events": EVENTS_VIEW_SQL, "embeddings": EMBEDDINGS_VIEW_SQL}
     for t in FIXTURE_TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.exists(path):
-            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
+            body = special.get(t, "SELECT * FROM read_parquet('{path}')")
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS {body.format(path=path)}"
+            )
 
     failed = []
     for name, fn in QUERIES.items():
@@ -126,9 +137,13 @@ def main() -> int:
             n = QUERIES[name](spark, sf_dir).count()
             print(f"{name:32s} rows-only: {n} rows")
             continue
-        sdf = fn(spark, sf_dir)
-        rel = con.sql(ORACLES[name])
-        errors = compare(name, sdf, rel)
+        try:
+            sdf = fn(spark, sf_dir)
+            rel = con.sql(ORACLES[name])
+            errors = compare(name, sdf, rel)
+        except Exception as exc:  # keep sweeping — mirror the driver's
+            # per-query err column instead of aborting the whole run
+            errors = [f"ERR {type(exc).__name__}: {str(exc).splitlines()[0]}"]
         status = "OK" if not errors else "FAIL"
         print(f"{name:32s} {status}")
         for e in errors:

@@ -1,0 +1,173 @@
+"""Scaling-curve bench for the expensive dedup/ANN tier (VERDICT r4 #2).
+
+Generates deterministic fixtures at several scale factors with
+``sources/scalegen.py``, times each target query at every sf
+(1 warmup + 3 reps, median + MAD), counts the LSH / prefix-filter
+candidate pairs that bound the dedup joins, and fits a power-law
+exponent between consecutive scale points:
+
+    alpha = ln(t_hi / t_lo) / ln(rows_hi / rows_lo)
+
+alpha ~ 1 = linear in data; ~2 = quadratic (an all-pairs leak the
+plan-shape gates missed). Candidate-count exponents are reported
+separately from wall time because wall time at small sf carries fixed
+scheduling overhead that flattens the curve; candidate counts are the
+pure algorithmic signal.
+
+Usage:
+    python tools/scale_bench.py [--sfs 0.1,0.5,1.0] [--base /tmp/scalefix]
+Prints one JSON document; intended to be committed as
+bench/scale_curve_r{N}.json and summarized in BASELINE.md §4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TARGETS = [
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "neardup_components",
+    "pq_codes",
+    "pq_topk",
+    "regional_supplier_volume",
+]
+
+TABLES_NEEDED = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "documents",
+    "embeddings",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sfs", default="0.1,0.5,1.0")
+    ap.add_argument("--base", default="/tmp/scalefix")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+    sfs = [float(s) for s in args.sfs.split(",")]
+
+    os.environ.setdefault("TZ", "UTC")
+    time.tzset()
+    from flight_events_flink_job_spark.operators.dedup import (
+        exploded_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        prefix_filter_pairs,
+        simhash_near_pairs,
+    )
+    from flight_events_flink_job_spark.plans import QUERIES
+    from flight_events_flink_job_spark.session import get_spark
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+    from flight_events_flink_job_spark.sources.scalegen import gen_scale_tables
+
+    spark = get_spark("scale_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict = {"sfs": sfs, "points": {}}
+    for sf in sfs:
+        sf_dir = f"{args.base}/sf{sf}"
+        marker = f"{sf_dir}/.complete"
+        if not os.path.exists(marker):
+            t0 = time.perf_counter()
+            rows = gen_scale_tables(spark, sf_dir, sf, tables=TABLES_NEEDED)
+            open(marker, "w").write(json.dumps(rows))
+            print(
+                f"# generated sf{sf} in {time.perf_counter() - t0:.1f}s:"
+                f" {rows}",
+                file=sys.stderr,
+            )
+        rows = json.loads(open(marker).read())
+        point: dict = {"rows": rows, "queries": {}, "candidates": {}}
+
+        docs = load_table(spark, sf_dir, "documents")
+        point["candidates"]["lsh_minhash"] = lsh_candidate_pairs(
+            minhash_signatures(docs)
+        ).count()
+        point["candidates"]["prefix_filter"] = prefix_filter_pairs(
+            exploded_shingles(docs), 0.7
+        ).count()
+        point["candidates"]["simhash_blocked"] = simhash_near_pairs(
+            docs
+        ).count()
+
+        for name in TARGETS:
+            fn = QUERIES[name]
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ts = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            med = statistics.median(ts)
+            mad = statistics.median(abs(t - med) for t in ts)
+            point["queries"][name] = {
+                "sec": round(med, 3),
+                "mad": round(mad, 3),
+                "out_rows": fn(spark, sf_dir).count(),
+            }
+            print(
+                f"# sf{sf} {name}: {med:.2f}s (mad {mad:.3f})",
+                file=sys.stderr,
+            )
+        out["points"][str(sf)] = point
+
+    # fitted exponents between consecutive sf points, vs. the row count
+    # of each query's dominant input table
+    dominant = {
+        "dedup_near_minhash": "documents",
+        "dedup_ngram_jaccard": "documents",
+        "dedup_simhash": "documents",
+        "neardup_components": "documents",
+        "pq_codes": "embeddings",
+        "pq_topk": "embeddings",
+        "regional_supplier_volume": "lineitem",
+    }
+    exps: dict = {"queries": {}, "candidates": {}}
+    pairs = list(zip(sfs, sfs[1:]))
+    for name in TARGETS:
+        per = []
+        for lo, hi in pairs:
+            a, b = out["points"][str(lo)], out["points"][str(hi)]
+            t_a = a["queries"][name]["sec"]
+            t_b = b["queries"][name]["sec"]
+            n_a = a["rows"][dominant[name]]
+            n_b = b["rows"][dominant[name]]
+            per.append(
+                round(math.log(t_b / t_a) / math.log(n_b / n_a), 2)
+            )
+        exps["queries"][name] = per
+    for cname in ("lsh_minhash", "prefix_filter", "simhash_blocked"):
+        per = []
+        for lo, hi in pairs:
+            a, b = out["points"][str(lo)], out["points"][str(hi)]
+            c_a = max(a["candidates"][cname], 1)
+            c_b = max(b["candidates"][cname], 1)
+            n_a = a["rows"]["documents"]
+            n_b = b["rows"]["documents"]
+            per.append(
+                round(math.log(c_b / c_a) / math.log(n_b / n_a), 2)
+            )
+        exps["candidates"][cname] = per
+    out["exponents"] = exps
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
