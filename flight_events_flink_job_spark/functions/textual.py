@@ -97,19 +97,23 @@ def poly_hash(s: Column) -> Column:
 def poly_hash_arrow(s: Column) -> Column:
     """Arrow-vectorized twin of :func:`poly_hash` for hot paths: the
     fold ``(acc*31 + codepoint) % POLY_MOD`` runs column-at-a-time over
-    a padded codepoint matrix — identical integer math (the padded tail
-    is masked out), ~4x the Catalyst fold which is interpreted per
-    character. Corpus contract: ASCII (codepoint == byte). The DuckDB
-    twin is unchanged (same values as :func:`poly_hash`)."""
+    a padded CODEPOINT matrix (UTF-32-LE bytes viewed as uint32 — the
+    same codepoints Spark's ``ascii()`` and DuckDB's ``unicode()``
+    yield, so all three paths agree on any Unicode input; the round-5
+    adversarial sweep caught the previous ascii-encode version crashing
+    on non-ASCII text) — identical integer math (the padded tail is
+    masked out), ~4x the Catalyst fold which is interpreted per
+    character. The DuckDB twin is unchanged (same values as
+    :func:`poly_hash`)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("bigint")
     def _vec(col: pd.Series) -> pd.Series:
-        b = col.str.encode("ascii")
-        lens = b.str.len().to_numpy()
+        b = col.str.encode("utf-32-le")
+        lens = (b.str.len() // 4).to_numpy()
         width = int(lens.max()) if len(lens) else 0
-        padded = b"".join(x.ljust(width, b"\x00") for x in b)
-        arr = np.frombuffer(padded, dtype=np.uint8).reshape(len(b), width)
+        padded = b"".join(x.ljust(width * 4, b"\x00") for x in b)
+        arr = np.frombuffer(padded, dtype=np.uint32).reshape(len(b), width)
         acc = np.zeros(len(b), dtype=np.int64)
         for i in range(width):
             nxt = (acc * 31 + arr[:, i]) % POLY_MOD

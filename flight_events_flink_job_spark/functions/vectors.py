@@ -43,6 +43,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_safe(a: Column, b: Column) -> Column:
+    """:func:`cosine` with the zero-vector corner pinned: similarity to
+    a zero-norm vector is 0.0 (no direction, no similarity — the IR
+    convention). The unguarded ratio is 0/0, which raises under ANSI
+    mode; DuckDB's ``list_cosine_similarity`` returns -1.0 there, so
+    oracles must mirror this guard explicitly:
+    ``CASE WHEN list_dot_product(a,a) = 0 OR list_dot_product(b,b) = 0
+    THEN 0.0 ELSE list_cosine_similarity(a,b) END``."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
 def cosine_arrow(a: Column, b: Column) -> Column:
     """Arrow-vectorized twin of :func:`cosine` for bulk pair scoring.
 

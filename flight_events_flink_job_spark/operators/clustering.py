@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, to_double
+from ..functions.vectors import cosine_safe, to_double
 from .util import spread
 
 
@@ -221,7 +221,7 @@ def semdedup(
             (F.col("x.cid") == F.col("y.cid"))
             & (F.col("x.vec_id") != F.col("y.vec_id"))
             & precedence
-            & (cosine(F.col("x.v"), F.col("y.v")) >= F.lit(threshold)),
+            & (cosine_safe(F.col("x.v"), F.col("y.v")) >= F.lit(threshold)),
             "left_semi",
         )
         .select(F.col("x.vec_id").alias("vec_id"))

@@ -284,29 +284,12 @@ def doc_fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
     sharing a fingerprint are candidate near-dups — this is the cheap
     first-pass bucketing for incremental dedup at ingest.
     """
+    from ..functions.textual import poly_hash_arrow
     from .dedup import exploded_shingles
-
-    @pandas_udf("bigint")
-    def poly_hash_vec(s: pd.Series) -> pd.Series:
-        """Vectorized twin of functions/textual.py poly_hash: the fold
-        ``(acc*31 + codepoint) % POLY_MOD`` runs column-at-a-time over a
-        padded codepoint matrix — identical integer math (the padded
-        tail is masked out), ~4x the Catalyst fold which is interpreted
-        per character. Corpus contract: ASCII (codepoint == byte)."""
-        b = s.str.encode("ascii")
-        lens = b.str.len().to_numpy()
-        width = int(lens.max()) if len(lens) else 0
-        padded = b''.join(x.ljust(width, b"\x00") for x in b)
-        arr = np.frombuffer(padded, dtype=np.uint8).reshape(len(b), width)
-        acc = np.zeros(len(b), dtype=np.int64)
-        for i in range(width):
-            nxt = (acc * 31 + arr[:, i]) % POLY_MOD
-            acc = np.where(i < lens, nxt, acc)
-        return pd.Series(acc)
 
     return (
         exploded_shingles(docs, n)
-        .select("doc_id", poly_hash_vec("shingle").alias("h"))
+        .select("doc_id", poly_hash_arrow(F.col("shingle")).alias("h"))
         .groupBy("doc_id")
         .agg(
             F.min("h").alias("fingerprint"),

@@ -32,20 +32,33 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
     # Exact mean: double `avg` is summation-order-dependent, so two
     # engines disagree in the last ulps and a 4-dp round flips on
-    # boundary values. Summing in DECIMAL is exact and associative;
-    # the single double division + round afterwards is deterministic.
+    # boundary values. Summing in DECIMAL is exact and associative.
+    # The 4-dp round itself runs in INTEGER arithmetic (half-up,
+    # away-from-zero on the scaled sum) because round(double, 4) is
+    # engine-specific at exact .xxxx5 boundaries — which identical
+    # clamped inputs (bronze contract) produce (round-5 adversarial):
+    #   q = round_half_up(S / n at 1e-4) computed on T = S*1e10 (exact
+    #   BIGINT — decimal(20,10) * 10^10 keeps precision 32 < 38) as
+    #   (2|T| + n*1e6) DIV (2*n*1e6), re-signed; centroid = q / 1e4
+    # (q <= 1e7, so the final double division is exact-and-agreed).
+    # `+ 0.0` folds IEEE negative zero to +0.0.
     sum_dec = F.sum(F.col("x").cast("decimal(20,10)"))
-    return (
-        exploded.groupBy("label", (F.col("dim0") + 1).alias("dim"))
-        .agg(
-            # `+ 0.0` folds IEEE negative zero to +0.0 (round(-1e-9, 4)
-            # stringifies as "-0.0" in one engine and "0.0" in the other).
-            (F.round(sum_dec.cast("double") / F.count("*"), ROUND_DP) + F.lit(0.0)).alias(
-                "centroid"
-            ),
-            F.count("*").alias("n_vectors"),
-        )
-        .select("label", F.col("dim").cast("int").alias("dim"), "centroid", "n_vectors")
+    g = exploded.groupBy("label", (F.col("dim0") + 1).alias("dim")).agg(
+        sum_dec.alias("s"), F.count("*").alias("n_vectors")
+    )
+    half_up = (
+        "CAST(CASE WHEN s >= 0"
+        " THEN (2 * CAST(s * CAST(10000000000 AS DECIMAL(11,0)) AS BIGINT)"
+        "       + n_vectors * 1000000) DIV (2 * n_vectors * 1000000)"
+        " ELSE -((2 * CAST((-s) * CAST(10000000000 AS DECIMAL(11,0)) AS BIGINT)"
+        "       + n_vectors * 1000000) DIV (2 * n_vectors * 1000000))"
+        " END AS DOUBLE) / 10000.0 + 0.0"
+    )
+    return g.select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        F.expr(half_up).alias("centroid"),
+        "n_vectors",
     )
 
 
@@ -85,6 +98,11 @@ def event_value_quantiles_sketch_checked(
     )
     sketch = events.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
+        # the sketch sees only non-NULL measures, so the rank bracket
+        # must target p * count(value), NOT p * count(*) — with NULLs
+        # present the inflated target walks out of the sketch's rank
+        # tolerance and every verdict goes false (round-5 adversarial)
+        F.count("value").alias("_n_valid"),
         F.element_at(q, 1).alias("_p50"),
         F.element_at(q, 2).alias("_p95"),
         F.element_at(q, 3).alias("_p99"),
@@ -95,7 +113,7 @@ def event_value_quantiles_sketch_checked(
 
     def ok(col: str, p: float):
         v = F.col(col)
-        n = F.col("n_events").cast("double")
+        n = F.col("_n_valid").cast("double")
         # ranks occupied by the returned element: (lt, le]; the target
         # rank p*n must fall within tolerance of that interval
         lt = F.sum((F.col("value") < v).cast("long")).cast("double")
@@ -105,7 +123,9 @@ def event_value_quantiles_sketch_checked(
         return (lt <= target + tol) & (le >= target - tol)
 
     return (
-        joined.groupBy("event_type", "n_events", "_p50", "_p95", "_p99")
+        joined.groupBy(
+            "event_type", "n_events", "_n_valid", "_p50", "_p95", "_p99"
+        )
         .agg(
             ok("_p50", 0.5).alias("p50_ok"),
             ok("_p95", 0.95).alias("p95_ok"),
@@ -185,11 +205,20 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     float64 after an explicit float32->float64 widening. Narrow
     per-row projection, no shuffle; the quantized array is BIGINT only
     for oracle-type portability (an int8 cast is a storage detail).
+
+    The all-zero vector has max|x| = 0: it quantizes to all zeros at
+    scale 0 by definition (guarded — an unguarded x/scale is 0/0,
+    which raises under ANSI mode; round-5 adversarial sweep).
     """
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     maxabs = F.array_max(F.transform(v, F.abs))
     scale = maxabs / F.lit(127.0)
-    q = F.transform(v, lambda x: F.floor(x / scale))
+    q = F.transform(
+        v,
+        lambda x: F.when(maxabs == 0.0, F.lit(0).cast("bigint")).otherwise(
+            F.floor(x / scale)
+        ),
+    )
     return embeddings.select(
         "vec_id",
         "label",
@@ -233,9 +262,13 @@ def label_centroid_similarity(embeddings: DataFrame) -> DataFrame:
     cos = F.col("dot").cast("double") / (
         F.sqrt(F.col("s1").cast("double")) * F.sqrt(F.col("s2").cast("double"))
     )
-    return pairs.select(
-        "l1", "l2", (F.round(cos, ROUND_DP) + F.lit(0.0)).alias("cosine")
-    )
+    # UNROUNDED at the edge: the decimal sums are identical on both
+    # engines and the divide/sqrt sequence is IEEE-deterministic, so
+    # the raw double is bit-equal cross-engine — while round(double, 4)
+    # is NOT (Spark rounds the exact BigDecimal of the double, DuckDB
+    # multiplies-and-nearbyints; a cos landing on a .xxxx5 boundary
+    # flips between them — round-5 adversarial sweep).
+    return pairs.select("l1", "l2", (cos + F.lit(0.0)).alias("cosine"))
 
 
 def value_anomalies(events: DataFrame, z_cut: float = 3.0) -> DataFrame:

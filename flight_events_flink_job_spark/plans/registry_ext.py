@@ -76,6 +76,40 @@ from ..operators.vectors_agg import (
 from ..sources.fixtures import load_table
 from .registry import register
 
+# DuckDB fragment: UTF-8 byte values of `text` as a BIGINT list.
+# DuckDB exposes no direct blob-byte accessor, so bytes come from
+# hex(encode(text)) — expects `hex(encode(text)) AS hx` in scope.
+# The multimodal oracles replay BYTE math (the Spark side operates on
+# the binary payload), and the previous codepoint shortcut
+# (unicode(text[i])) diverges from bytes the moment text leaves ASCII
+# (round-5 adversarial sweep).
+UTF8_BYTES = (
+    "list_transform(range(1, len(hx)//2 + 1), i -> "
+    "CAST((strpos('0123456789ABCDEF', hx[CAST(2*i-1 AS INTEGER)]) - 1) * 16"
+    " + (strpos('0123456789ABCDEF', hx[CAST(2*i AS INTEGER)]) - 1)"
+    " AS BIGINT))"
+)
+
+# DuckDB fragment: exact half-up 4dp mean of a DECIMAL(20,10) sum `s`
+# over count `n`, computed in integer arithmetic (round(double, 4) is
+# engine-specific at exact .xxxx5 boundaries). Twin of the Spark
+# expression in operators/vectors_agg.label_centroids.
+# NB: DuckDB's sum(DECIMAL) is DECIMAL(38,10); multiplying THAT by a
+# BIGINT overflows the 38-digit cap and silently promotes to DOUBLE,
+# defeating the exactness — so the sum is first narrowed to (26,10)
+# (ample for this domain) and the shift factor typed DECIMAL(11,0):
+# 26+11=37 <= 38 keeps the product exact.
+_CENTROID_HALF_UP = (
+    "CAST(CASE WHEN s >= 0"
+    " THEN (2 * CAST(CAST(s AS DECIMAL(26,10))"
+    "              * CAST(10000000000 AS DECIMAL(11,0)) AS HUGEINT)"
+    "       + n * 1000000) // (2 * n * 1000000)"
+    " ELSE -((2 * CAST(CAST(-s AS DECIMAL(26,10))"
+    "              * CAST(10000000000 AS DECIMAL(11,0)) AS HUGEINT)"
+    "       + n * 1000000) // (2 * n * 1000000))"
+    " END AS DOUBLE) / 10000.0 + 0.0"
+)
+
 # DuckDB prelude: distinct word-trigram shingle sets per document
 # (1-based list indexing). The Spark twin is functions/textual.py
 # word_shingles — keep in lockstep.
@@ -456,12 +490,10 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unicode(text[i])); sample i = b[2i] | b[2i+1] << 8 sign-corrected
     # to int16 (dead branch on ASCII data but implemented identically);
     # RMS = sqrt(exact integer sum / n) — unrounded deterministic IEEE.
-    oracle="""
+    oracle=f"""
     WITH b AS (
-      SELECT doc_id,
-             [CAST(unicode(text[i]) AS BIGINT)
-              for i in range(1, len(text)+1)] AS bytes
-      FROM documents
+      SELECT doc_id, {UTF8_BYTES} AS bytes
+      FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
     ),
     s AS (
       SELECT doc_id, len(bytes) // 2 AS n, bytes
@@ -761,7 +793,10 @@ def _semdedup_oracle(
         FROM {a} x JOIN {a} y
           ON x.cid = y.cid AND x.vec_id != y.vec_id
          AND (y.d2 > x.d2 OR (y.d2 = x.d2 AND y.vec_id < x.vec_id))
-         AND list_cosine_similarity(x.v, y.v) >= {threshold})""")
+         AND (CASE WHEN list_dot_product(x.v, x.v) = 0
+                     OR list_dot_product(y.v, y.v) = 0 THEN 0.0
+                   ELSE list_cosine_similarity(x.v, y.v) END)
+             >= {threshold})""")
     joined = ",\n    ".join(ctes)
     return f"""
     WITH {joined}
@@ -1025,15 +1060,21 @@ def q_tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "label_centroids",
-    oracle="""
+    # integer half-up mean at 4dp — keep in lockstep with the Spark
+    # side (operators/vectors_agg.label_centroids docstring)
+    oracle=f"""
+    WITH g AS (
+        SELECT label, dim, sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(20, 10))) AS s,
+               count(*) AS n
+        FROM (SELECT label, unnest(embedding) AS x,
+                     unnest(range(1, len(embedding) + 1)) AS dim
+              FROM embeddings)
+        GROUP BY label, dim
+    )
     SELECT label, CAST(dim AS INT) AS dim,
-           round(CAST(sum(CAST(x AS DECIMAL(20, 10))) AS DOUBLE) / count(*), 4)
-               + 0.0 AS centroid,
-           count(*) AS n_vectors
-    FROM (SELECT label, unnest(embedding) AS x,
-                 unnest(range(1, len(embedding) + 1)) AS dim
-          FROM embeddings)
-    GROUP BY label, dim
+           {_CENTROID_HALF_UP} AS centroid,
+           n AS n_vectors
+    FROM g
     """,
 )
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1083,45 +1124,45 @@ def q_props_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle="""
+    oracle=f"""
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
     SELECT doc_id, 'text/plain' AS mime,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           list_reduce(list_prepend(CAST(0 AS BIGINT),
-               [CAST(unicode(text[i]) AS BIGINT)
-                for i in range(1, len(text)+1)]),
+           CAST(len(hx)//2 AS BIGINT) AS byte_len,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), {UTF8_BYTES}),
                (a, c) -> a + c) % 997 AS checksum,
-           lower(hex(encode(substring(text, 1, 4)))) AS head_hex
-    FROM documents
+           lower(substring(hx, 1, 8)) AS head_hex
+    FROM b
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through the real mapInPandas
     plumbing (operators/multimodal.py); features are byte-deterministic
-    so even the Python path is value-oracle-checked. The oracle works on
-    codepoints == bytes because the corpus is ASCII."""
+    so even the Python path is value-oracle-checked. The oracle replays
+    true UTF-8 BYTES (head_hex may split a multi-byte character — so
+    does the engine, which slices the payload)."""
     return multimodal_features(_docs(spark, sf_dir))
 
 
 @register(
     "multimodal_frame_sample",
-    oracle="""
-    WITH fr AS (
-        SELECT doc_id, text,
-               unnest([x for x in range(0,
-                   CAST(floor(length(text) / 64) AS INT)) if x % 4 = 0])
-               AS frame_idx
-        FROM documents
+    oracle=f"""
+    WITH bl AS (
+        SELECT doc_id, {UTF8_BYTES} AS bytes
+        FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
     ),
-    sub AS (
-        SELECT doc_id, frame_idx,
-               substring(text, frame_idx * 64 + 1, 64) AS s
-        FROM fr
+    fr AS (
+        SELECT doc_id, bytes,
+               unnest([x for x in range(0,
+                   CAST(len(bytes) // 64 AS INT)) if x % 4 = 0])
+               AS frame_idx
+        FROM bl
     )
     SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
            list_reduce(list_prepend(CAST(0 AS BIGINT),
-               [CAST(unicode(s[i]) AS BIGINT) for i in range(1, len(s)+1)]),
+               bytes[CAST(frame_idx*64 + 1 AS INTEGER)
+                     : CAST(frame_idx*64 + 64 AS INTEGER)]),
                (a, c) -> a + c) % 997 AS frame_checksum
-    FROM sub
+    FROM fr
     """,
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,12 +1191,10 @@ def _join_array(col: str) -> "F.Column":
     # bh = h // 2); mean_pixel over the block-truncated 2*bh x 8 image.
     # Integer sums + one double division are association-free, so the
     # replay is value-exact.
-    oracle="""
+    oracle=f"""
     WITH b AS (
-      SELECT doc_id,
-             [CAST(unicode(text[i]) AS BIGINT)
-              for i in range(1, len(text)+1)] AS bytes
-      FROM documents
+      SELECT doc_id, {UTF8_BYTES} AS bytes
+      FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
     ),
     calc AS (
       SELECT doc_id, bytes, len(bytes) // 8 AS h, (len(bytes) // 8) // 2 AS bh
@@ -1214,11 +1253,15 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, label,
            round(raw_scale, 6) AS scale,
            array_to_string(list_transform(v,
-               x -> CAST(CAST(floor(x / raw_scale) AS BIGINT) AS VARCHAR)),
+               x -> CAST(CAST(CASE WHEN raw_scale = 0 THEN 0
+                              ELSE floor(x / raw_scale) END AS BIGINT)
+                         AS VARCHAR)),
                ',') AS q_vec,
            CAST(list_reduce(
                list_prepend(CAST(0 AS BIGINT),
-                   list_transform(v, x -> CAST(abs(floor(x / raw_scale)) AS BIGINT))),
+                   list_transform(v, x -> CAST(abs(
+                       CASE WHEN raw_scale = 0 THEN 0
+                            ELSE floor(x / raw_scale) END) AS BIGINT))),
                (a, b) -> a + b) AS BIGINT) AS q_l1
     FROM s
     """,
@@ -1355,15 +1398,19 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "label_centroid_similarity",
-    oracle="""
-    WITH c AS (
-        SELECT label, CAST(dim AS INT) AS dim,
-               round(CAST(sum(CAST(x AS DECIMAL(20, 10))) AS DOUBLE)
-                     / count(*), 4) + 0.0 AS centroid
+    oracle=f"""
+    WITH g AS (
+        SELECT label, dim, sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(20, 10))) AS s,
+               count(*) AS n
         FROM (SELECT label, unnest(embedding) AS x,
                      unnest(range(1, len(embedding) + 1)) AS dim
               FROM embeddings)
         GROUP BY label, dim
+    ),
+    c AS (
+        SELECT label, CAST(dim AS INT) AS dim,
+               {_CENTROID_HALF_UP} AS centroid
+        FROM g
     ),
     pairs AS (
         SELECT a.label AS l1, b.label AS l2,
@@ -1374,8 +1421,8 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.label, b.label
     )
     SELECT l1, l2,
-           round(CAST(dot AS DOUBLE)
-                 / (sqrt(CAST(s1 AS DOUBLE)) * sqrt(CAST(s2 AS DOUBLE))), 4)
+           CAST(dot AS DOUBLE)
+               / (sqrt(CAST(s1 AS DOUBLE)) * sqrt(CAST(s2 AS DOUBLE)))
                + 0.0 AS cosine
     FROM pairs
     """,
@@ -1662,20 +1709,23 @@ def q_props_variant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_image_dhash",
-    oracle="""
-    WITH dims AS (
-        SELECT doc_id, text,
-               len(text) // 9 AS h,
-               (len(text) // 9) // 8 AS bh
-        FROM documents
-        WHERE len(text) // 9 >= 8
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {UTF8_BYTES} AS bytes
+        FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+    ),
+    dims AS (
+        SELECT doc_id, bytes,
+               len(bytes) // 9 AS h,
+               (len(bytes) // 9) // 8 AS bh
+        FROM raw
+        WHERE len(bytes) // 9 >= 8
     ),
     grids AS (
         SELECT doc_id, CAST(h AS INTEGER) AS height,
                flatten([[
                    list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       [CAST(unicode(text[CAST((r*bh + i - 1)*9 + c + 1
-                                               AS INTEGER)]) AS BIGINT)
+                       [bytes[CAST((r*bh + i - 1)*9 + c + 1 AS INTEGER)]
                         for i in range(1, CAST(bh AS INTEGER) + 1)]),
                        (a, x) -> a + x) // bh
                    for c in range(0, 9)] for r in range(0, 8)]) AS g

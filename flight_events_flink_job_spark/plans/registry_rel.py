@@ -118,7 +118,9 @@ def q_airline_stats_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        -- an event without a time cannot be sessionized; Spark's
+        -- session_window drops NULL timestamps, so the oracle must too
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     islands AS (
@@ -272,8 +274,17 @@ def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.user_id, e.ts,
            o.o_orderkey, o.o_orderdate,
            round(o.o_totalprice, 4) AS o_totalprice
-    FROM events e
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
     ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    UNION ALL
+    -- a NULL probe time matches nothing ("most recent order at or
+    -- before <no time>" is undefined); DuckDB's ASOF would instead
+    -- treat NULL as +inf and match the LAST order, so the null slice
+    -- is carried around the ASOF explicitly
+    SELECT event_id, user_id, ts,
+           NULL AS o_orderkey, NULL AS o_orderdate,
+           CAST(NULL AS DOUBLE) AS o_totalprice
+    FROM events WHERE ts IS NULL
     """,
 )
 def q_orders_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,18 +887,19 @@ def q_error_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return error_rate_windows(_events(spark, sf_dir))
 
 
-def _pagerank_oracle(
-    damping: str = "0.85", iterations: int = 3, n_nodes: int = 5
-) -> str:
+def _pagerank_oracle(damping: str = "0.85", iterations: int = 3) -> str:
     """Twin of operators/relational.event_pagerank: probabilities are
     quantized once to DECIMAL(9,8); every iteration is exact decimal
     arithmetic re-quantized to 10dp — bit-identical on both engines
-    (no double until the final edge cast). n_nodes must match the
-    fixture's event-type count (asserted by the Spark side's count)."""
+    (no double until the final edge cast). The node count — hence the
+    1/N base rank — is DERIVED from the data, exactly like the Spark
+    side (round-5: the old hardcoded n_nodes=5 broke on any corpus
+    whose event-type count differs from the benign fixture's):
+    base = (10^10 // N) * 10^-10, the same round-down quantization as
+    Decimal(1).scaleb(-10) * (10**10 // n)."""
     from decimal import Decimal
 
-    base = str(Decimal(1).scaleb(-10) * (10**10 // n_nodes))
-    offset = str((1 - Decimal(damping)) * Decimal(base))
+    one_minus_d = str(1 - Decimal(damping))
     ctes = [
         """lagged AS (
         SELECT lag(event_type) OVER (
@@ -903,7 +915,11 @@ def _pagerank_oracle(
                              AS DECIMAL(9,8)) AS p
                  FROM edges e JOIN outdeg o ON e.src = o.src)""",
         """nodes AS (SELECT DISTINCT event_type AS node FROM events)""",
-        f"""r0 AS (SELECT node, CAST('{base}' AS DECIMAL(12,10)) AS r
+        """quant AS (SELECT CAST(CAST(10000000000 // count(*) AS DECIMAL(12,0))
+                          * CAST('0.0000000001' AS DECIMAL(12,10))
+                          AS DECIMAL(12,10)) AS base
+                     FROM nodes)""",
+        f"""r0 AS (SELECT node, (SELECT base FROM quant) AS r
                    FROM nodes)""",
     ]
     for i in range(1, iterations + 1):
@@ -914,7 +930,9 @@ def _pagerank_oracle(
             SELECT node, sum(x) AS s FROM c{i} GROUP BY node)""")
         ctes.append(f"""r{i} AS (
             SELECT n.node,
-                   CAST(round(CAST('{offset}' AS DECIMAL(14,12))
+                   CAST(round(CAST(CAST('{one_minus_d}' AS DECIMAL(3,2))
+                                   * (SELECT base FROM quant)
+                                   AS DECIMAL(14,12))
                               + CAST('{damping}' AS DECIMAL(3,2))
                               * COALESCE(s.s, CAST(0 AS DECIMAL(30,18))),
                               10) AS DECIMAL(12,10)) AS r

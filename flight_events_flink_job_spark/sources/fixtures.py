@@ -25,10 +25,20 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 # can reconcile (DuckDB CASTs of NaN raise, Spark's NaN orders
 # greatest, both skip NULL); +-Inf is the same poison one step later.
 # So the engine declares what every serious lakehouse declares at its
-# bronze->silver step: NON-FINITE MEASURES ARE NULL, and embedding
-# components are finite and bounded (|v| <= 1e3 — far above any real
-# normalized embedding, small enough that the decimal-exact d2/mean
-# aggregations keep integer-digit headroom at fleet row counts).
+# bronze->silver step: ROWS WITHOUT EVENT TIME ARE DROPPED (event time
+# is this engine's primary dimension — every window, session, lag
+# sequence, and watermark keys on it, and engines disagree on where a
+# NULL sorts in a window ORDER BY: Spark ASC is NULLS FIRST, DuckDB
+# NULLS LAST, so no ts-ordered query can hash-agree with untimed rows
+# present); MEASURES OUTSIDE THE DECLARED DOMAIN ARE NULL —
+# non-finite, or |value| > 1e9 (sensor garbage; also the bound past
+# which DuckDB's decimal->double edge cast double-rounds through
+# int128/10^scale and can land one ulp away from the correctly-rounded
+# conversion Java produces, so no aggregate of the two engines can
+# hash-agree above it) — and embedding components are finite and
+# bounded (|v| <= 1e3 — far above any real normalized embedding, small
+# enough that the decimal-exact d2/mean aggregations keep
+# integer-digit headroom at fleet row counts).
 #
 # Both sanitizers are IDENTITY on the driver fixtures (finite by
 # construction); tools/parity.py applies the same contract to its
@@ -41,10 +51,13 @@ EMB_CLAMP = 1000.0
 
 # DuckDB twins of the Spark-side sanitization in load_table — keep in
 # lockstep (they are one contract expressed twice).
+VALUE_CLAMP = 1e9
+
 EVENTS_VIEW_SQL = (
     "SELECT event_id, ts, user_id, event_type, "
-    "CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END "
-    "AS value, props FROM read_parquet('{path}')"
+    "CASE WHEN isnan(value) OR isinf(value) "
+    f"       OR abs(value) > {VALUE_CLAMP} THEN NULL ELSE value END "
+    "AS value, props FROM read_parquet('{path}') WHERE ts IS NOT NULL"
 )
 EMBEDDINGS_VIEW_SQL = (
     "SELECT vec_id, "
@@ -78,14 +91,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (UTC) session TZ — identical instants, oracle-comparable type.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if name == "events":
-        # Bronze contract: non-finite measures are NULL (see module
-        # header). Identity on the driver fixtures.
-        df = df.withColumn(
+        # Bronze contract: untimed rows dropped, out-of-domain measures
+        # NULL (see module header). Identity on the driver fixtures.
+        df = df.filter(F.col("ts").isNotNull()).withColumn(
             "value",
             F.when(
-                F.isnan("value") | F.col("value").isin(
-                    float("inf"), float("-inf")
-                ),
+                F.isnan("value") | (F.abs("value") > VALUE_CLAMP),
                 F.lit(None).cast("double"),
             ).otherwise(F.col("value")),
         )
