@@ -82,18 +82,47 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Smoke mode (tools/verify.sh gate 4): only the 6-query
+    # reference-parity core — proves the harness runs end-to-end
+    # without paying the full-surface bench.
+    smoke_core = {
+        "flights_raw",
+        "delay_notifications",
+        "airline_delay_stats",
+        "route_delay_stats",
+        "hourly_delay_stats",
+        "rejected_rows",
+    }
+    smoke = bool(os.environ.get("SPARK_GRAFT_BENCH_SMOKE"))
+
     spark = get_spark("bench")
     timings: dict[str, float] = {}
     mads: dict[str, float] = {}
     for name, fn in QUERIES.items():
         if name in BENCH_SKIP:
             continue  # streaming round trips time tempdir IO, not the engine
+        if smoke and name not in smoke_core:
+            continue
         timings[name], mads[name] = _time(lambda: fn(spark, sf_dir))
 
     # Adapter-cost separation: write the parsed flights table once,
     # then time the three window aggregates over the parquet directly.
     mat: dict[str, float] = {}
     tmp = tempfile.mkdtemp(prefix="bench_flights_")
+    if smoke:
+        shutil.rmtree(tmp, ignore_errors=True)
+        print(
+            json.dumps(
+                {
+                    "metric": "smoke_core_sec",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                }
+            )
+        )
+        return 0
     try:
         flights_from_events(spark, sf_dir).write.mode("overwrite").parquet(tmp)
         flights = spark.read.parquet(tmp)

@@ -1,11 +1,36 @@
 #!/usr/bin/env bash
-# Pre-bench verification gate (round-3 VERDICT item 6): run BEFORE
-# recording any bench numbers so value regressions are caught in-round.
-#   1. full pytest suite
-#   2. full registry parity sweep vs the DuckDB oracles at sf0.01
-# Usage: tools/verify.sh [sf_dir]
+# ONE-COMMAND VERIFICATION ENTRY (round-4 VERDICT item 4).
+#
+# Runs every correctness and plan-shape gate the repo has, in the
+# order that fails fastest:
+#   1. full pytest suite (578 tests incl. plan gates, property tests,
+#      streaming batch/stream parity, adversarial regressions; ~10 min)
+#   2. full 136-query registry parity sweep vs the DuckDB oracles at
+#      sf0.01 — the same comparison the grading driver runs (~8 min)
+#   3. adversarial-fixture parity sweep (generates the slice under
+#      /tmp, then the same 136-query differential over it; ~8 min)
+#   4. bench smoke: one run of the reference-parity core at sf0.01 to
+#      prove the bench harness itself is healthy (~1 min)
+#
+# Expected wall time ~25-30 min on local[32]. Usage:
+#   tools/verify.sh [sf_dir]        # default /root/testdata/sf0.01
+# Committed clean-run log: tools/verify_r5.log
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF_DIR="${1:-/root/testdata/sf0.01}"
+
+echo "== [1/4] pytest =="
 python -m pytest tests/ -q
+
+echo "== [2/4] oracle parity sweep (${SF_DIR}) =="
 python tools/parity.py "$SF_DIR"
+
+echo "== [3/4] adversarial oracle parity sweep =="
+ADV_DIR="${ADV_DIR:-/tmp/advfix_verify}"
+python tools/gen_adversarial.py "$ADV_DIR"
+python tools/parity.py "$ADV_DIR"
+
+echo "== [4/4] bench smoke (parity core at sf0.01) =="
+SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_BENCH_SMOKE=1 python bench.py
+
+echo "VERIFY: ALL GATES GREEN"
