@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_safe, to_double
+from ..functions.vectors import to_double
 from .util import spread
 
 
@@ -211,9 +211,22 @@ def semdedup(
     assigned = kmeans_assign(
         embeddings, k=k, iterations=iterations, stride=stride
     ).persist()
-    x, y = assigned.alias("x"), assigned.alias("y")
+    # Norms are computed ONCE PER ROW before the pair join — inside the
+    # join predicate they would be recomputed per candidate PAIR (and
+    # the zero-norm guard would evaluate the denominator twice). The
+    # guarded ratio keeps the exact op sequence of
+    # functions.vectors.cosine / DuckDB list_cosine_similarity:
+    # dot / (sqrt(nx) * sqrt(ny)), zero-norm pairs scoring 0.0.
+    from ..functions.vectors import dot, l2_norm
+
+    withn = assigned.withColumn("nrm", l2_norm(F.col("v")))
+    x, y = withn.alias("x"), withn.alias("y")
     precedence = (F.col("y.d2") > F.col("x.d2")) | (
         (F.col("y.d2") == F.col("x.d2")) & (F.col("y.vec_id") < F.col("x.vec_id"))
+    )
+    denom = F.col("x.nrm") * F.col("y.nrm")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot(F.col("x.v"), F.col("y.v")) / denom
     )
     dropped = (
         x.join(
@@ -221,7 +234,7 @@ def semdedup(
             (F.col("x.cid") == F.col("y.cid"))
             & (F.col("x.vec_id") != F.col("y.vec_id"))
             & precedence
-            & (cosine_safe(F.col("x.v"), F.col("y.v")) >= F.lit(threshold)),
+            & (cos >= F.lit(threshold)),
             "left_semi",
         )
         .select(F.col("x.vec_id").alias("vec_id"))
