@@ -290,3 +290,105 @@ def test_incremental_dedup_admits_exactly_fresh_keys(spark, old_texts, new_texts
             1000 + i for i, t in enumerate(new_texts) if key(t) == k
         )
         assert r.doc_id == first
+
+
+# ---------------------------------------------------------------------------
+# Portable poly hash: Catalyst fold == Arrow twin == Python reference,
+# over arbitrary Unicode (the Arrow path used to be ASCII-only and
+# crashed on anything else — round-5 adversarial sweep)
+# ---------------------------------------------------------------------------
+
+_uni_strings = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)  # no lone surrogates
+        ),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _reference_poly_hash(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % 1_000_000_007
+    return acc
+
+
+@given(strings=_uni_strings)
+@settings(**PROP_SETTINGS)
+def test_poly_hash_paths_agree_on_unicode(spark, strings):
+    from pyspark.sql import functions as F
+
+    from flight_events_flink_job_spark.functions.textual import (
+        poly_hash,
+        poly_hash_arrow,
+    )
+
+    df = spark.createDataFrame([(s,) for s in strings], "s STRING")
+    got = df.select(
+        "s",
+        poly_hash(F.col("s")).alias("slow"),
+        poly_hash_arrow(F.col("s")).alias("fast"),
+    ).collect()
+    for r in got:
+        expect = _reference_poly_hash(r.s)
+        assert r.slow == expect, (r.s, r.slow, expect)
+        assert r.fast == expect, (r.s, r.fast, expect)
+
+
+# ---------------------------------------------------------------------------
+# Integer half-up centroid mean == Python Decimal reference
+# (round(double, 4) is engine-specific at .xxxx5 boundaries; the
+# integer path in label_centroids must equal decimal HALF_UP exactly)
+# ---------------------------------------------------------------------------
+
+_vec_lists = st.lists(
+    st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-1000.0,
+                max_value=1000.0,
+                allow_nan=False,
+                width=32,
+            ),
+            st.sampled_from([0.00005, -0.00005, 1000.0, -1000.0, 0.0]),
+        ),
+        min_size=2,
+        max_size=2,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(vecs=_vec_lists)
+@settings(**PROP_SETTINGS)
+def test_label_centroid_mean_matches_decimal_half_up(spark, vecs):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from flight_events_flink_job_spark.operators.vectors_agg import (
+        label_centroids,
+    )
+
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    embs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    got = {r.dim: r.centroid for r in label_centroids(embs).collect()}
+    import numpy as np
+
+    for dim in (1, 2):
+        vals = [np.float32(v[dim - 1]) for v in vecs]
+        s = sum(
+            Decimal(repr(float(x))).quantize(
+                Decimal("1.0000000000"), rounding=ROUND_HALF_UP
+            )
+            for x in vals
+        )
+        expect = float(
+            (s / len(vals)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+        assert abs(got[dim] - expect) < 1e-12, (dim, got[dim], expect, s)
