@@ -45,6 +45,14 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 # DuckDB views (EVENTS_VIEW_SQL / EMBEDDINGS_VIEW_SQL below) so the
 # oracle differential compares engine and oracle over the same
 # declared input on adversarial fixtures too.
+#
+# 100 TB note: the value CASE sits between downstream value predicates
+# and the parquet scan, so those predicates no longer push down to row
+# groups on THIS read path. At fleet scale the contract runs ONCE at
+# bronze->silver materialization and every query scans the sanitized
+# silver table with full pushdown; applying it at load here mirrors
+# that boundary in a fixture world with no silver copy. (ts IS NOT
+# NULL is applied before any projection and still pushes down.)
 # ---------------------------------------------------------------------------
 
 EMB_CLAMP = 1000.0
