@@ -340,31 +340,111 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.expr(_SIMHASH).alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+# Combination-blocking config for the default radius: 6 blocks of 10
+# bits, candidates keyed on every C(6,3)=20 three-block concatenation.
+# Completeness (pigeonhole): <= 3 damaged bits touch <= 3 blocks, so
+# some 3-subset of blocks is clean on both sides and that combo's
+# 30-bit key matches. Why it exists: the classic (r+1)-block join's
+# 15-bit block keys hit an accidental-collision floor of ~N^2 / 2^15
+# pairs — MEASURED super-linear at the sf2.0 scale point (pre-filter
+# pair stream 1.12M -> 4.19M for 2x docs; the combo keys measured
+# 420k -> 807k, linear, BASELINE.md §4e) — while 30-bit combo keys
+# push that floor out to N ~ 2^30 at the price of 20 rows per doc
+# instead of 4. That price makes the combo scheme SLOWER below the
+# crossover (sf0.1, 5k docs: 4.6 s vs 2.7 s measured), so the scheme
+# is chosen by corpus size; both schemes are complete, so the result
+# set is identical either way.
+SIMHASH_COMBO_BLOCKS = 6
+SIMHASH_COMBO_PICK = 3
+SIMHASH_COMBO_MIN_DOCS = 500_000
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, scheme: str = "auto"
+) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
-    COMPLETE via the pigeonhole block trick: the 60-bit fingerprint is
-    split into ``max_hamming + 1`` blocks; any pair within the Hamming
-    radius must agree exactly on at least one block, so candidates come
-    from an equi-join on (block index, block value) — no cross join.
+    COMPLETE via pigeonhole blocking, in one of two schemes:
+    - ``combo`` (radius 3 only): combination blocking — 6 blocks x 10
+      bits, equi-join on all 20 three-block combination keys; linear
+      candidate stream to N ~ 2^30 (see SIMHASH_COMBO_BLOCKS above).
+    - ``classic``: the ``max_hamming + 1`` single-block join (any pair
+      within the radius agrees exactly on >= 1 block); cheaper per doc
+      but with an N^2/2^block_bits collision floor.
+    ``auto`` picks combo above SIMHASH_COMBO_MIN_DOCS documents (one
+    metadata-cheap count — the same bounded-scalar pattern as the IVF
+    centroid count). Either way candidates come from an equi-join —
+    no cross join — and the result set is scheme-independent.
     """
-    blocks = max_hamming + 1
-    width = SIMHASH_BITS // blocks
-    block_vals = F.array(
-        *[
-            F.shiftright(F.col("simhash"), j * width).bitwiseAND(
-                F.lit((1 << width) - 1)
-            )
-            for j in range(blocks)
-        ]
-    )
+    if scheme == "auto":
+        use_combo = (
+            max_hamming == 3 and docs.count() >= SIMHASH_COMBO_MIN_DOCS
+        )
+    elif scheme == "combo":
+        if max_hamming != 3:
+            raise ValueError("combo blocking is configured for radius 3")
+        use_combo = True
+    else:
+        use_combo = False
     # Barrier: materialize the fingerprint once per doc (see
     # lsh_candidate_pairs) instead of letting the simhash fold inline
-    # into all `blocks` block-value expressions and the join keys.
+    # into all block-value expressions and the join keys.
     fp = simhash_fingerprints(docs).repartition(F.col("doc_id"))
-    banded = fp.select(
-        "doc_id", "simhash", F.posexplode(block_vals).alias("block", "block_val")
-    )
+
+    if use_combo:
+        import itertools
+
+        width = SIMHASH_BITS // SIMHASH_COMBO_BLOCKS
+        mask = (1 << width) - 1
+
+        def blockv(j: int):
+            return F.shiftright(F.col("simhash"), j * width).bitwiseAND(
+                F.lit(mask)
+            )
+
+        combos = list(
+            itertools.combinations(
+                range(SIMHASH_COMBO_BLOCKS), SIMHASH_COMBO_PICK
+            )
+        )
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(ci).alias("block"),
+                    (
+                        blockv(i) * F.lit(1 << (2 * width))
+                        + blockv(j) * F.lit(1 << width)
+                        + blockv(k)
+                    ).alias("block_val"),
+                )
+                for ci, (i, j, k) in enumerate(combos)
+            ]
+        )
+        banded = fp.select(
+            "doc_id", "simhash", F.explode(entries).alias("e")
+        ).select(
+            "doc_id",
+            "simhash",
+            F.col("e.block").alias("block"),
+            F.col("e.block_val").alias("block_val"),
+        )
+    else:
+        blocks = max_hamming + 1
+        width = SIMHASH_BITS // blocks
+        block_vals = F.array(
+            *[
+                F.shiftright(F.col("simhash"), j * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                )
+                for j in range(blocks)
+            ]
+        )
+        banded = fp.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(block_vals).alias("block", "block_val"),
+        )
+
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["block", "block_val"])

@@ -278,9 +278,13 @@ fp AS (
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-60 near-dup pairs, Hamming <= 3, complete via pigeonhole
-    block join (4 blocks x 15 bits). The fingerprint hash is a portable
-    poly-hash pair, so the oracle replays the whole scheme bit-exactly
-    (the round-3 xxhash64 variant was rows-only for lack of a twin)."""
+    COMBINATION blocking (6 blocks x 10 bits, 20 three-block combo
+    keys — linear candidate stream to N ~ 2^30; see dedup.py). The
+    oracle keeps the classic 4x15 single-block join: both schemes are
+    complete for radius 3, so the POST-FILTER pair set — what the hash
+    compares — is identical; the fingerprint hash is a portable
+    poly-hash pair replayed bit-exactly (the round-3 xxhash64 variant
+    was rows-only for lack of a twin)."""
     return simhash_near_pairs(_docs(spark, sf_dir))
 
 

@@ -185,3 +185,17 @@ def test_dedup_keep_best_is_single_hash_aggregate(docs, spark):
     plan = dedup_keep_best(docs)._jdf.queryExecution().executedPlan().toString()
     # argmax via max_by: a hash aggregate, never a window sort.
     assert "Window" not in plan
+
+
+def test_simhash_schemes_produce_identical_pairs(docs):
+    """Classic (r+1)-block and combination blocking are both complete
+    for radius 3, so the post-filter pair set must be identical — the
+    auto scheme switch can never change results."""
+    classic = sorted(
+        map(tuple, simhash_near_pairs(docs, 3, scheme="classic").collect())
+    )
+    combo = sorted(
+        map(tuple, simhash_near_pairs(docs, 3, scheme="combo").collect())
+    )
+    assert classic == combo
+    assert len(classic) > 0
