@@ -50,6 +50,8 @@ _PRIORITY = [
     "embedding_norm_outliers",
     "zipf_slope",
     "forecast_revenue_change",
+    # -- 1b. queries ADDED in round 5 (driver has never seen them) ----------
+    "airline_stats_json",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

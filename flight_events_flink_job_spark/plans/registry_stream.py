@@ -47,6 +47,7 @@ BENCH_SKIP = {
     "stream_outer_interval_join",
     "airline_stats_csv",
     "airline_stats_orc",
+    "airline_stats_json",
     "stream_datagen_flights",
     "stream_topk_routes",
     "airline_stats_compacted",
@@ -387,6 +388,23 @@ def q_airline_stats_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="orc_serving_")
     return orc_roundtrip(
         airline_stats(shared_flights(spark, sf_dir)), f"{base}/orc"
+    )
+
+
+@register("airline_stats_json", oracle=ORACLES["airline_delay_stats"])
+def q_airline_stats_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 through JSON-lines: the A1 aggregate serialized as JSON text
+    and read back under the enforced original schema must hash-equal
+    the batch A1 oracle exactly — the text-interchange serving twin
+    that completes the format matrix beside Parquet/ORC/CSV/JDBC
+    (streaming/sinks.py json_roundtrip)."""
+    from ..operators.aggregates import airline_stats
+    from ..sources.flight_adapter import shared_flights
+    from ..streaming.sinks import json_roundtrip
+
+    base = tempfile.mkdtemp(prefix="json_serving_")
+    return json_roundtrip(
+        airline_stats(shared_flights(spark, sf_dir)), f"{base}/json"
     )
 
 

@@ -121,6 +121,38 @@ def csv_roundtrip(df: DataFrame, path: str) -> DataFrame:
     )
 
 
+def json_roundtrip(df: DataFrame, path: str) -> DataFrame:
+    """Write ``df`` as JSON-lines and read it back with the ORIGINAL
+    schema enforced (no inference) — the text-interchange twin of the
+    Parquet serving layer, completing the serving format matrix
+    (Parquet / ORC / CSV / JDBC / JSON; SURVEY.md §2.1 notes the
+    reference has no file formats at all, its only JSON surface being
+    the Kafka event payloads of KafkaUtils.java:15-38).
+
+    Losslessness contract: timestamps serialize as ISO-8601 with
+    microseconds (Spark's default JSON timestamp pattern drops
+    sub-millisecond digits, so the format is pinned explicitly, same
+    as the CSV twin); doubles round-trip via Ryu shortest-repr write +
+    exact read. Unlike CSV, JSON distinguishes ``""`` from NULL
+    natively (empty string stays quoted; a NULL field is simply
+    omitted by the writer and read back as NULL under the enforced
+    schema), so no sentinel token is needed. The schema-enforced read
+    also pins column TYPES — an inferred read would widen ints and
+    retype timestamps as strings.
+
+    At 100 TB this path is for interchange/staging only: JSON scans
+    cannot column-prune or predicate-push, so the serving scan stays
+    on Parquet/ORC and this writer feeds external consumers.
+    """
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    df.write.mode("overwrite").option("timestampFormat", ts_fmt).json(path)
+    return (
+        df.sparkSession.read.schema(df.schema)
+        .option("timestampFormat", ts_fmt)
+        .json(path)
+    )
+
+
 def orc_roundtrip(df: DataFrame, path: str) -> DataFrame:
     """Write ``df`` as ORC and read it back — the columnar-format twin
     of the Parquet serving layer for warehouses standardized on ORC

@@ -525,6 +525,34 @@ def test_csv_roundtrip_preserves_schema_and_values(spark, sf_dir, tmp_path):
     )
 
 
+def test_json_roundtrip_preserves_schema_and_values(spark, sf_dir, tmp_path):
+    """JSON-lines write+read under the enforced schema must be lossless
+    for strings, bigints, doubles and microsecond timestamps."""
+    from flight_events_flink_job_spark.operators.aggregates import airline_stats
+    from flight_events_flink_job_spark.sources.flight_adapter import shared_flights
+    from flight_events_flink_job_spark.streaming.sinks import json_roundtrip
+
+    stats = airline_stats(shared_flights(spark, sf_dir))
+    back = json_roundtrip(stats, str(tmp_path / "json"))
+    assert back.dtypes == stats.dtypes
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, stats.collect())
+    )
+
+
+def test_json_roundtrip_distinguishes_empty_string_from_null(spark, tmp_path):
+    """Unlike CSV, JSON needs no sentinel: '' stays quoted on write and
+    NULL fields are omitted, so both survive the trip distinctly."""
+    from flight_events_flink_job_spark.streaming.sinks import json_roundtrip
+
+    df = spark.createDataFrame([("", 1), (None, 2), ("x", 3)], "k string, v int")
+    got = sorted(
+        [(r.k, r.v) for r in json_roundtrip(df, str(tmp_path / "j")).collect()],
+        key=lambda t: t[1],
+    )
+    assert got == [("", 1), (None, 2), ("x", 3)]
+
+
 def test_chained_agg_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     """Stop-and-resume: drain the first half of the staged stream to
     completion, then add the remaining files + sentinel and drain AGAIN
