@@ -272,6 +272,66 @@ def dedup_ngram_jaccard(
     )
 
 
+def repeated_passages(
+    docs: DataFrame, n: int = 8, max_df: int = 100, min_shared: int = 2
+) -> DataFrame:
+    """(doc_a, doc_b, shared_windows): document pairs that share
+    VERBATIM n-token passages — the exact-substring contamination
+    detector of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), distinct from the similarity tiers
+    (:func:`dedup_near_minhash` / :func:`dedup_ngram_jaccard`): those
+    score whole-document overlap; this finds literal copied spans
+    between otherwise-different documents (quote reuse, template
+    boilerplate, train/eval contamination).
+
+    ``shared_windows`` counts DISTINCT n-token windows the pair has in
+    common; ``min_shared`` consecutive-window overlap ≥ 2 ≈ a verbatim
+    span of ≥ n+1 tokens when contiguous. Windows occurring in more
+    than ``max_df`` documents are dropped first — the standard
+    boilerplate cap (ubiquitous headers/licenses would otherwise link
+    everything to everything and say nothing about copying).
+
+    Plan (one aggregation exchange on the window key, one on the
+    pair): distinct windows via the codegen posexplode+lead path
+    (:func:`exploded_shingles`), groupBy window → sorted doc list,
+    df-cap filter, then map-side pair expansion (bounded at
+    C(max_df, 2) per window — never an unbounded cross join, per the
+    module invariant) and a pair-count aggregate. At 100 TB the only
+    change is keying on ``md5(window)``/``xxhash64(window)`` instead
+    of the window string to cut shuffle width — kept as the raw string
+    here so the DuckDB oracle replays the key verbatim. The
+    higher-order pair expansion runs interpreted but only over
+    post-aggregation arrays of ≤ ``max_df`` elements.
+    """
+    wins = exploded_shingles(docs, n)
+    grouped = (
+        wins.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_windows"))
+        .filter(F.col("shared_windows") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

@@ -27,6 +27,7 @@ from ..operators.dedup import (
     dedup_ngram_jaccard,
     embedding_neardup_cosine,
     neardup_components,
+    repeated_passages,
     simhash_near_pairs,
 )
 from ..operators.multimodal import (
@@ -185,6 +186,35 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard >= 0.7 via complete prefix-filter candidates
     (Bayardo et al. AllPairs) — deterministic-equal to all-pairs."""
     return dedup_ngram_jaccard(_docs(spark, sf_dir))
+
+
+@register(
+    "repeated_passages",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(ts[i:i+7], ' ')
+                              for i in range(1, len(ts) - 6)]) sg
+        FROM toks WHERE len(ts) >= 8
+    ),
+    w AS (SELECT doc_id, unnest(sg) AS win FROM sh),
+    keep AS (SELECT win FROM w GROUP BY win
+             HAVING count(*) BETWEEN 2 AND 100),
+    wk AS (SELECT w.doc_id, w.win FROM w JOIN keep USING (win))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS shared_windows
+    FROM wk a JOIN wk b ON a.win = b.win AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim shared-passage pairs (Lee et al. 2022 exact-substring
+    contamination): distinct 8-token windows, boilerplate df-cap 100,
+    pairs sharing >= 2 windows. Oracle replays the window key verbatim
+    via a DuckDB self-join; the Spark plan expands pairs map-side from
+    the per-window doc list (operators/dedup.py repeated_passages)."""
+    return repeated_passages(_docs(spark, sf_dir))
 
 
 @register(

@@ -88,11 +88,14 @@ def test_no_cartesian_product_in_dedup_plans(docs, spark):
         [(i, [float(i), 1.0, -1.0, 0.5], 0) for i in range(4)],
         "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
     )
+    from flight_events_flink_job_spark.operators.dedup import repeated_passages
+
     for df in (
         dedup_near_minhash(docs),
         dedup_ngram_jaccard(docs),
         simhash_near_pairs(docs),
         embedding_neardup_cosine(embs, num_tables=2, num_planes=2, dim=4),
+        repeated_passages(docs),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
@@ -199,3 +202,46 @@ def test_simhash_schemes_produce_identical_pairs(docs):
     )
     assert classic == combo
     assert len(classic) > 0
+
+
+def test_repeated_passages_finds_planted_verbatim_span(spark):
+    """Two docs sharing a verbatim 10-token passage (3 distinct 8-gram
+    windows) pair up with shared_windows=3; a boilerplate window in
+    every doc is df-capped out; unrelated docs never pair."""
+    from flight_events_flink_job_spark.operators.dedup import repeated_passages
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [
+        (0, f"intro0 {span} tail0", "en", "s0", 1),
+        (1, f"intro1 x {span}", "en", "s1", 1),
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9", "en", "s2", 1),
+        # docs 3-6 all share only the boilerplate window (df 4 > cap 3)
+        (3, boiler, "en", "s3", 1),
+        (4, f"{boiler} t4", "en", "s4", 1),
+        (5, f"{boiler} t5", "en", "s5", 1),
+        (6, f"{boiler} t6", "en", "s6", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.shared_windows
+        for r in repeated_passages(docs, n=8, max_df=3, min_shared=2).collect()
+    }
+    assert got == {(0, 1): 3}
+
+
+def test_repeated_passages_min_shared_filters_single_window_overlap(spark):
+    """One shared 8-gram window (< min_shared=2) is not a passage."""
+    from flight_events_flink_job_spark.operators.dedup import repeated_passages
+
+    win = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [(0, f"a0 {win}", "en", "s", 1), (1, f"{win} z9", "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    assert repeated_passages(docs, n=8).count() == 0
+    # with the bar lowered the single-window pair appears
+    one = repeated_passages(docs, n=8, min_shared=1).collect()
+    assert [(r.doc_a, r.doc_b, r.shared_windows) for r in one] == [(0, 1, 1)]
