@@ -107,6 +107,94 @@ def term_frequency(docs: DataFrame, min_tf: int = 1) -> DataFrame:
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame | None = None,
+    num_queries: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """(term, doc_id, score, rk): Okapi BM25 ranked retrieval — the
+    top-``k`` documents per query term (Robertson & Walker's
+    probabilistic ranking; the lexical-retrieval baseline every
+    RAG/training-data curation stack needs beside the embedding tiers
+    in operators/similarity.py). The reference has no retrieval
+    surface (SURVEY.md §2.5); this is extension surface.
+
+    ``queries`` is a (term) DataFrame of query terms; when omitted the
+    top-``num_queries`` corpus terms by document frequency (ties by
+    term) stand in as a deterministic self-contained query set.
+
+    k1=1.2, b=0.75 enter the plan as the pre-folded double literals
+    2.2 (=k1+1), 0.3 (=k1*(1-b)) and 0.9 (=k1*b) so the DuckDB oracle
+    can spell the SAME literals — computing 1.2*(1-0.75) at runtime
+    yields a different double than the literal 0.3, and the parity
+    hash is value-exact. ln() is the one libm call (rounded to 6dp on
+    both sides, the bigram_lm_score convention); every other step is
+    IEEE-deterministic arithmetic on exact integers with identical
+    parenthesization in the oracle.
+
+    Plan (100 TB): tf/dl/df are partial-aggregated hash exchanges
+    (vocabulary/doc cardinality, not token count); the 1-row corpus
+    stats and the query-term set ride broadcasts (no driver collect);
+    scoring touches ONLY postings of query terms (the broadcast join
+    prunes first), and the per-term top-k window sorts those postings
+    alone, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    if queries is None:
+        queries = (
+            tf.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .orderBy(F.col("df").desc(), F.col("term"))
+            .limit(num_queries)
+            .select("term")
+        )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = dfreq.join(F.broadcast(queries), "term")
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    tfn = F.round(
+        (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(0.3)
+            + F.lit(0.9)
+            * (
+                (F.col("dl") * F.col("n_docs")).cast("double")
+                / F.col("sum_dl").cast("double")
+            )
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score", F.round(idf * tfn, 6))
+    )
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("term", "doc_id", "score", "rk")
+    )
+
+
 def tf_idf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     """Top-k terms per document by tf-idf (score = tf * ln(N/df)).
 

@@ -53,6 +53,7 @@ _PRIORITY = [
     # -- 1b. queries ADDED in round 5 (driver has never seen them) ----------
     "airline_stats_json",
     "repeated_passages",
+    "bm25_topk",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

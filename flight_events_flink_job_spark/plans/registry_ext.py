@@ -46,6 +46,7 @@ from ..operators.similarity import (
 )
 from ..operators.text import (
     bigram_lm_score,
+    bm25_topk,
     chunk_documents,
     zipf_slope,
     doc_novelty,
@@ -926,6 +927,45 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term/document frequency rollup."""
     return term_frequency(_docs(spark, sf_dir))
+
+
+@register(
+    "bm25_topk",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+              FROM dl),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    qterms AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 5),
+    scored AS (
+        SELECT q.term, tf.doc_id,
+               round(round(ln(1.0 + (s.n_docs - q.df + 0.5)
+                                    / (q.df + 0.5)), 6)
+                     * round((tf.tf * 2.2)
+                             / (tf.tf + 0.3
+                                + 0.9 * (CAST(dl.dl * s.n_docs AS DOUBLE)
+                                         / CAST(s.sum_dl AS DOUBLE))), 6),
+                     6) AS score
+        FROM tf JOIN qterms q USING (term)
+                JOIN dl USING (doc_id)
+                CROSS JOIN stats s
+    )
+    SELECT term, doc_id, score,
+           CAST(row_number() OVER (PARTITION BY term
+                                   ORDER BY score DESC, doc_id)
+                AS INTEGER) AS rk
+    FROM scored QUALIFY rk <= 10
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 docs per query term (top-5 df terms as the
+    deterministic query set). Oracle replays the scoring with the same
+    pre-folded k1/b literals and 6dp-rounded ln
+    (operators/text.py bm25_topk)."""
+    return bm25_topk(_docs(spark, sf_dir))
 
 
 @register(

@@ -403,3 +403,49 @@ def test_source_kl_zero_for_identical_distribution(spark):
     )
     rows = {r.source: r.kl_nats for r in source_kl_divergence(two).collect()}
     assert rows["s1"] > 0.0 and rows["s2"] > 0.0
+
+
+def test_bm25_scores_rarer_terms_higher_and_ranks_by_tf(spark):
+    """With equal doc lengths, a doc with higher tf of the query term
+    ranks first; a rarer term carries higher idf so its top score beats
+    a ubiquitous term's."""
+    from flight_events_flink_job_spark.operators.text import bm25_topk
+
+    rows = [
+        (0, "rare filler filler filler", "en", "s", 1),
+        (1, "rare rare filler filler", "en", "s", 1),
+        (2, "common stuff here filler", "en", "s", 1),
+        (3, "common stuff again filler", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    q = spark.createDataFrame([("rare",), ("filler",)], ["term"])
+    out = bm25_topk(docs, queries=q).collect()
+    by_term = {}
+    for r in out:
+        by_term.setdefault(r.term, []).append(r)
+    rare = sorted(by_term["rare"], key=lambda r: r.rk)
+    # doc 1 has tf=2 of 'rare' -> outranks doc 0 (tf=1)
+    assert [r.doc_id for r in rare] == [1, 0]
+    assert rare[0].score > rare[1].score
+    # 'rare' (df=2) idf beats 'filler' (df=4, in every doc)
+    assert rare[0].score > max(r.score for r in by_term["filler"])
+    # row_number ranks are typed int and 1-based per term
+    assert {r.rk for r in rare} == {1, 2}
+
+
+def test_bm25_default_query_set_is_top_df_terms(spark):
+    """With no query table, the top-num_queries df terms are used."""
+    from flight_events_flink_job_spark.operators.text import bm25_topk
+
+    rows = [
+        (0, "a b", "en", "s", 1),
+        (1, "a b", "en", "s", 1),
+        (2, "a c", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    terms = {r.term for r in bm25_topk(docs, num_queries=2).collect()}
+    assert terms == {"a", "b"}  # df: a=3, b=2, c=1
