@@ -79,10 +79,13 @@ _PRIORITY = [
     "dedup_keep_best",
     "corpus_shuffle",
     "curation_pipeline",
+    # ---- 50-entry driver window ends here (50 names above; the three
+    # round-5 additions displaced decontaminate / chunk_documents /
+    # cross_source_leakage — wait-listed below, all three already
+    # driver-green in r3 and still covered by the full parity sweep) --------
     "decontaminate",
     "chunk_documents",
     "cross_source_leakage",
-    # ---- 50-entry driver window ends here (50 names above) ----------------
     # -- reference-parity core (driver-green r1-r3) -------------------------
     "flights_raw",
     "delay_notifications",
