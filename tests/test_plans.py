@@ -54,6 +54,9 @@ BNLJ_ALLOWED = {
     "source_kl_divergence",
     # 1-row global exact count broadcast onto the 1-row union sketch.
     "sketch_distinct_rollup",
+    # 1-row (n_docs, sum_dl) corpus stats broadcast onto the
+    # query-term postings (BM25 normalization constants).
+    "bm25_topk",
 }
 
 
@@ -250,3 +253,18 @@ def test_query_edges_are_scalar_typed(spark, sf_dir, name):
             f"{name}.{col} is {dtype}: serialize complex types before "
             "the query edge (see pq_codes' code_key)"
         )
+
+
+def test_bm25_topk_pushes_rank_limit_into_window(spark, sf_dir):
+    """The per-term top-k must run as WindowGroupLimit (Spark's rank
+    pushdown: partial per-partition top-k before the exchange, never a
+    full sort of the postings), and the query-term/stats sides must
+    ride broadcasts, keeping the corpus-side scan the only big input."""
+    plan = (
+        QUERIES["bm25_topk"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan

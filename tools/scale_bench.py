@@ -40,6 +40,10 @@ TARGETS = [
     "pq_codes",
     "pq_topk",
     "regional_supplier_volume",
+    # round-5 additions: the df-capped window join and the BM25
+    # postings-only scorer must both stay linear in corpus size.
+    "repeated_passages",
+    "bm25_topk",
 ]
 
 TABLES_NEEDED = [
@@ -60,8 +64,14 @@ def main() -> None:
     ap.add_argument("--sfs", default="0.1,0.5,1.0")
     ap.add_argument("--base", default="/tmp/scalefix")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--targets",
+        default=None,
+        help="comma-separated subset of TARGETS (default: all)",
+    )
     args = ap.parse_args()
     sfs = [float(s) for s in args.sfs.split(",")]
+    targets = args.targets.split(",") if args.targets else TARGETS
 
     os.environ.setdefault("TZ", "UTC")
     time.tzset()
@@ -96,18 +106,20 @@ def main() -> None:
         rows = json.loads(open(marker).read())
         point: dict = {"rows": rows, "queries": {}, "candidates": {}}
 
-        docs = load_table(spark, sf_dir, "documents")
-        point["candidates"]["lsh_minhash"] = lsh_candidate_pairs(
-            minhash_signatures(docs)
-        ).count()
-        point["candidates"]["prefix_filter"] = prefix_filter_pairs(
-            exploded_shingles(docs), 0.7
-        ).count()
-        point["candidates"]["simhash_blocked"] = simhash_near_pairs(
-            docs
-        ).count()
+        count_candidates = any(t.startswith("dedup_") for t in targets)
+        if count_candidates:
+            docs = load_table(spark, sf_dir, "documents")
+            point["candidates"]["lsh_minhash"] = lsh_candidate_pairs(
+                minhash_signatures(docs)
+            ).count()
+            point["candidates"]["prefix_filter"] = prefix_filter_pairs(
+                exploded_shingles(docs), 0.7
+            ).count()
+            point["candidates"]["simhash_blocked"] = simhash_near_pairs(
+                docs
+            ).count()
 
-        for name in TARGETS:
+        for name in targets:
             fn = QUERIES[name]
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             ts = []
@@ -138,10 +150,12 @@ def main() -> None:
         "pq_codes": "embeddings",
         "pq_topk": "embeddings",
         "regional_supplier_volume": "lineitem",
+        "repeated_passages": "documents",
+        "bm25_topk": "documents",
     }
     exps: dict = {"queries": {}, "candidates": {}}
     pairs = list(zip(sfs, sfs[1:]))
-    for name in TARGETS:
+    for name in targets:
         per = []
         for lo, hi in pairs:
             a, b = out["points"][str(lo)], out["points"][str(hi)]
@@ -153,7 +167,12 @@ def main() -> None:
                 round(math.log(t_b / t_a) / math.log(n_b / n_a), 2)
             )
         exps["queries"][name] = per
-    for cname in ("lsh_minhash", "prefix_filter", "simhash_blocked"):
+    candidate_names = (
+        ("lsh_minhash", "prefix_filter", "simhash_blocked")
+        if any(t.startswith("dedup_") for t in targets)
+        else ()
+    )
+    for cname in candidate_names:
         per = []
         for lo, hi in pairs:
             a, b = out["points"][str(lo)], out["points"][str(hi)]
