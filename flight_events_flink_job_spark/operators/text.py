@@ -639,6 +639,50 @@ def chunk_documents(
     )
 
 
+def dup_paragraph_fraction(
+    docs: DataFrame, chunk_tokens: int = 32
+) -> DataFrame:
+    """(doc_id, n_chunks, n_dup_chunks, dup_fraction): per-document
+    fraction of fixed-size non-overlapping token chunks whose content
+    also appears in at least one OTHER document — the duplicate-
+    paragraph quality signal of the RefinedWeb/Dolma curation recipes
+    (a page whose paragraphs mostly exist elsewhere is boilerplate or
+    scraper spam even when the page as a whole is unique, so
+    whole-document dedup never catches it).
+
+    Built on :func:`chunk_documents` with ``overlap=0`` (overlapping
+    chunks would double-count shared text). A chunk counts as
+    duplicated when its md5 content key occurs in >= 2 distinct
+    documents; same-document repetition is NOT cross-doc duplication
+    (that internal signal is :func:`text_repetition`'s job).
+
+    Plan (100 TB): chunking is the narrow explode+slice stage; one
+    hash aggregation on the 32-byte chunk key (partial map-side)
+    computes per-key document counts; one co-keyed join attaches them
+    back; one aggregation on doc_id emits the fractions. Keys are
+    md5 digests, so the exchange moves fixed 32-byte strings, never
+    paragraph text.
+    """
+    chunks = chunk_documents(docs, chunk_tokens=chunk_tokens, overlap=0)
+    per_key = chunks.groupBy("chunk_key").agg(
+        F.count_distinct("doc_id").alias("key_docs")
+    )
+    return (
+        chunks.join(per_key, "chunk_key")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(F.col("key_docs") >= 2, 1)).alias(
+                "n_dup_chunks"
+            ),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4),
+        )
+    )
+
+
 def doc_logfreq_score(docs: DataFrame) -> DataFrame:
     """Corpus-frequency quality score per document: the mean natural log
     of each token's corpus term frequency — a cheap unigram

@@ -54,6 +54,7 @@ _PRIORITY = [
     "airline_stats_json",
     "repeated_passages",
     "bm25_topk",
+    "dup_paragraph_fraction",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",
@@ -78,11 +79,12 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_keep_best",
     "corpus_shuffle",
+    # ---- 50-entry driver window ends here (50 names above; the four
+    # round-5 additions displaced curation_pipeline / decontaminate /
+    # chunk_documents / cross_source_leakage — wait-listed below, all
+    # four already driver-green in r3 and still covered by the full
+    # parity sweep) ---------------------------------------------------------
     "curation_pipeline",
-    # ---- 50-entry driver window ends here (50 names above; the three
-    # round-5 additions displaced decontaminate / chunk_documents /
-    # cross_source_leakage — wait-listed below, all three already
-    # driver-green in r3 and still covered by the full parity sweep) --------
     "decontaminate",
     "chunk_documents",
     "cross_source_leakage",

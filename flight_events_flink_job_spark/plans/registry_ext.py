@@ -48,6 +48,7 @@ from ..operators.text import (
     bigram_lm_score,
     bm25_topk,
     chunk_documents,
+    dup_paragraph_fraction,
     zipf_slope,
     doc_novelty,
     vocab_coverage_bands,
@@ -1565,6 +1566,43 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG chunking: 64-token windows, 16-token overlap, one narrow
     explode+slice stage, md5 chunk keys."""
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
+@register(
+    "dup_paragraph_fraction",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    c AS (
+        SELECT doc_id, len(ts) AS n, ts,
+               unnest([1 + i * 32 for i in
+                       range(0, CAST(floor((len(ts) - 1) / 32.0) AS INT) + 1)])
+                   AS start
+        FROM t
+    ),
+    ch AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   array_slice(ts, start, least(start + 31, n)), ' '))
+                   AS chunk_key
+        FROM c
+    ),
+    pk AS (SELECT chunk_key, count(DISTINCT doc_id) AS key_docs
+           FROM ch GROUP BY 1)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           count(*) FILTER (key_docs >= 2) AS n_dup_chunks,
+           round(CAST(count(*) FILTER (key_docs >= 2) AS DOUBLE)
+                 / count(*), 4) AS dup_fraction
+    FROM ch JOIN pk USING (chunk_key)
+    GROUP BY doc_id
+    """,
+)
+def q_dup_paragraph_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/Dolma duplicate-paragraph signal: fraction of each
+    document's non-overlapping 32-token chunks whose md5 content key
+    appears in >= 2 distinct documents
+    (operators/text.py dup_paragraph_fraction)."""
+    return dup_paragraph_fraction(_docs(spark, sf_dir))
 
 
 @register(

@@ -449,3 +449,52 @@ def test_bm25_default_query_set_is_top_df_terms(spark):
     )
     terms = {r.term for r in bm25_topk(docs, num_queries=2).collect()}
     assert terms == {"a", "b"}  # df: a=3, b=2, c=1
+
+
+def test_dup_paragraph_fraction_flags_cross_doc_chunks_only(spark):
+    """A chunk shared across docs counts as duplicated; a doc repeating
+    its OWN chunk does not; fractions are per-doc chunk ratios."""
+    from flight_events_flink_job_spark.operators.text import (
+        dup_paragraph_fraction,
+    )
+
+    p1 = " ".join(f"a{i}" for i in range(4))   # shared paragraph
+    p2 = " ".join(f"b{i}" for i in range(4))   # unique to doc 0
+    p3 = " ".join(f"c{i}" for i in range(4))   # unique to doc 1
+    rows = [
+        (0, f"{p1} {p2}", "en", "s", 1),       # 2 chunks, 1 duplicated
+        (1, f"{p1} {p3}", "en", "s", 1),       # 2 chunks, 1 duplicated
+        (2, f"{p1} {p1}", "en", "s", 1),       # both chunks = shared p1
+        (3, " ".join(f"d{i}" for i in range(8)), "en", "s", 1),  # clean
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks, r.dup_fraction)
+        for r in dup_paragraph_fraction(docs, chunk_tokens=4).collect()
+    }
+    assert got[0] == (2, 1, 0.5)
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 2, 1.0)   # p1 appears in docs 0,1,2 -> dup
+    assert got[3] == (2, 0, 0.0)
+
+
+def test_dup_paragraph_fraction_ignores_same_doc_repetition(spark):
+    """Internal repetition alone (no other doc shares the chunk) is
+    not cross-doc duplication."""
+    from flight_events_flink_job_spark.operators.text import (
+        dup_paragraph_fraction,
+    )
+
+    p = "x1 x2 x3 x4"
+    docs = spark.createDataFrame(
+        [(0, f"{p} {p}", "en", "s", 1), (1, "y1 y2 y3 y4", "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks)
+        for r in dup_paragraph_fraction(docs, chunk_tokens=4).collect()
+    }
+    assert got[0] == (2, 0)
+    assert got[1] == (1, 0)
