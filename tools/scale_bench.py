@@ -44,6 +44,7 @@ TARGETS = [
     # postings-only scorer must both stay linear in corpus size.
     "repeated_passages",
     "bm25_topk",
+    "dup_paragraph_fraction",
 ]
 
 TABLES_NEEDED = [
@@ -152,6 +153,7 @@ def main() -> None:
         "regional_supplier_volume": "lineitem",
         "repeated_passages": "documents",
         "bm25_topk": "documents",
+        "dup_paragraph_fraction": "documents",
     }
     exps: dict = {"queries": {}, "candidates": {}}
     pairs = list(zip(sfs, sfs[1:]))
