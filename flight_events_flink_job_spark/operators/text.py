@@ -683,6 +683,67 @@ def dup_paragraph_fraction(
     )
 
 
+def gopher_quality_signals(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-document Gopher rule signals (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): the cheap lexical gates a web-scale
+    curation pipeline applies before any model-based scoring. Columns:
+    word count, mean word length, fraction of words containing an
+    alphabetic character, count of distinct required stopwords present,
+    and the composite ``gopher_pass`` flag
+    (``min_words <= n_words <= max_words``, ``3 <= mean_word_len <= 10``,
+    ``frac_alpha_words >= 0.8``, ``stop_hits >= 2``).
+
+    The word-count floor defaults to 20 (Gopher's canonical 50 is a
+    web-page bound; the fixture's documents are clipped shorter) and the
+    required-stopword set is ``LANG_LEXICONS['en']`` — the same lexicon
+    the langid scorer uses, so the whole quality stack shares one
+    vocabulary. Empty tokens (consecutive/trailing separators) are
+    filtered before any signal, so a blank document gets
+    ``n_words = 0``, NULL ratios, and ``gopher_pass = false``.
+
+    Plan (100 TB): one narrow map stage over the documents scan — no
+    explode, no shuffle, no UDF; every signal is a higher-order-function
+    expression on the token array, so the corpus pays exactly one pass
+    and the flag composes with filter pushdown when used as a gate.
+    Ratios are gated on their 4dp-ROUNDED values so the Spark plan and
+    the DuckDB twin take identical branches at the thresholds.
+    """
+    t = F.filter(tokens(F.col("text")), lambda x: x != "")
+    n = F.size(t).cast("bigint")
+    char_sum = F.length(F.array_join(t, "")).cast("bigint")
+    mean_wl = F.when(
+        n > 0, F.round(char_sum.cast("double") / n.cast("double"), ROUND_DP)
+    )
+    alpha_words = F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]")))
+    frac_alpha = F.when(
+        n > 0,
+        F.round(alpha_words.cast("double") / n.cast("double"), ROUND_DP),
+    )
+    req = F.lit(list(LANG_LEXICONS["en"])).cast("array<string>")
+    stop_hits = F.size(F.array_intersect(t, req)).cast("bigint")
+    gopher_pass = F.coalesce(
+        (n >= min_words)
+        & (n <= max_words)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (frac_alpha >= 0.8)
+        & (stop_hits >= 2),
+        F.lit(False),
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        stop_hits.alias("stop_hits"),
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
 def doc_logfreq_score(docs: DataFrame) -> DataFrame:
     """Corpus-frequency quality score per document: the mean natural log
     of each token's corpus term frequency — a cheap unigram

@@ -55,6 +55,7 @@ _PRIORITY = [
     "repeated_passages",
     "bm25_topk",
     "dup_paragraph_fraction",
+    "gopher_quality_signals",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

@@ -49,6 +49,7 @@ from ..operators.text import (
     bm25_topk,
     chunk_documents,
     dup_paragraph_fraction,
+    gopher_quality_signals,
     zipf_slope,
     doc_novelty,
     vocab_coverage_bands,
@@ -1603,6 +1604,44 @@ def q_dup_paragraph_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     appears in >= 2 distinct documents
     (operators/text.py dup_paragraph_fraction)."""
     return dup_paragraph_fraction(_docs(spark, sf_dir))
+
+
+@register(
+    "gopher_quality_signals",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               CAST(len(ts) AS BIGINT) AS n_words,
+               CASE WHEN len(ts) > 0 THEN
+                   round(CAST(length(array_to_string(ts, '')) AS BIGINT)
+                         * 1.0 / len(ts), 4) END AS mean_word_len,
+               CASE WHEN len(ts) > 0 THEN
+                   round(len(list_filter(ts,
+                             x -> regexp_matches(x, '[a-zA-Z]')))
+                         * 1.0 / len(ts), 4) END AS frac_alpha_words,
+               CAST(len(list_intersect(ts,
+                   ['the','a','of','and','to','in','is','it'])) AS BIGINT)
+                   AS stop_hits
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words, stop_hits,
+           coalesce(n_words >= 20 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND frac_alpha_words >= 0.8 AND stop_hits >= 2,
+                    FALSE) AS gopher_pass
+    FROM s
+    """,
+)
+def q_gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule signals (Rae et al. 2021 §A1.1): word count, mean
+    word length, alpha-word fraction, required-stopword hits, composite
+    pass flag — one narrow map stage, no shuffle
+    (operators/text.py gopher_quality_signals)."""
+    return gopher_quality_signals(_docs(spark, sf_dir))
 
 
 @register(

@@ -498,3 +498,66 @@ def test_dup_paragraph_fraction_ignores_same_doc_repetition(spark):
     }
     assert got[0] == (2, 0)
     assert got[1] == (1, 0)
+
+
+def test_gopher_quality_signals_gates_and_edge_cases(spark):
+    """Each Gopher gate flips the pass flag independently; empty and
+    whitespace-only documents get zero words, NULL ratios, and a
+    definite (non-NULL) false flag."""
+    from flight_events_flink_job_spark.operators.text import (
+        gopher_quality_signals,
+    )
+
+    good = (
+        "the black cat sleeps on the warm mat and it is a fine day today "
+        * 2
+    )  # 30 words, mean length ~3.3
+    short = "the cat and it"                                   # < min_words
+    no_stop = " ".join(f"tok{i}" for i in range(30))           # 0 stop hits
+    longwords = " ".join(
+        ["the", "a", "of"] + ["x" * 40] * 27
+    )                                                          # mean_wl > 10
+    digits = " ".join(["the", "a", "of"] + ["123"] * 27)       # alpha < 0.8
+    rows = [
+        (0, good, "en", "s", 1),
+        (1, short, "en", "s", 1),
+        (2, no_stop, "en", "s", 1),
+        (3, longwords, "en", "s", 1),
+        (4, digits, "en", "s", 1),
+        (5, "", "en", "s", 1),
+        (6, "   ", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = {r.doc_id: r for r in gopher_quality_signals(docs).collect()}
+
+    assert got[0].gopher_pass is True
+    assert got[0].n_words == 30
+    assert got[0].stop_hits >= 2
+    # each violated gate -> fail, with the signal showing why
+    assert got[1].gopher_pass is False and got[1].n_words == 4
+    assert got[2].gopher_pass is False and got[2].stop_hits == 0
+    assert got[3].gopher_pass is False and got[3].mean_word_len > 10
+    assert got[4].gopher_pass is False and got[4].frac_alpha_words < 0.8
+    # degenerate docs: definite false, not NULL
+    for d in (5, 6):
+        assert got[d].n_words == 0
+        assert got[d].mean_word_len is None
+        assert got[d].frac_alpha_words is None
+        assert got[d].gopher_pass is False
+
+
+def test_gopher_quality_signals_is_shuffle_free(spark):
+    """The signal computation is one narrow map stage: the physical
+    plan must contain no Exchange."""
+    from flight_events_flink_job_spark.operators.text import (
+        gopher_quality_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the a of and to", "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    plan = gopher_quality_signals(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
