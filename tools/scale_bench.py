@@ -45,6 +45,9 @@ TARGETS = [
     "repeated_passages",
     "bm25_topk",
     "dup_paragraph_fraction",
+    # narrow map-stage signals: must be flat-per-row (alpha ~ 1, no
+    # shuffle to grow super-linearly).
+    "gopher_quality_signals",
 ]
 
 TABLES_NEEDED = [
@@ -154,6 +157,7 @@ def main() -> None:
         "repeated_passages": "documents",
         "bm25_topk": "documents",
         "dup_paragraph_fraction": "documents",
+        "gopher_quality_signals": "documents",
     }
     exps: dict = {"queries": {}, "candidates": {}}
     pairs = list(zip(sfs, sfs[1:]))
