@@ -289,6 +289,57 @@ def corpus_shuffle(
     )
 
 
+def weighted_sample_es(
+    documents: DataFrame, k: int = 100, seed: str = "es"
+) -> DataFrame:
+    """Weight-proportional sample without replacement — Efraimidis &
+    Spirakis (2006) algorithm A-ES: each document draws a deterministic
+    uniform u from md5(seed || doc_id), computes the log-space key
+    ``ln(u) / w`` (monotone in the classic ``u^(1/w)``), and the k
+    LARGEST keys form a sample where inclusion probability is
+    proportional to weight. Weight here is ``n_chars`` (floored at 1 so
+    degenerate empty documents stay sampleable) — the
+    "sample documents proportional to length" step of a token-budgeted
+    pretraining mix; any positive score column works the same way.
+
+    Determinism contract: u = (first 13 md5 hex digits + 1) / 2^52 —
+    exact integer-to-double math in both engines; ``ln`` is the only
+    libm call and is 6dp-rounded BEFORE the divide (the repo-wide ln
+    guard), and ranking happens on the rounded key with a doc_id
+    tie-break, so both engines rank identically.
+
+    Plan (100 TB): one narrow map stage then global top-k =
+    ``TakeOrderedAndProject`` — per-partition size-k heaps merged at
+    the driver, k rows moved, no global sort, no shuffle of the corpus.
+    This IS the distributed weighted reservoir: partial heaps are
+    mergeable, so the same plan incrementalizes over streaming
+    micro-batches.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4503599627370496.0)  # 2^52
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("bigint")
+    es_key = F.round(F.log(u), 6) / w.cast("double")
+    return (
+        documents.select(
+            "doc_id",
+            "lang",
+            "source",
+            w.alias("weight"),
+            es_key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # end-to-end curation pipeline (composition flagship)
 # ---------------------------------------------------------------------------

@@ -56,6 +56,7 @@ _PRIORITY = [
     "bm25_topk",
     "dup_paragraph_fraction",
     "gopher_quality_signals",
+    "weighted_sample_es",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

@@ -410,3 +410,29 @@ def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pipeline import quality_percentile_norm
 
     return quality_percentile_norm(_docs(spark, sf_dir))
+
+
+@register(
+    "weighted_sample_es",
+    oracle="""
+    SELECT doc_id, lang, source, weight, es_key FROM (
+        SELECT doc_id, lang, source,
+               greatest(n_chars, 1) AS weight,
+               round(ln((CAST('0x' ||
+                         substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                         AS BIGINT) + 1.0) / 4503599627370496.0), 6)
+                   / CAST(greatest(n_chars, 1) AS DOUBLE) AS es_key
+        FROM documents
+    )
+    ORDER BY es_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis A-ES weighted sample (k=100, weight =
+    n_chars): deterministic md5 uniforms, 6dp-rounded ln key, global
+    top-k as TakeOrderedAndProject — the distributed weighted
+    reservoir (operators/pipeline.py weighted_sample_es)."""
+    from ..operators.pipeline import weighted_sample_es
+
+    return weighted_sample_es(_docs(spark, sf_dir))

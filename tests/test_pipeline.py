@@ -434,3 +434,64 @@ def test_quality_percentile_tie_and_extremes(spark):
     assert out[1].pct == 0.0 and out[3].pct == 1.0
     assert out[2].pct == 0.5
     assert out[4].lang_rank == 1 and out[4].pct == 0.0
+
+
+def test_weighted_sample_es_biases_toward_heavy_docs(spark):
+    """A-ES inclusion probability is weight-proportional: with 200
+    weight-2000 docs and 200 weight-10 docs, a k=100 sample must be
+    dominated by the heavy class (expected ~99 heavy; chance ~50)."""
+    from flight_events_flink_job_spark.operators.pipeline import (
+        weighted_sample_es,
+    )
+
+    rows = [(i, "x", "en", "s", 2000) for i in range(200)] + [
+        (i, "x", "en", "s", 10) for i in range(200, 400)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = weighted_sample_es(docs, k=100).collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r.weight == 2000)
+    assert heavy > 85
+
+
+def test_weighted_sample_es_deterministic_across_partitioning(spark):
+    """The sample is a pure function of (seed, doc_id, weight): the
+    same rows come back whatever the input partitioning, and a zero
+    weight is floored to 1 rather than producing NULL/-inf keys."""
+    from flight_events_flink_job_spark.operators.pipeline import (
+        weighted_sample_es,
+    )
+
+    rows = [(i, "x", "en", "s", (i * 37) % 500) for i in range(300)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    a = [(r.doc_id, r.es_key) for r in weighted_sample_es(docs, k=50).collect()]
+    b = [
+        (r.doc_id, r.es_key)
+        for r in weighted_sample_es(docs.repartition(13), k=50).collect()
+    ]
+    assert a == b
+    assert all(k is not None for _, k in a)
+    # zero-weight doc (i=0 -> n_chars 0) floored to weight 1
+    w0 = {r.doc_id: r.weight for r in weighted_sample_es(docs, k=300).collect()}
+    assert w0[0] == 1
+
+
+def test_weighted_sample_es_plan_is_take_ordered(spark, sf_dir):
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    heaps merged at the driver), never a full Sort + Exchange."""
+    from flight_events_flink_job_spark.operators.pipeline import (
+        weighted_sample_es,
+    )
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    plan = (
+        weighted_sample_es(load_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
