@@ -48,6 +48,7 @@ TARGETS = [
     # narrow map-stage signals: must be flat-per-row (alpha ~ 1, no
     # shuffle to grow super-linearly).
     "gopher_quality_signals",
+    "weighted_sample_es",
 ]
 
 TABLES_NEEDED = [
@@ -158,6 +159,7 @@ def main() -> None:
         "bm25_topk": "documents",
         "dup_paragraph_fraction": "documents",
         "gopher_quality_signals": "documents",
+        "weighted_sample_es": "documents",
     }
     exps: dict = {"queries": {}, "candidates": {}}
     pairs = list(zip(sfs, sfs[1:]))
