@@ -80,6 +80,43 @@ def cosine_topk(
     )
 
 
+def cosine_radius(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    threshold: float = 0.25,
+    num_queries: int = 16,
+) -> DataFrame:
+    """Exact cosine range query — the radius-search sibling of
+    :func:`cosine_topk`: ALL (query, corpus) pairs with cosine >=
+    ``threshold``, not a fixed k. The shape retrieval pipelines use for
+    "everything semantically close to this probe" (recall-bounded
+    retrieval, near-dup audits of a candidate set) where a top-k cutoff
+    would silently drop qualifying neighbors.
+
+    Same 100 TB plan as the exact top-k: queries broadcast, ONE scan of
+    the corpus, no shuffle — but no window either: the threshold filter
+    is applied directly to the scored stream, so the output needs no
+    per-query ranking state at all. The gate compares the 4dp-ROUNDED
+    cosine so the Spark plan and the DuckDB twin keep identical
+    boundary pairs; a zero vector scores NaN in IEEE math and is mapped
+    to DuckDB's ``list_cosine_similarity`` convention (-1.0) before the
+    gate, so degenerate vectors never pass.
+    """
+    if queries is None:
+        queries = embeddings.filter(F.col("vec_id") < num_queries)
+    q = _prepared(queries, "q")
+    c = _prepared(embeddings, "n")
+    cos = F.nanvl(
+        cosine_arrow(F.col("q_vec"), F.col("n_vec")), F.lit(-1.0)
+    )
+    return (
+        c.join(F.broadcast(q))
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.round(cos, 4).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def hyperplane_buckets(
     vec_col, num_tables: int = 16, num_planes: int = 4, dim: int = 64, seed: int = 42
 ):

@@ -57,6 +57,7 @@ _PRIORITY = [
     "dup_paragraph_fraction",
     "gopher_quality_signals",
     "weighted_sample_es",
+    "similarity_radius",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

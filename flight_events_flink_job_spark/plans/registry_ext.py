@@ -39,6 +39,7 @@ from ..operators.multimodal import (
 )
 from ..operators.props import props_mining
 from ..operators.similarity import (
+    cosine_radius,
     cosine_topk,
     cosine_topk_lsh,
     hash_embed_search,
@@ -417,6 +418,27 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries over one corpus scan (BroadcastNestedLoopJoin, no shuffle of
     the corpus, no CartesianProduct)."""
     return cosine_topk(_embs(spark, sf_dir))
+
+
+@register(
+    "similarity_radius",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 16),
+    scored AS (
+        SELECT q.vec_id q_id, c.vec_id n_id,
+               round(list_cosine_similarity(q.v, c.v), 4) cosine
+        FROM q JOIN e c ON q.vec_id <> c.vec_id
+    )
+    SELECT q_id, n_id, cosine FROM scored WHERE cosine >= 0.25
+    """,
+)
+def q_similarity_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine range query (radius search): every pair with
+    4dp-rounded cosine >= 0.25 for 16 broadcast query vectors — one
+    corpus scan, threshold filter instead of per-query ranking state
+    (operators/similarity.py cosine_radius)."""
+    return cosine_radius(_embs(spark, sf_dir))
 
 
 def _topk_lsh_oracle(

@@ -18,6 +18,9 @@ from flight_events_flink_job_spark.plans import BENCH_SKIP, QUERIES
 # a handful-of-rows interval dimension).
 BNLJ_ALLOWED = {
     "similarity_topk",
+    # same deliberate shape as similarity_topk: 16 broadcast query
+    # vectors against one corpus scan, threshold gate instead of rank.
+    "similarity_radius",
     "value_band_join",
     "knn_label_vote",
     "hash_embed_search",

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 
 from flight_events_flink_job_spark.operators.similarity import (
+    cosine_radius,
     cosine_topk,
     cosine_topk_lsh,
 )
@@ -115,3 +116,43 @@ def test_quantile_sketch_close_to_exact(spark, sf_dir):
         assert s.p50_ok and s.p95_ok and s.p99_ok, et
         assert bounds[et].p90 <= bounds[et].vmax, et
         assert bounds[et].p97 <= bounds[et].vmax, et
+
+
+def test_radius_keeps_exactly_the_pairs_above_threshold(tiny):
+    """Radius search is a pure threshold gate on the rounded cosine:
+    no k cutoff, self excluded, zero-vector neighbors mapped to -1."""
+    out = {
+        (r.q_id, r.n_id): r.cosine
+        for r in cosine_radius(
+            tiny, tiny.filter("vec_id = 0"), threshold=0.0
+        ).collect()
+    }
+    assert set(out) == {(0, 1), (0, 2)}  # 0.9939 and 0.0; antipode -1 out
+    assert out[(0, 1)] == pytest.approx(0.9939, abs=1e-4)
+    assert out[(0, 2)] == 0.0
+    # tighten the radius: only the near-duplicate survives
+    tight = cosine_radius(tiny, tiny.filter("vec_id = 0"), threshold=0.5)
+    assert [(r.q_id, r.n_id) for r in tight.collect()] == [(0, 1)]
+
+
+def test_radius_zero_vector_never_qualifies(spark):
+    """An all-zero vector has undefined cosine (NaN in IEEE math);
+    the operator maps it to the DuckDB convention -1.0, so it can
+    never pass a finite threshold."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 0.0, 0.0, 0.0], 0),  # zero vector
+        (2, [1.0, 0.1, 0.0, 0.0], 0),
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    got = cosine_radius(embs, embs.filter("vec_id = 0"), threshold=-0.5)
+    assert [(r.q_id, r.n_id) for r in got.collect()] == [(0, 2)]
+
+
+def test_radius_plan_broadcasts_queries_no_cartesian(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = cosine_radius(embs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
