@@ -49,6 +49,8 @@ TARGETS = [
     # shuffle to grow super-linearly).
     "gopher_quality_signals",
     "weighted_sample_es",
+    # broadcast-queries BNLJ: O(|Q| * N), must be linear in corpus rows.
+    "similarity_radius",
 ]
 
 TABLES_NEEDED = [
@@ -160,6 +162,7 @@ def main() -> None:
         "dup_paragraph_fraction": "documents",
         "gopher_quality_signals": "documents",
         "weighted_sample_es": "documents",
+        "similarity_radius": "embeddings",
     }
     exps: dict = {"queries": {}, "candidates": {}}
     pairs = list(zip(sfs, sfs[1:]))
