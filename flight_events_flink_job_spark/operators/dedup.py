@@ -741,3 +741,30 @@ def neardup_components(
             "n_members", F.count("*").over(Window.partitionBy("component"))
         )
     )
+
+
+def neardup_dedup_corpus(
+    docs: DataFrame, threshold: float = 0.7, n: int = 3
+) -> DataFrame:
+    """The end-to-end fuzzy-dedup step itself: the corpus AFTER
+    keep-one-per-near-dup-cluster. :func:`neardup_components` labels
+    every document with its cluster representative; this keeps exactly
+    the representatives (``doc_id == component`` — the min doc_id of
+    each cluster, singletons trivially survive) and re-attaches the
+    document attributes, carrying ``n_members`` so downstream mixing
+    can weight survivors by how much duplication they absorbed
+    (the standard "count duplicates, train on one" recipe).
+
+    Plan (100 TB): everything upstream is the bucketed candidate
+    machinery already scale-curved in BASELINE.md §4; this layer adds
+    ONE co-partitioned equi-join on doc_id (representatives back to
+    attributes) — no new shuffle shape, no window beyond the component
+    count the labeling already pays.
+    """
+    comp = neardup_components(docs, threshold, n)
+    return (
+        comp.filter(F.col("doc_id") == F.col("component"))
+        .select("doc_id", "n_members")
+        .join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+        .select("doc_id", "lang", "source", "n_chars", "n_members")
+    )

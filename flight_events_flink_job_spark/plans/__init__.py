@@ -58,6 +58,7 @@ _PRIORITY = [
     "gopher_quality_signals",
     "weighted_sample_es",
     "similarity_radius",
+    "neardup_dedup_corpus",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

@@ -27,6 +27,7 @@ from ..operators.dedup import (
     dedup_ngram_jaccard,
     embedding_neardup_cosine,
     neardup_components,
+    neardup_dedup_corpus,
     repeated_passages,
     simhash_near_pairs,
 )
@@ -258,6 +259,51 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster size). Oracle replays the labeling as a recursive-CTE
     reachability closure (component = min reachable doc_id)."""
     return neardup_components(_docs(spark, sf_dir))
+
+
+@register(
+    "neardup_dedup_corpus",
+    oracle=f"""
+    WITH RECURSIVE
+    {{cte}},
+    pairs AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.sg, b.sg)) * 1.0
+                         / len(list_distinct(list_concat(a.sg, b.sg))), 4)
+                       AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.7
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+    labeled AS (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS component,
+               count(*) OVER (
+                   PARTITION BY COALESCE(c.component, d.doc_id)) AS n_members
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, l.n_members
+    FROM labeled l JOIN documents d ON d.doc_id = l.doc_id
+    WHERE l.doc_id = l.component
+    """.format(cte=SHINGLES_CTE.strip().rstrip()),
+)
+def q_neardup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: the surviving corpus after keep-one-per-
+    near-dup-cluster (representative = min doc_id), each survivor
+    carrying its absorbed-duplicate count
+    (operators/dedup.py neardup_dedup_corpus)."""
+    return neardup_dedup_corpus(_docs(spark, sf_dir))
 
 
 # DuckDB twin of operators/dedup.py simhash_fingerprints: per distinct

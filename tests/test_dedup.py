@@ -245,3 +245,21 @@ def test_repeated_passages_min_shared_filters_single_window_overlap(spark):
     # with the bar lowered the single-window pair appears
     one = repeated_passages(docs, n=8, min_shared=1).collect()
     assert [(r.doc_a, r.doc_b, r.shared_windows) for r in one] == [(0, 1, 1)]
+
+
+def test_neardup_dedup_corpus_keeps_representatives_only(docs):
+    """End-to-end keep-one: the trigram near-dup pair (2,3) collapses
+    to its min doc_id with n_members 2; everything else survives as a
+    singleton (exact-dup docs 0/1 share a token SET but not trigram
+    overlap at threshold 0.7 on 4-5 token texts)."""
+    from flight_events_flink_job_spark.operators.dedup import (
+        neardup_dedup_corpus,
+    )
+
+    got = {r.doc_id: r for r in neardup_dedup_corpus(docs).collect()}
+    assert 3 not in got            # absorbed into cluster rep 2
+    assert got[2].n_members == 2   # survivor carries absorbed count
+    for d in (0, 1, 4):
+        assert got[d].n_members == 1
+    # attributes re-attached intact
+    assert got[4].source == "s4" and got[4].n_chars == 34
