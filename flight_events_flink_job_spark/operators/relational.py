@@ -354,6 +354,78 @@ def approx_distinct_users_checked(
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+# Fixed pairwise-independent-style hash coefficients, one (a, b) pair
+# per sketch row; small literals so ((x % P) * a + b) never leaves
+# BIGINT range in either engine (max ~1e9 * 1e4 = 1e13 << 2^63).
+CMS_A = (31, 131, 1031, 10007)
+CMS_B = (7, 17, 47, 97)
+_CMS_P = 1_000_000_007
+
+
+def _cms_cells(item, width: int = CMS_WIDTH):
+    """The d (row, bucket) probe cells for one item column — pure
+    Catalyst integer math; DuckDB twin:
+    ``((item % P) * a + b) % P % width`` per params row."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (((item % _CMS_P) * a + b) % _CMS_P % width).alias("bucket"),
+            )
+            for j, (a, b) in enumerate(zip(CMS_A, CMS_B))
+        ]
+    )
+
+
+def cms_user_counts(events: DataFrame, width: int = CMS_WIDTH) -> DataFrame:
+    """(user_id, n_exact, cms_est, no_undercount): per-user event
+    frequency estimated from a Count-Min Sketch (Cormode &
+    Muthukrishnan 2005), alongside the exact count.
+
+    The sketch is the d x w counter matrix itself, built with zero
+    Python: each event expands to its d probe cells (a narrow codegen
+    map), and one ``groupBy(j, bucket).count()`` materializes the
+    matrix. That aggregate IS the merge — partial aggregation caps
+    every task's contribution at d*w = 1024 rows, so the shuffle
+    carries O(partitions * 1024) rows no matter how many events were
+    scanned; the same groupBy merges sketches across files, days, or
+    streams (counters are sum-mergeable by construction). Point
+    queries probe the d cells per key and take the min; CMS never
+    undercounts, so ``no_undercount`` is a theorem the oracle asserts
+    by recomputing the identical deterministic sketch (portable
+    affine hashes — no engine-specific hashing anywhere).
+
+    At 100 TB the exact per-user GROUP BY here is verification-tier
+    only (it shuffles every distinct key — exactly what the sketch
+    exists to avoid); production keeps the 1024-row sketch and probes
+    it broadcast-side, as this plan does (``F.broadcast(sketch)``).
+    Estimate error is bounded by e/w * N with probability 1 - e^-d.
+    """
+    cells = events.select(
+        F.explode(_cms_cells(F.col("user_id"), width)).alias("c")
+    ).select("c.j", "c.bucket")
+    sketch = cells.groupBy("j", "bucket").agg(F.count("*").alias("cell_count"))
+    exact = events.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    probes = exact.select(
+        "user_id",
+        "n_exact",
+        F.explode(_cms_cells(F.col("user_id"), width)).alias("c"),
+    ).select("user_id", "n_exact", "c.j", "c.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cell_count").alias("cms_est"))
+        .select(
+            "user_id",
+            "n_exact",
+            "cms_est",
+            (F.col("cms_est") >= F.col("n_exact")).alias("no_undercount"),
+        )
+    )
+
+
 VALUE_BANDS: list[tuple[str, float, float]] = [
     ("p00_tiny", 0.0, 10.0),
     ("p10_low", 10.0, 25.0),

@@ -59,6 +59,7 @@ _PRIORITY = [
     "weighted_sample_es",
     "similarity_radius",
     "neardup_dedup_corpus",
+    "cms_user_counts",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

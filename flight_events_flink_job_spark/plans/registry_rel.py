@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.relational import (
     approx_distinct_users_checked,
+    cms_user_counts,
     customer_value_deciles,
     regional_supplier_volume,
     returned_items_top_customers,
@@ -337,6 +338,46 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality and asserts within_bound TRUE (was rows-only in r3;
     accuracy additionally pytest-asserted)."""
     return approx_distinct_users_checked(_events(spark, sf_dir))
+
+
+@register(
+    "cms_user_counts",
+    oracle="""
+    WITH params(j, a, b) AS (VALUES (0, 31, 7), (1, 131, 17),
+                                    (2, 1031, 47), (3, 10007, 97)),
+    cells AS (
+        SELECT p.j,
+               ((e.user_id % 1000000007) * p.a + p.b) % 1000000007 % 256
+                   AS bucket
+        FROM events e CROSS JOIN params p
+    ),
+    sketch AS (
+        SELECT j, bucket, count(*) AS cell_count FROM cells GROUP BY j, bucket
+    ),
+    exact AS (
+        SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id
+    ),
+    probes AS (
+        SELECT x.user_id, x.n_exact, p.j,
+               ((x.user_id % 1000000007) * p.a + p.b) % 1000000007 % 256
+                   AS bucket
+        FROM exact x CROSS JOIN params p
+    )
+    SELECT pr.user_id, pr.n_exact,
+           CAST(min(s.cell_count) AS BIGINT) AS cms_est,
+           min(s.cell_count) >= pr.n_exact AS no_undercount
+    FROM probes pr JOIN sketch s USING (j, bucket)
+    GROUP BY pr.user_id, pr.n_exact
+    """,
+)
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch per-user frequency estimates beside the exact
+    tier (operators/relational.py cms_user_counts). The sketch is
+    deterministic (portable affine hashes), so the oracle rebuilds the
+    identical d x w counter matrix cell-for-cell and the estimates are
+    value-exact — plus the CMS no-undercount theorem as an asserted
+    column."""
+    return cms_user_counts(_events(spark, sf_dir))
 
 
 @register(

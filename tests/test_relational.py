@@ -628,3 +628,36 @@ def test_merge_upsert_degenerate_sides(spark):
     )
     out2 = merge_customer_snapshot(no_snapshot, recent).collect()
     assert [(r.c_custkey, r.action, r.balance) for r in out2] == [(7, "insert", 5.0)]
+
+
+def test_cms_never_undercounts_and_is_partition_independent(spark, sf_dir):
+    """CMS point estimates: est >= exact always (the CMS theorem), and
+    the sketch is invariant to input partitioning (the groupBy merge is
+    the mergeability proof)."""
+    from flight_events_flink_job_spark.operators.relational import cms_user_counts
+
+    events = load_table(spark, sf_dir, "events")
+    base = {
+        r.user_id: (r.n_exact, r.cms_est, r.no_undercount)
+        for r in cms_user_counts(events).collect()
+    }
+    assert base and all(ok for (_, _, ok) in base.values())
+    assert all(est >= exact for (exact, est, _) in base.values())
+    repart = {
+        r.user_id: (r.n_exact, r.cms_est, r.no_undercount)
+        for r in cms_user_counts(events.repartition(13, "event_type")).collect()
+    }
+    assert repart == base
+
+
+def test_cms_narrow_width_overestimates_under_collisions(spark, sf_dir):
+    """Forcing w=4 buckets over ~150 keys guarantees collisions in
+    every row: estimates must still never undercount, and at least one
+    key must visibly overestimate (otherwise the collision machinery
+    was dead code)."""
+    from flight_events_flink_job_spark.operators.relational import cms_user_counts
+
+    events = load_table(spark, sf_dir, "events")
+    rows = cms_user_counts(events, width=4).collect()
+    assert rows and all(r.cms_est >= r.n_exact for r in rows)
+    assert any(r.cms_est > r.n_exact for r in rows)
