@@ -577,6 +577,37 @@ def user_event_type_pivot(events: DataFrame) -> DataFrame:
     )
 
 
+UNPIVOT_METRICS = ("n_events", "total_value", "max_value", "min_value")
+
+
+def user_metrics_unpivot(events: DataFrame) -> DataFrame:
+    """UNPIVOT / melt — the inverse of :func:`user_event_type_pivot`:
+    one wide per-user metrics row relationally unpivoted to
+    (user_id, metric, metric_value) long format, the shape feature
+    stores and metric warehouses ingest.
+
+    Uses the native ``DataFrame.unpivot`` (Spark 3.4+ Expand operator
+    — a zero-shuffle projection multiplying each row by the metric
+    count, exactly like the grouping-sets expansion). The only
+    exchange in the plan is the upstream per-user aggregate. Metric
+    values are double-homogeneous by contract (UNPIVOT requires one
+    value type): counts cast, the sum decimal-rounded
+    (:func:`dec_sum`), min/max exact doubles. Spark's unpivot KEEPS
+    NULL measure values (a user whose measures are all NULL still
+    yields its metric rows) — the oracle replays as UNION ALL rather
+    than DuckDB UNPIVOT, which silently excludes NULLs.
+    """
+    wide = events.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n_events"),
+        dec_sum("value").alias("total_value"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )
+    return wide.unpivot(
+        ["user_id"], list(UNPIVOT_METRICS), "metric", "metric_value"
+    )
+
+
 def converted_users_without_errors(events: DataFrame) -> DataFrame:
     """Relational set operations: (purchasers INTERSECT signups)
     EXCEPT errorers — distinct-set semantics end to end.

@@ -60,6 +60,7 @@ _PRIORITY = [
     "similarity_radius",
     "neardup_dedup_corpus",
     "cms_user_counts",
+    "events_unpivot",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

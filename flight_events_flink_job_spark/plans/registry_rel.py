@@ -44,6 +44,7 @@ from ..operators.relational import (
     top_routes_per_airline,
     user_event_enrichment,
     user_event_type_pivot,
+    user_metrics_unpivot,
     user_event_gaps,
     user_sessions,
     value_band_join,
@@ -503,6 +504,36 @@ def q_user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT on event_type: per-user count column per type (static
     type list; plans as one conditional hash aggregation)."""
     return user_event_type_pivot(_events(spark, sf_dir))
+
+
+@register(
+    "events_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT user_id,
+               CAST(count(*) AS DOUBLE) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(27,10))), 4) AS DOUBLE)
+                   AS total_value,
+               max(value) AS max_value,
+               min(value) AS min_value
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, 'n_events'    AS metric, n_events    AS metric_value FROM wide
+    UNION ALL
+    SELECT user_id, 'total_value' AS metric, total_value AS metric_value FROM wide
+    UNION ALL
+    SELECT user_id, 'max_value'   AS metric, max_value   AS metric_value FROM wide
+    UNION ALL
+    SELECT user_id, 'min_value'   AS metric, min_value   AS metric_value FROM wide
+    """,
+)
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: per-user wide metrics relationally melted to long
+    (user_id, metric, metric_value) via the native Expand operator —
+    the inverse surface of `user_event_type_pivot`. Oracle replays as
+    UNION ALL (DuckDB UNPIVOT excludes NULL measures; Spark keeps
+    them)."""
+    return user_metrics_unpivot(_events(spark, sf_dir))
 
 
 @register(

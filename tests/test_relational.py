@@ -661,3 +661,37 @@ def test_cms_narrow_width_overestimates_under_collisions(spark, sf_dir):
     rows = cms_user_counts(events, width=4).collect()
     assert rows and all(r.cms_est >= r.n_exact for r in rows)
     assert any(r.cms_est > r.n_exact for r in rows)
+
+
+def test_unpivot_keeps_null_measures_and_adds_no_exchange(spark):
+    """A user whose measures are all NULL still emits all four metric
+    rows (Spark unpivot keeps NULLs — the contract the oracle's UNION
+    ALL replays), and the melt itself is a zero-shuffle Expand: the
+    only exchange in the plan is the upstream per-user aggregate."""
+    import datetime as dt
+
+    from flight_events_flink_job_spark.operators.relational import (
+        user_metrics_unpivot,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), 7, "click", None, "{}"),
+            (2, dt.datetime(2024, 1, 2), 7, "view", None, "{}"),
+            (3, dt.datetime(2024, 1, 2), 8, "view", 2.5, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = user_metrics_unpivot(events)
+    rows = {(r.user_id, r.metric): r.metric_value for r in out.collect()}
+    assert rows[(7, "n_events")] == 2.0
+    assert rows[(7, "total_value")] is None
+    assert rows[(7, "max_value")] is None
+    assert rows[(8, "total_value")] == 2.5
+    assert len(rows) == 8
+    # AQE dumps Final + Initial plans; count exchanges in the final only.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "Expand" in final
