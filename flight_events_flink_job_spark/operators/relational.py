@@ -1520,6 +1520,78 @@ def forecast_revenue_change(
     )
 
 
+EWMA_LAGS = 12
+
+
+def ewma_daily_value(events: DataFrame) -> DataFrame:
+    """(event_type, day, daily_total, ewma): exponentially-weighted
+    moving average (alpha = 1/2) of the daily value total per event
+    type — the standard time-series smoothing / trend-detection pass
+    next to the gapfill and forecast ops.
+
+    Engine-exactness: alpha = 1/2 makes every weight a power of two,
+    so the whole recursion unrolls to INTEGER arithmetic — the daily
+    total is decimal-rounded to 4 dp and scaled to a BIGINT ``m``;
+    ewma_t = sum_k(m_{t-k} * 2^(K-1-k)) / sum_present(2^(K-1-k)) over
+    the K = 12 most recent observed days, with sign-safe half-up
+    integer division. No double accumulates anywhere; the only
+    int -> double casts at the edge are exact (scaled-integer / 1e4).
+    The truncation error vs the infinite recursion is 2^-12 of one
+    observation — below the 4 dp edge rounding.
+
+    Scale shape: one aggregate exchange builds the daily series, then
+    a single window operator evaluates all 12 lags in one pass over
+    each type's partition (a bounded series — days, not events; for
+    high-cardinality keys the identical plan shards by key). Weights
+    renormalize over the PRESENT lags so series heads and NULL-measure
+    days (bronze contract) are unbiased, matching the oracle's CASE
+    replay lag-for-lag.
+    """
+    # The 4dp-rounded decimal is NARROWED to (18,4) before the 1e4
+    # scale-up: DuckDB's decimal * integer silently promotes to DOUBLE
+    # past 38 digits, so the twin must multiply a narrow operand — the
+    # Spark side mirrors the cast to keep the integer m bit-identical.
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        (
+            F.round(F.sum(F.col("value").cast("decimal(27,10)")), 4)
+            .cast("decimal(18,4)")
+            * 10000
+        )
+        .cast("bigint")
+        .alias("m")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lags = [F.lag("m", k).over(w) for k in range(EWMA_LAGS)]
+    weights = [1 << (EWMA_LAGS - 1 - k) for k in range(EWMA_LAGS)]
+    num = sum(
+        (F.when(lg.isNotNull(), lg * wt).otherwise(F.lit(0)) for lg, wt in zip(lags, weights)),
+        F.lit(0),
+    )
+    den = sum(
+        (F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0)) for lg, wt in zip(lags, weights)),
+        F.lit(0),
+    )
+    # `div`: Spark's integral division (LONG, truncates toward zero —
+    # identical to DuckDB's `//` for the non-negative operands each
+    # CASE branch guarantees). Stays exact far past 2^53, where a
+    # float-division round trip would silently misround.
+    scaled = F.expr(
+        "CASE WHEN num >= 0 THEN (2*num + den) div (2*den)"
+        " ELSE -((2*(-num) + den) div (2*den)) END"
+    )
+    d = F.col("den")
+    return daily.select(
+        "event_type", "day", "m", num.alias("num"), den.alias("den")
+    ).select(
+        "event_type",
+        "day",
+        (F.col("m") / F.lit(10000.0)).alias("daily_total"),
+        F.when(d > 0, scaled / F.lit(10000.0)).alias("ewma"),
+    )
+
+
 def events_gapfill_locf(events: DataFrame, bucket_s: int = 300) -> DataFrame:
     """(window_start, event_type, n_events, sum_value, locf_sum_value,
     is_gap): the hypertable ``time_bucket_gapfill`` + LOCF shape — a

@@ -61,6 +61,7 @@ _PRIORITY = [
     "neardup_dedup_corpus",
     "cms_user_counts",
     "events_unpivot",
+    "ewma_daily_value",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

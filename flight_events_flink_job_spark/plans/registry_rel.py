@@ -45,6 +45,7 @@ from ..operators.relational import (
     user_event_enrichment,
     user_event_type_pivot,
     user_metrics_unpivot,
+    ewma_daily_value,
     user_event_gaps,
     user_sessions,
     value_band_join,
@@ -534,6 +535,60 @@ def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL (DuckDB UNPIVOT excludes NULL measures; Spark keeps
     them)."""
     return user_metrics_unpivot(_events(spark, sf_dir))
+
+
+def _ewma_oracle(lags: int = 12) -> str:
+    """DuckDB twin of operators/relational.ewma_daily_value: the 12
+    window lags written out explicitly, then the same all-integer
+    weighted sum and sign-safe half-up division (`//` == Spark `div`
+    for the non-negative operands each CASE branch guarantees)."""
+    over = "OVER (PARTITION BY event_type ORDER BY day)"
+    lag_cols = ",\n               ".join(
+        f"lag(m, {k}) {over} AS l{k}" for k in range(lags)
+    )
+    num = " + ".join(
+        f"CASE WHEN l{k} IS NOT NULL THEN l{k} * {1 << (lags - 1 - k)}"
+        " ELSE 0 END"
+        for k in range(lags)
+    )
+    den = " + ".join(
+        f"CASE WHEN l{k} IS NOT NULL THEN {1 << (lags - 1 - k)} ELSE 0 END"
+        for k in range(lags)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(CAST(round(sum(CAST(value AS DECIMAL(27,10))), 4)
+                         AS DECIMAL(18,4)) * 10000 AS BIGINT) AS m
+        FROM events GROUP BY event_type, day
+    ),
+    lagged AS (
+        SELECT event_type, day, m,
+               {lag_cols}
+        FROM daily
+    ),
+    nd AS (
+        SELECT event_type, day, m, {num} AS num, {den} AS den FROM lagged
+    )
+    SELECT event_type, day,
+           m / 10000.0 AS daily_total,
+           CASE WHEN den > 0 THEN
+               (CASE WHEN num >= 0 THEN (2*num + den) // (2*den)
+                     ELSE -((2*(-num) + den) // (2*den)) END) / 10000.0
+           END AS ewma
+    FROM nd
+    """
+
+
+@register("ewma_daily_value", oracle=_ewma_oracle())
+def q_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha = 1/2) of the per-type daily value total — the
+    time-series smoothing pass, unrolled to pure integer arithmetic
+    (power-of-two weights over the 12 most recent observed days,
+    half-up integer division) so both engines agree bit-for-bit
+    (operators/relational.py ewma_daily_value)."""
+    return ewma_daily_value(_events(spark, sf_dir))
 
 
 @register(

@@ -695,3 +695,35 @@ def test_unpivot_keeps_null_measures_and_adds_no_exchange(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
     assert "Expand" in final
+
+
+def test_ewma_daily_value_hand_computed(spark):
+    """alpha=1/2 EWMA, renormalized over present lags: first day equals
+    its own total; second day is (2048*x2 + 1024*x1)/3072 with half-up
+    rounding at 4dp; a NULL-measure day contributes nothing but still
+    emits its row."""
+    import datetime as dt
+
+    from flight_events_flink_job_spark.operators.relational import (
+        ewma_daily_value,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 5), 1, "x", 10.0, "{}"),
+            (2, dt.datetime(2024, 1, 2, 6), 1, "x", 20.0, "{}"),
+            (3, dt.datetime(2024, 1, 3, 7), 1, "x", None, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    rows = {
+        r.day.day: (r.daily_total, r.ewma)
+        for r in ewma_daily_value(events).collect()
+    }
+    assert rows[1] == (10.0, 10.0)
+    # (2048*200000 + 1024*100000) / 3072 = 166666.67 -> half-up 166667
+    assert rows[2] == (20.0, 16.6667)
+    # NULL day: daily_total NULL; ewma renormalizes over lags 1-2 only
+    # (1024*200000 + 512*100000) / 1536 = 166666.67 -> 16.6667
+    assert rows[3] == (None, 16.6667)
