@@ -768,3 +768,104 @@ def neardup_dedup_corpus(
         .join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
         .select("doc_id", "lang", "source", "n_chars", "n_members")
     )
+
+
+SRC_MINHASH_K = 32
+
+
+def source_overlap_minhash(
+    docs: DataFrame, num_hashes: int = SRC_MINHASH_K, n: int = 3
+) -> DataFrame:
+    """(src_a, src_b, n_agree, est_jaccard, exact_jaccard): pairwise
+    content overlap between SOURCES — the corpus-level twin of the
+    per-document near-dup tier, answering "how much of src_a is also
+    in src_b" before deciding mixing weights or dedup priority (e.g.
+    a CommonCrawl snapshot vs a curated subset of it).
+
+    Estimator: K-permutation MinHash over each source's distinct word
+    n-gram shingle set, one portable affine re-hash per permutation of
+    the poly-hash (``(h*(2i+3) + 7i+1) % P``) so the DuckDB oracle can
+    replay every signature slot exactly. P(sig_i(A) == sig_i(B)) =
+    J(A, B), so ``n_agree / K`` is an unbiased Jaccard estimate with
+    stderr sqrt(J(1-J)/K).
+
+    Scale shape: the one data-sized shuffle is the distinct
+    (source, shingle) projection; the signature aggregate partial-mins
+    to K columns per source per task (mins are the canonical mergeable
+    sketch — the same groupBy merges signatures across snapshots).
+    Pairwise comparison happens in signature space: |sources|^2 rows
+    of K integers, catalog scale, broadcast — never a shingle-level
+    cross join. The exact-Jaccard tier here is verification-only (the
+    shingle equi-self-join's fan-out is bounded by shingle
+    source-frequency, fine at audit scale; the 100 TB path trusts the
+    signatures and drops that tier).
+    """
+    from ..functions.textual import POLY_MOD, poly_hash_arrow
+
+    src_shingles = (
+        exploded_shingles(docs, n)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    hashed = src_shingles.select(
+        "source", poly_hash_arrow(F.col("shingle")).alias("h")
+    )
+    mins = [
+        F.min((F.col("h") * (2 * i + 3) + (7 * i + 1)) % POLY_MOD).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = hashed.groupBy("source").agg(*mins)
+    sizes = src_shingles.groupBy("source").agg(F.count("*").alias("sz"))
+    inter = (
+        src_shingles.alias("ia")
+        .join(
+            src_shingles.alias("ib"),
+            F.col("ia.shingle") == F.col("ib.shingle"),
+        )
+        .where(F.col("ia.source") < F.col("ib.source"))
+        .groupBy(
+            F.col("ia.source").alias("src_a"), F.col("ib.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    agree = sum(
+        (
+            F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        ),
+        F.lit(0),
+    )
+    pairs = (
+        sigs.alias("a")
+        .join(F.broadcast(sigs.alias("b")), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            agree.cast("bigint").alias("n_agree"),
+        )
+    )
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    return (
+        pairs.join(
+            sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b")),
+            "src_b",
+        )
+        .join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "n_agree",
+            # /K with K a power of two: exact in binary floating point.
+            (F.col("n_agree") / F.lit(float(num_hashes))).alias("est_jaccard"),
+            F.round(
+                n_inter * F.lit(1.0)
+                / (F.col("sz_a") + F.col("sz_b") - n_inter),
+                4,
+            ).alias("exact_jaccard"),
+        )
+    )

@@ -62,6 +62,7 @@ _PRIORITY = [
     "cms_user_counts",
     "events_unpivot",
     "ewma_daily_value",
+    "source_overlap_minhash",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

@@ -306,6 +306,67 @@ def q_neardup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_dedup_corpus(_docs(spark, sf_dir))
 
 
+def _source_overlap_oracle(k: int = 32) -> str:
+    """DuckDB twin of operators/dedup.source_overlap_minhash: the same
+    poly-hash + K affine re-hashes, per-source signature mins, pairwise
+    slot agreement, and the exact shingle-set Jaccard tier."""
+    mins = ",\n               ".join(
+        f"min((h * {2 * i + 3} + {7 * i + 1}) % 1000000007) AS m{i}"
+        for i in range(k)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+    WITH {SHINGLES_CTE.strip()},
+    srcsh AS (
+        SELECT DISTINCT d.source, unnest(sg) AS s
+        FROM sh JOIN documents d USING (doc_id)
+    ),
+    hashed AS (
+        SELECT source,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(unicode(s[i]) AS BIGINT) for i in range(1, len(s)+1)]),
+                   (a, c) -> (a * 31 + c) % 1000000007) AS h
+        FROM srcsh
+    ),
+    sigs AS (SELECT source,
+               {mins}
+             FROM hashed GROUP BY source),
+    sizes AS (SELECT source, count(*) AS sz FROM srcsh GROUP BY source),
+    inter AS (
+        SELECT ia.source AS src_a, ib.source AS src_b, count(*) AS n_inter
+        FROM srcsh ia JOIN srcsh ib ON ia.s = ib.s AND ia.source < ib.source
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST({agree} AS BIGINT) AS n_agree
+        FROM sigs a JOIN sigs b ON a.source < b.source
+    )
+    SELECT p.src_a, p.src_b, p.n_agree,
+           p.n_agree / {float(k)} AS est_jaccard,
+           round(COALESCE(i.n_inter, 0) * 1.0
+                 / (sa.sz + sb.sz - COALESCE(i.n_inter, 0)), 4) AS exact_jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.src_a
+    JOIN sizes sb ON sb.source = p.src_b
+    LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+    """
+
+
+@register("source_overlap_minhash", oracle=_source_overlap_oracle())
+def q_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level content overlap: K=32-permutation MinHash
+    signatures per source (mergeable mins, portable affine re-hashes
+    replayed slot-for-slot in DuckDB) with the exact shingle-set
+    Jaccard as the in-plan verification tier
+    (operators/dedup.py source_overlap_minhash)."""
+    from ..operators.dedup import source_overlap_minhash
+
+    return source_overlap_minhash(_docs(spark, sf_dir))
+
+
 # DuckDB twin of operators/dedup.py simhash_fingerprints: per distinct
 # token, two stacked 30-bit poly-hashes (base 31 mod 1e9+7 | base 131
 # mod 998244353 << 30); counter_j = sum over tokens of ±1 by bit j;

@@ -263,3 +263,49 @@ def test_neardup_dedup_corpus_keeps_representatives_only(docs):
         assert got[d].n_members == 1
     # attributes re-attached intact
     assert got[4].source == "s4" and got[4].n_chars == 34
+
+
+def test_source_overlap_minhash_identical_and_disjoint_sources(spark):
+    """Two sources with identical shingle sets must agree on every
+    signature slot (est = exact = 1); disjoint-vocabulary sources must
+    have exact 0 and (barring hash collisions, which the fixed seeds
+    make deterministic) est 0."""
+    from flight_events_flink_job_spark.operators.dedup import (
+        source_overlap_minhash,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "sA", 1),
+        (2, "alpha beta gamma delta epsilon zeta", "en", "sB", 1),
+        (3, "one two three four five six seven", "en", "sC", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        (r.src_a, r.src_b): (r.n_agree, r.est_jaccard, r.exact_jaccard)
+        for r in source_overlap_minhash(docs).collect()
+    }
+    assert out[("sA", "sB")] == (32, 1.0, 1.0)
+    assert out[("sA", "sC")][2] == 0.0
+    assert out[("sA", "sC")][1] == out[("sA", "sC")][0] / 32.0
+    assert len(out) == 3
+
+
+def test_source_overlap_minhash_estimator_tracks_exact(spark, sf_dir):
+    """On the fixture corpus every pair emits, slots stay in [0, K],
+    and the MinHash estimate tracks the exact Jaccard within a loose
+    multiple of the K=32 standard error (deterministic draw — this is
+    a regression pin, not a statistical test)."""
+    from flight_events_flink_job_spark.operators.dedup import (
+        source_overlap_minhash,
+    )
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_src = docs.select("source").distinct().count()
+    rows = source_overlap_minhash(docs).collect()
+    assert len(rows) == n_src * (n_src - 1) // 2
+    assert all(0 <= r.n_agree <= 32 for r in rows)
+    mean_abs_err = sum(abs(r.est_jaccard - r.exact_jaccard) for r in rows) / len(rows)
+    assert mean_abs_err <= 0.15, mean_abs_err
