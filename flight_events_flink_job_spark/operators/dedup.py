@@ -869,3 +869,76 @@ def source_overlap_minhash(
             ).alias("exact_jaccard"),
         )
     )
+
+
+def dedup_edit_distance(
+    docs: DataFrame,
+    max_distance: int = 32,
+    df_cap: int = 64,
+    n: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, edit_distance, similarity): near-dup pairs under
+    CHARACTER edit distance — the record-linkage / fuzzy-match tier
+    beside the set-similarity ones (Jaccard ranks token overlap;
+    Levenshtein additionally sees order, so transposed or lightly
+    edited boilerplate that Jaccard scores high still separates here).
+
+    Candidate generation is the shared word-n-gram block: a pair is
+    considered iff it shares at least one shingle whose document
+    frequency is <= ``df_cap`` (boilerplate shingles are dropped the
+    same way repeated_passages drops them). Under the bounded-edit
+    model this blocking is COMPLETE while edits touch fewer than
+    (W - n + 1) / n words of a W-word document — each edited word
+    destroys at most n shingles, so some shingle survives verbatim in
+    both copies; beyond that the pair isn't "near" at these
+    thresholds anyway. Verification then runs Spark's BANDED
+    ``levenshtein(a, b, threshold)`` (O(d * len) per pair, -1 on
+    early exit) after a free |len_a - len_b| <= d length gate.
+
+    Scale shape: candidates come from an equi-join on the shingle key
+    (the module invariant — never an all-pairs cross join); the
+    df_cap bounds per-shingle fan-out at df_cap^2 so the candidate
+    stream stays linear in corpus size; the verify tier touches only
+    candidate rows. At 100 TB the same plan holds with the cap tuned
+    to the boilerplate profile.
+    """
+    sh = exploded_shingles(docs, n)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    kept = sh.join(
+        df_counts.filter(F.col("df") <= df_cap), "shingle"
+    ).select("doc_id", "shingle")
+    cand = (
+        kept.alias("ka")
+        .join(
+            kept.alias("kb"),
+            (F.col("ka.shingle") == F.col("kb.shingle"))
+            & (F.col("ka.doc_id") < F.col("kb.doc_id")),
+        )
+        .select(
+            F.col("ka.doc_id").alias("doc_a"), F.col("kb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    la, lb = F.length("text_a"), F.length("text_b")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(F.abs(la - lb) <= max_distance)
+        .withColumn(
+            "edit_distance",
+            F.levenshtein("text_a", "text_b", max_distance),
+        )
+        .filter(F.col("edit_distance") >= 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("edit_distance").cast("int").alias("edit_distance"),
+            F.round(
+                F.lit(1.0)
+                - F.col("edit_distance") * F.lit(1.0) / F.greatest(la, lb),
+                4,
+            ).alias("similarity"),
+        )
+    )

@@ -63,6 +63,7 @@ _PRIORITY = [
     "events_unpivot",
     "ewma_daily_value",
     "source_overlap_minhash",
+    "dedup_edit_distance",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

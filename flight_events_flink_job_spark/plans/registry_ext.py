@@ -306,6 +306,41 @@ def q_neardup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_dedup_corpus(_docs(spark, sf_dir))
 
 
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH {SHINGLES_CTE.strip()},
+    e AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+    df AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+    kept AS (SELECT e.doc_id, e.s FROM e JOIN df USING (s) WHERE df.d <= 64),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    j AS (
+        SELECT doc_a, doc_b, ta.text AS text_a, tb.text AS text_b
+        FROM cand JOIN documents ta ON ta.doc_id = doc_a
+                  JOIN documents tb ON tb.doc_id = doc_b
+        WHERE abs(len(ta.text) - len(tb.text)) <= 32
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(text_a, text_b) AS INTEGER) AS edit_distance,
+           round(1.0 - levenshtein(text_a, text_b) * 1.0
+                 / greatest(len(text_a), len(text_b)), 4) AS similarity
+    FROM j WHERE levenshtein(text_a, text_b) <= 32
+    """,
+)
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-edit-distance near-dup pairs: df-capped shared-shingle
+    blocking, length gate, then Spark's banded levenshtein(a, b,
+    threshold) verify (operators/dedup.py dedup_edit_distance). The
+    oracle re-blocks identically and verifies with DuckDB's
+    levenshtein — both implement unit-cost insert/delete/substitute."""
+    from ..operators.dedup import dedup_edit_distance
+
+    return dedup_edit_distance(_docs(spark, sf_dir))
+
+
 def _source_overlap_oracle(k: int = 32) -> str:
     """DuckDB twin of operators/dedup.source_overlap_minhash: the same
     poly-hash + K affine re-hashes, per-source signature mins, pairwise

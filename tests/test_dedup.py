@@ -309,3 +309,28 @@ def test_source_overlap_minhash_estimator_tracks_exact(spark, sf_dir):
     assert all(0 <= r.n_agree <= 32 for r in rows)
     mean_abs_err = sum(abs(r.est_jaccard - r.exact_jaccard) for r in rows) / len(rows)
     assert mean_abs_err <= 0.15, mean_abs_err
+
+
+def test_dedup_edit_distance_semantics(spark):
+    """Hand-built corpus: one-word substitution -> small distance pair;
+    unrelated doc -> excluded; banded threshold excludes a heavily
+    edited twin even though it shares a shingle."""
+    from flight_events_flink_job_spark.operators.dedup import dedup_edit_distance
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base, "en", "s", 1),
+        (2, base.replace("delta", "omega"), "en", "s", 1),  # 1 word edit
+        (3, "one two three four five six seven eight", "en", "s", 1),
+        # shares the leading shingle but the tail is rewritten far past
+        # the threshold
+        (4, "alpha beta gamma " + "x" * 60, "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r.doc_a, r.doc_b): r for r in dedup_edit_distance(docs, max_distance=10).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert r.edit_distance == 4  # delta -> omega aligns the shared e: 4 edits
+    assert 0.0 < r.similarity < 1.0
