@@ -195,6 +195,103 @@ def bm25_topk(
     )
 
 
+def rrf_retrieval(
+    docs: DataFrame,
+    num_queries: int = 5,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """(term, doc_id, rk_bm25, rk_ql, rrf_score, rrf_rank): hybrid
+    retrieval via Reciprocal Rank Fusion (Cormack et al. 2009) — the
+    standard way to combine heterogeneous rankers without score
+    calibration. Here the fused rankers are Okapi BM25 (the
+    :func:`bm25_topk` scorer) and query likelihood (tf/dl), both over
+    the same query-term postings; RRF(d) = sum over rankers of
+    1 / (rrf_k + rank_r(d)) for the rankers whose top-``k`` contains d.
+
+    Every quantity is rank-arithmetic: 1/(60+rank) is an exact IEEE
+    division of small integers, and the two-term sum has a fixed
+    order, so fusion is bit-identical to the oracle with no rounding.
+    The member ranks are emitted (NULL when the doc is outside that
+    ranker's top-k) so consumers can audit which tier surfaced a hit.
+
+    Plan (100 TB): tf/dl/df aggregates as in :func:`bm25_topk`
+    (vocabulary-cardinality exchanges); both rankers score the SAME
+    broadcast-pruned posting rows — the second ranker costs one more
+    window over the per-term top candidates, not another corpus scan;
+    fusion is a filter + window over <= 2k rows per term. No join
+    between rankers at all.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    qterms = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(num_queries)
+    )
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    tfn = F.round(
+        (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(0.3)
+            + F.lit(0.9)
+            * (
+                (F.col("dl") * F.col("n_docs")).cast("double")
+                / F.col("sum_dl").cast("double")
+            )
+        ),
+        6,
+    )
+    base = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("bm25", F.round(idf * tfn, 6))
+        .withColumn("ql", F.round(F.col("tf") * F.lit(1.0) / F.col("dl"), 6))
+    )
+    wa = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")
+    wb = Window.partitionBy("term").orderBy(F.col("ql").desc(), "doc_id")
+    ranked = base.withColumn("rka", F.row_number().over(wa)).withColumn(
+        "rkb", F.row_number().over(wb)
+    )
+    in_a, in_b = F.col("rka") <= k, F.col("rkb") <= k
+    fused = F.when(in_a, F.lit(1.0) / (F.lit(rrf_k) + F.col("rka"))).otherwise(
+        F.lit(0.0)
+    ) + F.when(in_b, F.lit(1.0) / (F.lit(rrf_k) + F.col("rkb"))).otherwise(
+        F.lit(0.0)
+    )
+    wf = Window.partitionBy("term").orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        ranked.filter(in_a | in_b)
+        .withColumn("rrf_score", fused)
+        .withColumn("rrf_rank", F.row_number().over(wf))
+        .filter(F.col("rrf_rank") <= k)
+        .select(
+            "term",
+            "doc_id",
+            F.when(in_a, F.col("rka")).cast("int").alias("rk_bm25"),
+            F.when(in_b, F.col("rkb")).cast("int").alias("rk_ql"),
+            "rrf_score",
+            F.col("rrf_rank").cast("int").alias("rrf_rank"),
+        )
+    )
+
+
 def tf_idf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     """Top-k terms per document by tf-idf (score = tf * ln(N/df)).
 

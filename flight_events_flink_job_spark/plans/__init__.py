@@ -64,6 +64,7 @@ _PRIORITY = [
     "ewma_daily_value",
     "source_overlap_minhash",
     "dedup_edit_distance",
+    "rrf_retrieval",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

@@ -1135,6 +1135,65 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rrf_retrieval",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+              FROM dl),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    qterms AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 5),
+    scored AS (
+        SELECT q.term, tf.doc_id,
+               round(round(ln(1.0 + (s.n_docs - q.df + 0.5)
+                                    / (q.df + 0.5)), 6)
+                     * round((tf.tf * 2.2)
+                             / (tf.tf + 0.3
+                                + 0.9 * (CAST(dl.dl * s.n_docs AS DOUBLE)
+                                         / CAST(s.sum_dl AS DOUBLE))), 6),
+                     6) AS bm25,
+               round(tf.tf * 1.0 / dl.dl, 6) AS ql
+        FROM tf JOIN qterms q USING (term)
+                JOIN dl USING (doc_id)
+                CROSS JOIN stats s
+    ),
+    ranked AS (
+        SELECT term, doc_id, bm25, ql,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY bm25 DESC, doc_id) AS rka,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY ql DESC, doc_id) AS rkb
+        FROM scored
+    ),
+    fused AS (
+        SELECT term, doc_id,
+               CASE WHEN rka <= 10 THEN CAST(rka AS INTEGER) END AS rk_bm25,
+               CASE WHEN rkb <= 10 THEN CAST(rkb AS INTEGER) END AS rk_ql,
+               (CASE WHEN rka <= 10 THEN 1.0 / (60 + rka) ELSE 0.0 END)
+               + (CASE WHEN rkb <= 10 THEN 1.0 / (60 + rkb) ELSE 0.0 END)
+                   AS rrf_score
+        FROM ranked WHERE rka <= 10 OR rkb <= 10
+    )
+    SELECT term, doc_id, rk_bm25, rk_ql, rrf_score,
+           CAST(row_number() OVER (PARTITION BY term
+                                   ORDER BY rrf_score DESC, doc_id)
+                AS INTEGER) AS rrf_rank
+    FROM fused QUALIFY rrf_rank <= 10
+    """,
+)
+def q_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Reciprocal Rank Fusion of the BM25 ranking
+    with a query-likelihood (tf/dl) ranking over the same query-term
+    postings — rank arithmetic only, bit-identical fusion
+    (operators/text.py rrf_retrieval)."""
+    from ..operators.text import rrf_retrieval
+
+    return rrf_retrieval(_docs(spark, sf_dir))
+
+
+@register(
     "dedup_keep_best",
     oracle="""
     SELECT doc_id, lang, source, n_chars, n_members FROM (

@@ -561,3 +561,28 @@ def test_gopher_quality_signals_is_shuffle_free(spark):
     )
     plan = gopher_quality_signals(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_rrf_fusion_semantics(spark, sf_dir):
+    """RRF invariants: every emitted doc is in at least one member
+    top-k; rrf_score equals the closed-form sum of present reciprocal
+    ranks; a doc ranked #1 by both rankers dominates its term."""
+    from flight_events_flink_job_spark.operators.text import rrf_retrieval
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    rows = rrf_retrieval(load_table(spark, sf_dir, "documents")).collect()
+    assert rows
+    for r in rows:
+        assert r.rk_bm25 is not None or r.rk_ql is not None
+        want = (1.0 / (60 + r.rk_bm25) if r.rk_bm25 else 0.0) + (
+            1.0 / (60 + r.rk_ql) if r.rk_ql else 0.0
+        )
+        assert r.rrf_score == want
+        assert 1 <= r.rrf_rank <= 10
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r.term, []).append(r)
+    for term, rs in by_term.items():
+        top = min(rs, key=lambda r: r.rrf_rank)
+        if top.rk_bm25 == 1 and top.rk_ql == 1:
+            assert top.rrf_score == 2.0 / 61
