@@ -426,6 +426,81 @@ def cms_user_counts(events: DataFrame, width: int = CMS_WIDTH) -> DataFrame:
     )
 
 
+BLOOM_BITS = 4096
+BLOOM_A = (31, 131, 1031)
+BLOOM_B = (7, 17, 47)
+
+
+def _bloom_positions(item, bits: int = BLOOM_BITS):
+    """The k bit positions one key sets/probes — portable affine
+    hashes, DuckDB twin ``((item % P) * a + b) % P % bits``."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (((item % _CMS_P) * a + b) % _CMS_P % bits).alias("pos"),
+            )
+            for j, (a, b) in enumerate(zip(BLOOM_A, BLOOM_B))
+        ]
+    )
+
+
+def bloom_membership(
+    events: DataFrame, member_type: str = "purchase", bits: int = BLOOM_BITS
+) -> DataFrame:
+    """(user_id, is_member, in_bloom, no_false_negative): approximate
+    set membership via a Bloom filter (Bloom 1970) over the purchaser
+    set, probed for every active user, beside the exact tier.
+
+    The filter is relational: the bit ARRAY is a distinct-position
+    table (k = 3 portable affine hashes into m = 4096 bits), built by
+    one explode + distinct — and that distinct IS the merge, the same
+    way the CMS groupBy is (bit-set union across files/streams/days is
+    just more rows into the same distinct). Probing joins each key's k
+    positions against the broadcast bit table and demands all k
+    present. Deterministic hashes end-to-end, so the oracle rebuilds
+    filter and probes cell-for-cell and every output column is
+    value-exact; ``no_false_negative`` (member -> in_bloom) is the
+    Bloom theorem the oracle asserts by reconstruction.
+
+    At 100 TB this is the semi-join pre-filter shape: the bit table is
+    O(m) no matter the member count, rides a broadcast, and prunes a
+    fact scan before any shuffle — the hand-rolled, engine-checkable
+    twin of the runtime bloom-filter join the AQE plan gate covers.
+    The exact membership tier here is verification-only.
+    """
+    k = len(BLOOM_A)
+    users = events.select("user_id").distinct()
+    members = (
+        events.filter(F.col("event_type") == member_type)
+        .select("user_id")
+        .distinct()
+    )
+    bloom_bits = (
+        members.select(F.explode(_bloom_positions(F.col("user_id"), bits)).alias("c"))
+        .select("c.pos")
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probes = users.select(
+        "user_id", F.explode(_bloom_positions(F.col("user_id"), bits)).alias("c")
+    ).select("user_id", "c.pos")
+    hits = (
+        probes.join(F.broadcast(bloom_bits), "pos", "left")
+        .groupBy("user_id")
+        .agg(F.sum(F.coalesce(F.col("present"), F.lit(0))).alias("n_hits"))
+    )
+    return (
+        hits.join(members.withColumn("is_member", F.lit(True)), "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+            (F.col("n_hits") == k).alias("in_bloom"),
+        )
+        .withColumn("no_false_negative", ~F.col("is_member") | F.col("in_bloom"))
+    )
+
+
 VALUE_BANDS: list[tuple[str, float, float]] = [
     ("p00_tiny", 0.0, 10.0),
     ("p10_low", 10.0, 25.0),

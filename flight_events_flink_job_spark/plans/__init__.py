@@ -65,6 +65,7 @@ _PRIORITY = [
     "source_overlap_minhash",
     "dedup_edit_distance",
     "rrf_retrieval",
+    "bloom_membership",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

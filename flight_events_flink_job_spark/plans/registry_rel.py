@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.relational import (
     approx_distinct_users_checked,
+    bloom_membership,
     cms_user_counts,
     customer_value_deciles,
     regional_supplier_volume,
@@ -340,6 +341,48 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality and asserts within_bound TRUE (was rows-only in r3;
     accuracy additionally pytest-asserted)."""
     return approx_distinct_users_checked(_events(spark, sf_dir))
+
+
+@register(
+    "bloom_membership",
+    oracle="""
+    WITH params(j, a, b) AS (VALUES (0, 31, 7), (1, 131, 17), (2, 1031, 47)),
+    users AS (SELECT DISTINCT user_id FROM events),
+    members AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    bloom_bits AS (
+        SELECT DISTINCT
+               ((m.user_id % 1000000007) * p.a + p.b) % 1000000007 % 4096
+                   AS pos
+        FROM members m CROSS JOIN params p
+    ),
+    probes AS (
+        SELECT u.user_id,
+               ((u.user_id % 1000000007) * p.a + p.b) % 1000000007 % 4096
+                   AS pos
+        FROM users u CROSS JOIN params p
+    ),
+    hits AS (
+        SELECT pr.user_id,
+               count(*) FILTER (WHERE bb.pos IS NOT NULL) AS n_hits
+        FROM probes pr LEFT JOIN bloom_bits bb ON bb.pos = pr.pos
+        GROUP BY pr.user_id
+    )
+    SELECT h.user_id,
+           m.user_id IS NOT NULL AS is_member,
+           h.n_hits = 3 AS in_bloom,
+           (m.user_id IS NULL) OR (h.n_hits = 3) AS no_false_negative
+    FROM hits h LEFT JOIN members m ON m.user_id = h.user_id
+    """,
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership of the purchaser set probed for every
+    user, beside the exact tier (operators/relational.py
+    bloom_membership). Deterministic portable hashes: the oracle
+    rebuilds the bit table and probes cell-for-cell, and asserts the
+    no-false-negative theorem by reconstruction."""
+    return bloom_membership(_events(spark, sf_dir))
 
 
 @register(

@@ -727,3 +727,31 @@ def test_ewma_daily_value_hand_computed(spark):
     # NULL day: daily_total NULL; ewma renormalizes over lags 1-2 only
     # (1024*200000 + 512*100000) / 1536 = 166666.67 -> 16.6667
     assert rows[3] == (None, 16.6667)
+
+
+def test_bloom_membership_theorem_and_forced_false_positives(spark, sf_dir):
+    """Members are never missed (Bloom theorem) and exact members are
+    all flagged in_bloom at the default width; shrinking to 16 bits
+    over ~150 keys forces false positives while STILL never missing a
+    member — the saturation behavior that proves the probe logic."""
+    from flight_events_flink_job_spark.operators.relational import (
+        bloom_membership,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    rows = bloom_membership(events).collect()
+    assert rows and all(r.no_false_negative for r in rows)
+    assert all(r.in_bloom for r in rows if r.is_member)
+    # synthetic corpus where only a third of users purchase: a 16-bit
+    # filter over 30 member positions saturates -> false positives
+    synth = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1), i % 90, "purchase" if i % 90 < 30 else "view", 1.0, "{}")
+            for i in range(180)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    tiny = bloom_membership(synth, bits=16).collect()
+    assert all(r.no_false_negative for r in tiny)
+    assert any(r.in_bloom and not r.is_member for r in tiny)
