@@ -871,6 +871,33 @@ def source_overlap_minhash(
     )
 
 
+def edit_candidate_pairs(
+    docs: DataFrame, df_cap: int = 64, n: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs for the edit-distance tier:
+    pairs sharing >= 1 word n-gram shingle whose document frequency is
+    <= ``df_cap``. Separated out so the scale bench can count the
+    candidate stream (the pure algorithmic signal) independently of
+    the Levenshtein verify."""
+    sh = exploded_shingles(docs, n)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    kept = sh.join(
+        df_counts.filter(F.col("df") <= df_cap), "shingle"
+    ).select("doc_id", "shingle")
+    return (
+        kept.alias("ka")
+        .join(
+            kept.alias("kb"),
+            (F.col("ka.shingle") == F.col("kb.shingle"))
+            & (F.col("ka.doc_id") < F.col("kb.doc_id")),
+        )
+        .select(
+            F.col("ka.doc_id").alias("doc_a"), F.col("kb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def dedup_edit_distance(
     docs: DataFrame,
     max_distance: int = 32,
@@ -902,23 +929,7 @@ def dedup_edit_distance(
     candidate rows. At 100 TB the same plan holds with the cap tuned
     to the boilerplate profile.
     """
-    sh = exploded_shingles(docs, n)
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    kept = sh.join(
-        df_counts.filter(F.col("df") <= df_cap), "shingle"
-    ).select("doc_id", "shingle")
-    cand = (
-        kept.alias("ka")
-        .join(
-            kept.alias("kb"),
-            (F.col("ka.shingle") == F.col("kb.shingle"))
-            & (F.col("ka.doc_id") < F.col("kb.doc_id")),
-        )
-        .select(
-            F.col("ka.doc_id").alias("doc_a"), F.col("kb.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = edit_candidate_pairs(docs, df_cap, n)
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     la, lb = F.length("text_a"), F.length("text_b")

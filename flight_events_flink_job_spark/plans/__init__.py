@@ -90,11 +90,11 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_keep_best",
     "corpus_shuffle",
-    # ---- 50-entry driver window ends here (50 names above; the four
-    # round-5 additions displaced curation_pipeline / decontaminate /
-    # chunk_documents / cross_source_leakage — wait-listed below, all
-    # four already driver-green in r3 and still covered by the full
-    # parity sweep) ---------------------------------------------------------
+    # ---- 50-entry driver window ends here: 24 never-checked + the 15
+    # round-5 additions (8 early-round + 7 late-round: cms/unpivot/ewma/
+    # source-overlap/edit-distance/rrf/bloom) + 11 stalest r2 greens.
+    # Everything below is r2/r3/r4 driver-green and still covered by
+    # the committed full-registry parity sweeps. -----------------------------
     "curation_pipeline",
     "decontaminate",
     "chunk_documents",

@@ -51,6 +51,11 @@ TARGETS = [
     "weighted_sample_es",
     # broadcast-queries BNLJ: O(|Q| * N), must be linear in corpus rows.
     "similarity_radius",
+    # round-5 late additions: the df-capped edit-distance block and the
+    # source-level signature sweep must stay linear in corpus size.
+    "dedup_edit_distance",
+    "source_overlap_minhash",
+    "rrf_retrieval",
 ]
 
 TABLES_NEEDED = [
@@ -113,8 +118,8 @@ def main() -> None:
         rows = json.loads(open(marker).read())
         point: dict = {"rows": rows, "queries": {}, "candidates": {}}
 
-        count_candidates = any(t.startswith("dedup_") for t in targets)
-        if count_candidates:
+        lsh_family = {"dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash"}
+        if lsh_family & set(targets):
             docs = load_table(spark, sf_dir, "documents")
             point["candidates"]["lsh_minhash"] = lsh_candidate_pairs(
                 minhash_signatures(docs)
@@ -123,6 +128,15 @@ def main() -> None:
                 exploded_shingles(docs), 0.7
             ).count()
             point["candidates"]["simhash_blocked"] = simhash_near_pairs(
+                docs
+            ).count()
+        if "dedup_edit_distance" in targets:
+            from flight_events_flink_job_spark.operators.dedup import (
+                edit_candidate_pairs,
+            )
+
+            docs = load_table(spark, sf_dir, "documents")
+            point["candidates"]["edit_block"] = edit_candidate_pairs(
                 docs
             ).count()
 
@@ -163,6 +177,10 @@ def main() -> None:
         "gopher_quality_signals": "documents",
         "weighted_sample_es": "documents",
         "similarity_radius": "embeddings",
+        "dedup_edit_distance": "documents",
+        "source_overlap_minhash": "documents",
+        "rrf_retrieval": "documents",
+        "neardup_dedup_corpus": "documents",
     }
     exps: dict = {"queries": {}, "candidates": {}}
     pairs = list(zip(sfs, sfs[1:]))
@@ -178,12 +196,12 @@ def main() -> None:
                 round(math.log(t_b / t_a) / math.log(n_b / n_a), 2)
             )
         exps["queries"][name] = per
-    candidate_names = (
-        ("lsh_minhash", "prefix_filter", "simhash_blocked")
-        if any(t.startswith("dedup_") for t in targets)
-        else ()
-    )
-    for cname in candidate_names:
+    # fit exponents for whichever candidate streams were actually
+    # counted for this target set (intersection across all points)
+    candidate_names = set.intersection(
+        *[set(p["candidates"]) for p in out["points"].values()]
+    ) if out["points"] else set()
+    for cname in sorted(candidate_names):
         per = []
         for lo, hi in pairs:
             a, b = out["points"][str(lo)], out["points"][str(hi)]

@@ -5,10 +5,10 @@
 # order that fails fastest:
 #   1. full pytest suite (621 tests incl. plan gates, property tests,
 #      streaming batch/stream parity, adversarial regressions; ~10 min)
-#   2. full 140-query registry parity sweep vs the DuckDB oracles at
+#   2. full-registry (151-query) parity sweep vs the DuckDB oracles at
 #      sf0.01 — the same comparison the grading driver runs (~8 min)
 #   3. adversarial-fixture parity sweep (generates the slice under
-#      /tmp, then the same 140-query differential over it; ~8 min)
+#      /tmp, then the same full-registry differential over it; ~8 min)
 #   4. bench smoke: one run of the reference-parity core at sf0.01 to
 #      prove the bench harness itself is healthy (~1 min)
 #
