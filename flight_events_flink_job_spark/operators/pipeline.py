@@ -670,3 +670,59 @@ def quality_percentile_norm(documents: DataFrame, parts: int | None = None) -> D
             ).alias("pct"),
         )
     )
+
+
+def temperature_mix(
+    documents: DataFrame, budget: int = 200, group_col: str = "lang"
+) -> DataFrame:
+    """(lang, n_docs, target_n, sample_rank, doc_id, source):
+    temperature-scaled language mixing at T = 2 — each group's share of
+    the ``budget`` is proportional to n^(1/T) = sqrt(n), the standard
+    flattening between proportional (T=1) and uniform (T=inf) sampling
+    for multilingual corpora (mC4 / UniMax recipe, arXiv:2304.09151),
+    then that many documents are drawn per group by the repo's
+    deterministic md5 rank.
+
+    Engine-exactness: T = 2 is chosen because sqrt is CORRECTLY
+    ROUNDED under IEEE 754 in both engines (a generic pow(n, 1/T)
+    is not). Each weight becomes the integer
+    round(sqrt(n) * 1e6) — sqrt of an integer is either an exact
+    integer or irrational, so the rounding never sits on a boundary —
+    and the share arithmetic is then pure BIGINT:
+    target = budget * w div sum(w) (floor allocation; the <=|groups|
+    rows of undistributed budget are deliberate — no double division
+    anywhere).
+
+    Plan: one |groups|-row aggregate, its 1-row total broadcast back,
+    and the same per-group md5 ranking window as per_group_sample;
+    nothing data-sized shuffles twice.
+    """
+    w_int = F.round(
+        F.sqrt(F.col("n_docs").cast("double")) * F.lit(1000000.0), 0
+    ).cast("bigint")
+    counts = (
+        documents.groupBy(group_col)
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("w", w_int)
+    )
+    tot = counts.agg(F.sum("w").alias("sw"))
+    targets = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        F.expr(f"CAST({budget} AS BIGINT) * w div sw").alias("target_n"),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    rk = Window.partitionBy(group_col).orderBy(h, "doc_id")
+    ranked = documents.withColumn("rk", F.row_number().over(rk))
+    return (
+        ranked.join(F.broadcast(targets), group_col)
+        .filter(F.col("rk") <= F.col("target_n"))
+        .select(
+            group_col,
+            "n_docs",
+            "target_n",
+            F.col("rk").cast("bigint").alias("sample_rank"),
+            "doc_id",
+            "source",
+        )
+    )

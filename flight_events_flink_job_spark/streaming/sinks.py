@@ -207,3 +207,84 @@ def compact_table(
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+ZORDER_BITS = 8
+
+
+def zorder_key(bx, by, bits: int = ZORDER_BITS):
+    """Interleave the bits of two pre-bucketed integer columns (each in
+    [0, 2^bits)) into one Morton/Z-order key — bx occupies the odd bit
+    positions (so it leads the sort), by the even ones. Pure Catalyst
+    bit arithmetic, codegen-fused."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(bx, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(by, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
+def write_zordered_table(
+    spark: SparkSession,
+    df: DataFrame,
+    out_path: str,
+    col_x,
+    col_y,
+    files: int = 8,
+    bits: int = ZORDER_BITS,
+) -> DataFrame:
+    """Z-order-clustered write: the lakehouse data-layout optimization
+    (Delta OPTIMIZE ZORDER BY / Hudi clustering analogue) that makes
+    min/max row-group pruning effective on TWO filter dimensions at
+    once, where linear sort-clustering serves only its leading key.
+
+    ``col_x`` / ``col_y`` are integer-valued Column expressions; each
+    is range-bucketed to ``bits`` bits against its own (min, max) —
+    computed in one 1-row aggregate that rides a broadcast, all
+    integer arithmetic — then bit-interleaved into a Morton key. The
+    write range-partitions on the key (so files own contiguous Z
+    ranges) and sorts within partitions (so row groups do too).
+    Content-preserving by construction: the key is dropped after the
+    write. At 100 TB the identical plan is the per-partition
+    re-clustering maintenance pass: one narrow map, one range
+    exchange, one write.
+    """
+    src = df.withColumn("_zx", col_x.cast("bigint")).withColumn(
+        "_zy", col_y.cast("bigint")
+    )
+    bounds = src.agg(
+        F.min("_zx").alias("xlo"),
+        F.max("_zx").alias("xhi"),
+        F.min("_zy").alias("ylo"),
+        F.max("_zy").alias("yhi"),
+    )
+    n_buckets = 1 << bits
+    bounded = src.crossJoin(F.broadcast(bounds))
+    bx = (
+        (F.col("_zx") - F.col("xlo"))
+        * n_buckets
+        / (F.col("xhi") - F.col("xlo") + 1)
+    ).cast("bigint")
+    by = (
+        (F.col("_zy") - F.col("ylo"))
+        * n_buckets
+        / (F.col("yhi") - F.col("ylo") + 1)
+    ).cast("bigint")
+    keyed = bounded.withColumn("_z", zorder_key(bx, by, bits)).drop(
+        "_zx", "_zy", "xlo", "xhi", "ylo", "yhi"
+    )
+    (
+        keyed.repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return spark.read.parquet(out_path)

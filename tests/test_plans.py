@@ -60,6 +60,12 @@ BNLJ_ALLOWED = {
     # 1-row (n_docs, sum_dl) corpus stats broadcast onto the
     # query-term postings (BM25 normalization constants).
     "bm25_topk",
+    # same 1-row corpus-stats broadcast (shares bm25's scorer).
+    "rrf_retrieval",
+    # |sources|^2 signature-space pair join on a `<` condition — both
+    # sides are the catalog-size per-source signature table (20 rows at
+    # fixture scale, bounded by the source catalog at any scale).
+    "source_overlap_minhash",
 }
 
 
