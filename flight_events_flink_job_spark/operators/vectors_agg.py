@@ -366,4 +366,8 @@ def robust_value_anomalies(events: DataFrame, z_cut: float = 3.5) -> DataFrame:
         "n_valid",
         F.round("med", ROUND_DP).alias("med"),
         F.round("mad", ROUND_DP).alias("mad"),
-    ).agg(F.sum(is_out.cast("long")).alias("n_outliers"))
+    ).agg(
+        # when/otherwise (not a bare cast) so NULL measures count as 0
+        # and an all-NULL group sums to 0, matching the oracle's CASE
+        F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers")
+    )

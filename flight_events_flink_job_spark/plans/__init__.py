@@ -66,6 +66,9 @@ _PRIORITY = [
     "dedup_edit_distance",
     "rrf_retrieval",
     "bloom_membership",
+    "temperature_mix",
+    "robust_anomalies",
+    "orders_zordered",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

@@ -1764,6 +1764,42 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "robust_anomalies",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, count(value) AS n_valid,
+               quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.n_valid, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, n_valid, med, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1, 2, 3
+    )
+    SELECT d.event_type, d.n_valid,
+           round(d.med, 4) AS med, round(m.mad, 4) AS mad,
+           CAST(sum(CASE WHEN m.mad > 0
+                          AND abs(0.6745 * (d.value - d.med) / m.mad) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outlier detection (modified z-score, 0.6745
+    scaling, Iglewicz-Hoaglin 3.5 cut) — the 50%-breakdown twin of
+    value_anomalies; medians via the exact interpolated percentile
+    contract (operators/vectors_agg.py robust_value_anomalies)."""
+    from ..operators.vectors_agg import robust_value_anomalies
+
+    return robust_value_anomalies(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "chunk_documents",
     oracle="""
     WITH t AS (

@@ -436,3 +436,40 @@ def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pipeline import weighted_sample_es
 
     return weighted_sample_es(_docs(spark, sf_dir))
+
+
+@register(
+    "temperature_mix",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0, 0)
+                    AS BIGINT) AS w
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM counts),
+    targets AS (
+        SELECT lang, n_docs, CAST(200 AS BIGINT) * w // sw AS target_n
+        FROM counts, tot
+    ),
+    ranked AS (
+        SELECT lang, doc_id, source,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT t.lang, t.n_docs, t.target_n,
+           CAST(r.rk AS BIGINT) AS sample_rank, r.doc_id, r.source
+    FROM ranked r JOIN targets t USING (lang)
+    WHERE r.rk <= t.target_n
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (T=2) language mixing: per-lang budget share
+    proportional to sqrt(n) in pure integer arithmetic (sqrt is
+    IEEE-correctly-rounded in both engines), drawn by the
+    deterministic md5 rank (operators/pipeline.py temperature_mix)."""
+    from ..operators.pipeline import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir))

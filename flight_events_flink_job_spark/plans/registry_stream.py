@@ -52,6 +52,7 @@ BENCH_SKIP = {
     "stream_topk_routes",
     "airline_stats_compacted",
     "segment_revenue_bucketed",
+    "orders_zordered",
 }
 
 
@@ -458,3 +459,52 @@ def q_airline_stats_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         sort_cols=["airline", "window_start"],
     )
     return merge_airline_stats(compacted)
+
+
+@register(
+    "orders_zordered",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,10))), 2)
+                AS DOUBLE) AS total_revenue
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 500
+    GROUP BY o_orderpriority
+    """,
+)
+def q_orders_zordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered serving round trip (Delta OPTIMIZE ZORDER BY
+    analogue): rewrite orders clustered on the interleaved
+    (o_custkey, order epoch-day) Morton key, then serve a
+    two-dimension-filtered aggregate THROUGH the clustered copy — must
+    hash-equal the plain-orders oracle exactly (the layout pass is
+    content-preserving by contract; the pruning payoff is
+    pytest-asserted from parquet footer spans in tests/test_streaming.py)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.sinks import write_zordered_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="zorder_serving_") + "/orders_z"
+    z = write_zordered_table(
+        spark,
+        orders,
+        out,
+        F.col("o_custkey"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400),
+    )
+    return (
+        z.filter(F.col("o_custkey").between(100, 500))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(27,10)")), 2
+            )
+            .cast("double")
+            .alias("total_revenue"),
+        )
+    )

@@ -495,3 +495,34 @@ def test_weighted_sample_es_plan_is_take_ordered(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_mix_flattens_shares_within_budget(spark, sf_dir):
+    """T=2 sampling: total draw stays within budget; the sampled share
+    of a big language is smaller than its corpus share and a small
+    language's is bigger (the flattening that is the whole point);
+    membership is deterministic under repartitioning."""
+    from flight_events_flink_job_spark.operators.pipeline import temperature_mix
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = temperature_mix(docs, budget=100).collect()
+    assert rows
+    targets = {}
+    for r in rows:
+        targets[r.lang] = (r.n_docs, r.target_n)
+        assert 1 <= r.sample_rank <= r.target_n
+    assert sum(t for _, t in targets.values()) <= 100
+    n_tot = sum(n for n, _ in targets.values())
+    big = max(targets, key=lambda k: targets[k][0])
+    small = min(targets, key=lambda k: targets[k][0])
+    if targets[big][0] > targets[small][0]:
+        assert (
+            targets[big][1] / targets[big][0]
+            < targets[small][1] / targets[small][0]
+        )
+    again = {
+        (r.lang, r.doc_id)
+        for r in temperature_mix(docs.repartition(7), budget=100).collect()
+    }
+    assert again == {(r.lang, r.doc_id) for r in rows}

@@ -755,3 +755,27 @@ def test_bloom_membership_theorem_and_forced_false_positives(spark, sf_dir):
     tiny = bloom_membership(synth, bits=16).collect()
     assert all(r.no_false_negative for r in tiny)
     assert any(r.in_bloom and not r.is_member for r in tiny)
+
+
+def test_robust_anomalies_mad_semantics(spark):
+    """Hand-computed: 1..20 plus one 1000 -> median 11, MAD 5, exactly
+    one modified-z outlier; a constant-majority group has MAD 0 and the
+    mad>0 guard yields zero outliers instead of dividing by zero."""
+    from flight_events_flink_job_spark.operators.vectors_agg import (
+        robust_value_anomalies,
+    )
+
+    rows = [(i, dt.datetime(2024, 1, 1), 1, "a", float(i), "{}") for i in range(1, 21)]
+    rows.append((21, dt.datetime(2024, 1, 1), 1, "a", 1000.0, "{}"))
+    rows += [(100 + i, dt.datetime(2024, 1, 1), 1, "b", 7.0, "{}") for i in range(9)]
+    rows.append((200, dt.datetime(2024, 1, 1), 1, "b", 9999.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.event_type: r for r in robust_value_anomalies(events).collect()}
+    assert out["a"].med == 11.0 and out["a"].mad == 5.0
+    assert out["a"].n_outliers == 1
+    # type b: median 7, MAD 0 (constant majority) -> guard, not a crash
+    assert out["b"].mad == 0.0 and out["b"].n_outliers == 0

@@ -721,3 +721,59 @@ def test_event_time_timer_expires_idle_user(spark, tmp_path):
     # B: only live updates, monotone counts, never expired.
     assert all(not r.expired for r in b)
     assert max(r.n_events for r in b) == 3
+
+
+def test_zorder_write_clusters_both_dimensions(spark, sf_dir):
+    """Z-order layout evidence from parquet footers: after the Morton
+    rewrite, the average per-file span of BOTH cluster keys is a small
+    fraction of the global span (a linear sort can only deliver this
+    for its leading key), and content is preserved exactly."""
+    import glob
+    import tempfile
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+    from flight_events_flink_job_spark.streaming.sinks import (
+        write_zordered_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="zorder_test_") + "/orders_z"
+    z = write_zordered_table(
+        spark,
+        orders,
+        out,
+        F.col("o_custkey"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400),
+        files=8,
+    )
+    # content preservation
+    assert z.count() == orders.count()
+    assert (
+        z.exceptAll(orders).isEmpty() and orders.exceptAll(z).isEmpty()
+    )
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 4
+    con = duckdb.connect()
+    spans = {"o_custkey": [], "day": []}
+    glo = {"o_custkey": None, "day": None}
+    for key, expr in (
+        ("o_custkey", "o_custkey"),
+        ("day", "CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)"),
+    ):
+        lo_g, hi_g = con.execute(
+            f"SELECT min({expr}), max({expr}) FROM '{out}/*.parquet'"
+        ).fetchone()
+        glo[key] = hi_g - lo_g
+        for f in files:
+            lo, hi = con.execute(
+                f"SELECT min({expr}), max({expr}) FROM '{f}'"
+            ).fetchone()
+            spans[key].append(hi - lo)
+    for key in spans:
+        mean_span = sum(spans[key]) / len(spans[key])
+        # each of 8 z-range files must cover well under the full range
+        # of BOTH dimensions (unclustered files would cover ~100%)
+        assert mean_span <= 0.65 * glo[key], (key, mean_span, glo[key])
