@@ -302,3 +302,49 @@ def image_dhash(media: DataFrame, grid: int = 8, width: int = 9) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "height", "dhash"])
 
     return media.mapInPandas(batches, schema=DHASH_SCHEMA)
+
+
+def image_dhash_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming): image near-dup pairs by perceptual
+    dHash distance — the multimodal twin of the text SimHash tier,
+    closing the loop from fingerprint (:func:`image_dhash`) to
+    DEDUP DECISION. Re-encoded/lightly-retouched copies of the same
+    image differ by a few dHash bits; candidates come from pigeonhole
+    blocking (the 63-bit fingerprint split into 4 x 16-bit blocks —
+    any pair within Hamming distance 3 agrees on at least one block,
+    so the block equi-join is COMPLETE for the radius) and are
+    verified with an exact popcount. Same module invariant as
+    dedup.py: candidate pairs come from an equi-join on a bucket key,
+    never an all-pairs cross join; per-block fan-out is the block-
+    collision profile, linear for real image corpora.
+    """
+    fp = image_dhash(media).select("doc_id", "dhash")
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block"),
+                F.shiftright(F.col("dhash"), 16 * b)
+                .bitwiseAND(F.lit(65535))
+                .alias("block_val"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = fp.select(
+        "doc_id", "dhash", F.explode(blocks).alias("c")
+    ).select("doc_id", "dhash", "c.block", "c.block_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+    )
+    return (
+        a.join(b, ["block", "block_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(hamming <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )

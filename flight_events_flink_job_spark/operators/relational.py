@@ -1892,3 +1892,105 @@ def events_grouping_sets(events: DataFrame) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def value_histogram(
+    events: DataFrame, lo: float = 0.0, hi: float = 500.0, bins: int = 20
+) -> DataFrame:
+    """(event_type, bin, bin_lo, bin_hi, n_events): equi-width
+    histogram of the value measure per event type — the one-pass
+    distribution profile dashboards and drift monitors read (the
+    binned complement of the exact/sketch percentile ops).
+
+    Bin -1 collects out-of-range measures (below lo or >= hi), bin -2
+    NULL measures — both emitted explicitly so totals reconcile to
+    count(*) and the bronze-contract NULLs stay visible. Bucket
+    arithmetic is floor((v - lo) / width) with width an exact binary
+    double (25.0), identical in DuckDB; bin edges are bin * width
+    reconstructed from the integer bin, so no rounding anywhere.
+
+    Plan: one narrow projection + one partial-aggregated exchange of
+    at most |types| * (bins + 2) keys — the same mergeable-histogram
+    shape a streaming drift monitor keeps as state.
+    """
+    width = (hi - lo) / bins
+    v = F.col("value")
+    bin_col = (
+        F.when(v.isNull(), F.lit(-2))
+        .when((v < lo) | (v >= hi), F.lit(-1))
+        .otherwise(F.floor((v - lo) / width))
+        .cast("bigint")
+    )
+    ge0 = F.col("bin") >= 0
+    return (
+        events.groupBy("event_type", bin_col.alias("bin"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "event_type",
+            "bin",
+            F.when(ge0, F.col("bin") * width + lo).alias("bin_lo"),
+            F.when(ge0, (F.col("bin") + 1) * width + lo).alias("bin_hi"),
+            "n_events",
+        )
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """(channel, n_purchases, attributed_value): last-touch marketing
+    attribution — every purchase is credited to the user's most recent
+    non-purchase event within the trailing ``window_days``; purchases
+    with no touch in the window land on channel 'none'. The standard
+    funnel-economics query a clickstream warehouse serves.
+
+    Determinism under timestamp ties: the winning touch is
+    max_by(type, (ts, event_id)) — a total order — never a frame-
+    position `last_value`, whose winner among equal-timestamp peers is
+    partition-layout-dependent. Attributed value is the decimal-exact
+    sum contract.
+
+    Plan: purchases equi-join touches on user_id (co-partitioned, the
+    range predicate stays a join residual), one per-purchase argmax
+    aggregate, one per-channel rollup. Fan-out is bounded by a user's
+    touches per window — the same bound any interval join here has.
+    """
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    t = events.filter(
+        (F.col("event_type") != "purchase") & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+    )
+    j = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (t["t_ts"] < p["p_ts"])
+        & (t["t_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {window_days} DAYS")),
+        "left",
+    )
+    per_purchase = j.groupBy("p_id", "value").agg(
+        F.max_by(
+            F.col("touch_type"), F.struct(F.col("t_ts"), F.col("t_id"))
+        ).alias("channel")
+    )
+    return (
+        per_purchase.select(
+            F.coalesce(F.col("channel"), F.lit("none")).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(27,10)")), 4)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )

@@ -69,6 +69,9 @@ _PRIORITY = [
     "temperature_mix",
     "robust_anomalies",
     "orders_zordered",
+    "value_histogram",
+    "last_touch_attribution",
+    "image_dhash_pairs",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

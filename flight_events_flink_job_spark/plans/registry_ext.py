@@ -2251,3 +2251,34 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import source_kl_divergence
 
     return source_kl_divergence(_docs(spark, sf_dir))
+
+
+from .registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@register(
+    "image_dhash_pairs",
+    oracle=f"""
+    WITH fp AS (SELECT * FROM ({_ORACLES["multimodal_image_dhash"]})),
+    banded AS (
+        SELECT doc_id, dhash, b.block,
+               (dhash >> (b.block * 16)) & 65535 AS block_val
+        FROM fp, generate_series(0, 3) AS b(block)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b USING (block, block_val)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.dhash, b.dhash)) <= 3
+    """,
+)
+def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup PAIRS by perceptual dHash Hamming distance <= 3:
+    pigeonhole blocking over the 63-bit fingerprint (4 x 16-bit
+    blocks, complete for the radius) + exact popcount verify — the
+    multimodal twin of dedup_simhash, sharing its oracle's
+    fingerprint CTE verbatim (operators/multimodal.py
+    image_dhash_pairs)."""
+    from ..operators.multimodal import image_dhash_pairs, with_binary_payload
+
+    return image_dhash_pairs(with_binary_payload(_docs(spark, sf_dir)))

@@ -1507,3 +1507,80 @@ def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import events_grouping_sets
 
     return events_grouping_sets(_events(spark, sf_dir))
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    WITH binned AS (
+        SELECT event_type,
+               CASE WHEN value IS NULL THEN CAST(-2 AS BIGINT)
+                    WHEN value < CAST(0.0 AS DOUBLE)
+                         OR value >= CAST(500.0 AS DOUBLE)
+                         THEN CAST(-1 AS BIGINT)
+                    ELSE CAST(floor(value / CAST(25.0 AS DOUBLE)) AS BIGINT)
+               END AS bin
+        FROM events
+    )
+    SELECT event_type, bin,
+           CASE WHEN bin >= 0
+                THEN CAST(bin AS DOUBLE) * CAST(25.0 AS DOUBLE) END AS bin_lo,
+           CASE WHEN bin >= 0
+                THEN CAST(bin + 1 AS DOUBLE) * CAST(25.0 AS DOUBLE)
+           END AS bin_hi,
+           count(*) AS n_events
+    FROM binned GROUP BY event_type, bin
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type (20 x 25.0 bins over
+    [0, 500), explicit out-of-range and NULL bins so totals reconcile
+    to count(*)) — one partial-aggregated exchange of at most
+    |types| * 22 keys (operators/relational.py value_histogram)."""
+    from ..operators.relational import value_histogram
+
+    return value_histogram(_events(spark, sf_dir))
+
+
+@register(
+    "last_touch_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id AS p_id, ts AS p_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, event_type AS touch_type, ts AS t_ts,
+               event_id AS t_id
+        FROM events WHERE event_type <> 'purchase' AND ts IS NOT NULL
+    ),
+    ranked AS (
+        SELECT p.p_id, p.value, t.touch_type,
+               row_number() OVER (
+                   PARTITION BY p.p_id
+                   ORDER BY t.t_ts DESC NULLS LAST, t.t_id DESC NULLS LAST
+               ) AS rn
+        FROM p LEFT JOIN t
+          ON t.user_id = p.user_id
+         AND t.t_ts < p.p_ts
+         AND t.t_ts >= p.p_ts - INTERVAL 7 DAYS
+    ),
+    j AS (
+        SELECT p_id, value, touch_type AS channel FROM ranked WHERE rn = 1
+    )
+    SELECT COALESCE(channel, 'none') AS channel,
+           count(*) AS n_purchases,
+           CAST(round(sum(CAST(value AS DECIMAL(27,10))), 4) AS DOUBLE)
+               AS attributed_value
+    FROM j GROUP BY 1
+    """,
+)
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's
+    most recent non-purchase event in the trailing 7 days, winner
+    chosen by the total order (ts, event_id) — max_by/arg_max on both
+    engines, never a layout-dependent frame position
+    (operators/relational.py last_touch_attribution)."""
+    from ..operators.relational import last_touch_attribution
+
+    return last_touch_attribution(_events(spark, sf_dir))

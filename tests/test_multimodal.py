@@ -136,3 +136,31 @@ def test_image_dhash_detects_near_identical_payloads(spark):
     far = bin(h[1] ^ h[3]).count("1")
     assert near <= 8
     assert far > near
+
+
+def test_image_dhash_pairs_complete_and_thresholded(spark, sf_dir):
+    """Exact duplicate payloads must pair at hamming 0 (pigeonhole
+    completeness floor), every emitted pair verifies <= 3, and the
+    pair set matches a brute-force popcount over all fingerprints."""
+    from flight_events_flink_job_spark.operators.multimodal import (
+        image_dhash,
+        image_dhash_pairs,
+        with_binary_payload,
+    )
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    media = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming for r in image_dhash_pairs(media).collect()
+    }
+    assert all(0 <= h <= 3 for h in pairs.values())
+    fps = {r.doc_id: r.dhash for r in image_dhash(media).collect()}
+    brute = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                brute[(a, b)] = h
+    assert pairs == brute
+    assert brute, "fixture should contain at least one near-identical pair"

@@ -779,3 +779,73 @@ def test_robust_anomalies_mad_semantics(spark):
     assert out["a"].n_outliers == 1
     # type b: median 7, MAD 0 (constant majority) -> guard, not a crash
     assert out["b"].mad == 0.0 and out["b"].n_outliers == 0
+
+
+def test_value_histogram_reconciles_and_bins_correctly(spark):
+    """Bins are floor((v-lo)/width) with explicit overflow (-1) and
+    NULL (-2) bins; totals reconcile to count(*); edges exact."""
+    from flight_events_flink_job_spark.operators.relational import (
+        value_histogram,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "a", 0.0, "{}"),     # bin 0
+        (2, dt.datetime(2024, 1, 1), 1, "a", 24.999, "{}"),  # bin 0
+        (3, dt.datetime(2024, 1, 1), 1, "a", 25.0, "{}"),    # bin 1 (edge)
+        (4, dt.datetime(2024, 1, 1), 1, "a", 499.999, "{}"), # bin 19
+        (5, dt.datetime(2024, 1, 1), 1, "a", 500.0, "{}"),   # overflow
+        (6, dt.datetime(2024, 1, 1), 1, "a", -0.5, "{}"),    # overflow
+        (7, dt.datetime(2024, 1, 1), 1, "a", None, "{}"),    # null bin
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.bin: r for r in value_histogram(events).collect()}
+    assert out[0].n_events == 2 and out[0].bin_lo == 0.0 and out[0].bin_hi == 25.0
+    assert out[1].n_events == 1 and out[1].bin_lo == 25.0
+    assert out[19].n_events == 1
+    assert out[-1].n_events == 2 and out[-1].bin_lo is None
+    assert out[-2].n_events == 1
+    assert sum(r.n_events for r in out.values()) == len(rows)
+
+
+def test_last_touch_attribution_window_and_ties(spark):
+    """The most recent in-window touch wins; a touch outside 7 days or
+    after the purchase cannot win; equal-timestamp touches resolve by
+    event_id (total order), and untouched purchases land on 'none'."""
+    from flight_events_flink_job_spark.operators.relational import (
+        last_touch_attribution,
+    )
+
+    base = dt.datetime(2024, 6, 10, 12, 0, 0)
+    rows = [
+        # user 1: click then view then purchase -> view wins
+        (1, base - dt.timedelta(hours=3), 1, "click", None, "{}"),
+        (2, base - dt.timedelta(hours=1), 1, "view", None, "{}"),
+        (3, base, 1, "purchase", 10.0, "{}"),
+        # user 2: only touch is 8 days old -> none
+        (4, base - dt.timedelta(days=8), 2, "click", None, "{}"),
+        (5, base, 2, "purchase", 20.0, "{}"),
+        # user 3: two touches at the SAME instant -> higher event_id wins
+        (6, base - dt.timedelta(hours=2), 3, "click", None, "{}"),
+        (7, base - dt.timedelta(hours=2), 3, "error", None, "{}"),
+        (8, base, 3, "purchase", 40.0, "{}"),
+        # user 4: touch AFTER the purchase -> none
+        (9, base + dt.timedelta(hours=1), 4, "view", None, "{}"),
+        (10, base, 4, "purchase", 80.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r.channel: (r.n_purchases, r.attributed_value)
+        for r in last_touch_attribution(events).collect()
+    }
+    assert out["view"] == (1, 10.0)
+    assert out["error"] == (1, 40.0)  # event_id 7 beats 6 at the same ts
+    assert out["none"] == (2, 100.0)
+    assert "click" not in out
