@@ -1994,3 +1994,106 @@ def last_touch_attribution(
             .alias("attributed_value"),
         )
     )
+
+
+def events_debounced(events: DataFrame, gap_s: int = 60) -> DataFrame:
+    """(user_id, event_type, n_raw, n_kept): telemetry debounce — a
+    burst of same-key events closer than ``gap_s`` apart collapses to
+    its first event (duplicate click / retry-storm suppression, the
+    standard cleaning pass before funnel or attribution analytics).
+
+    A burst is a gaps-and-islands run: an event starts a new burst iff
+    it is the key's first or arrives STRICTLY more than ``gap_s``
+    after its predecessor (chained semantics: a long storm of events
+    each 1 s apart is ONE burst no matter how long it runs, because
+    suppression keys off the previous raw event, not the previous
+    kept one — exact microsecond comparisons, no bucketing
+    artifacts). NULL timestamps cannot be debounced and count only
+    into n_raw.
+
+    Plan: one window over the (user, type) key partitions + one
+    aggregate on the same key — the window exchange is reused by the
+    groupBy (no second shuffle).
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    is_kept = F.when(
+        F.col("ts").isNotNull(),
+        prev.isNull()
+        | (F.col("ts") > prev + F.expr(f"INTERVAL {gap_s} SECONDS")),
+    ).otherwise(F.lit(False))
+    return (
+        events.withColumn("_kept", is_kept)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum(F.col("_kept").cast("long")).alias("n_kept"),
+        )
+    )
+
+
+def user_triangles(events: DataFrame, top_edges: int = 2000) -> DataFrame:
+    """(user_id, n_triangles): triangle participation counts over the
+    user co-occurrence graph — the classic cohesion/community signal
+    (clustering-coefficient numerator), and the canonical
+    distributed-graph shape beyond the repo's connected components and
+    PageRank: build edges, orient, one wedge join, one closing join.
+
+    Graph construction is bounded by design: an edge is a user pair
+    co-active in the same (event_type, day) bucket, weighted by the
+    number of shared buckets, and only the globally strongest
+    ``top_edges`` edges (ties broken by the pair itself — a total
+    order) form the graph. The top-k gate means the triangle joins
+    run on a FIXED-size edge list at any corpus scale — the same
+    "kNN-graph then analyze" recipe production co-visitation graphs
+    use — while the co-occurrence aggregate is the only data-sized
+    stage (per-bucket pair fan-out, bounded by bucket occupancy; cap
+    buckets upstream for adversarial skew).
+
+    Edges are already oriented (ua < ub), so each triangle a<b<c is
+    found exactly once: wedge join E(a,b) x E(a,c) on a with b < c,
+    then the closing probe for (b, c). Per-user counts credit all
+    three corners.
+    """
+    pairs = (
+        events.filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .distinct()
+    )
+    co = (
+        pairs.alias("x")
+        .join(
+            pairs.alias("y"),
+            (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("x.day") == F.col("y.day"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .groupBy(
+            F.col("x.user_id").alias("ua"), F.col("y.user_id").alias("ub")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = (
+        co.orderBy(F.col("w").desc(), "ua", "ub")
+        .limit(top_edges)
+        .select("ua", "ub")
+    )
+    e1 = edges.select(F.col("ua").alias("a"), F.col("ub").alias("b"))
+    e2 = edges.select(F.col("ua").alias("a"), F.col("ub").alias("c"))
+    wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
+    closing = edges.select(
+        F.col("ua").alias("b"), F.col("ub").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"])
+    corners = (
+        tri.select(F.col("a").alias("user_id"))
+        .unionAll(tri.select(F.col("b").alias("user_id")))
+        .unionAll(tri.select(F.col("c").alias("user_id")))
+    )
+    return corners.groupBy("user_id").agg(
+        F.count("*").alias("n_triangles")
+    )

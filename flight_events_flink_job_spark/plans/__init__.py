@@ -72,6 +72,8 @@ _PRIORITY = [
     "value_histogram",
     "last_touch_attribution",
     "image_dhash_pairs",
+    "events_debounced",
+    "user_triangles",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",
@@ -96,11 +98,11 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_keep_best",
     "corpus_shuffle",
-    # ---- 50-entry driver window ends here: 24 never-checked + the 15
-    # round-5 additions (8 early-round + 7 late-round: cms/unpivot/ewma/
-    # source-overlap/edit-distance/rrf/bloom) + 11 stalest r2 greens.
-    # Everything below is r2/r3/r4 driver-green and still covered by
-    # the committed full-registry parity sweeps. -----------------------------
+    # ---- 50-entry driver window ends here: 24 never-checked + the 23
+    # round-5 additions + the 3 stalest r2 greens (airline_stats_sliding,
+    # converted_without_errors, events_rollup). Everything below is
+    # r2/r3/r4 driver-green and still covered by the committed
+    # full-registry parity sweeps (tools/parity_r5d_*.log). ------------------
     "curation_pipeline",
     "decontaminate",
     "chunk_documents",

@@ -1584,3 +1584,73 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import last_touch_attribution
 
     return last_touch_attribution(_events(spark, sf_dir))
+
+
+@register(
+    "events_debounced",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type,
+               CASE WHEN ts IS NOT NULL AND (
+                        lag(ts) OVER w IS NULL
+                        OR ts > lag(ts) OVER w + INTERVAL 60 SECOND)
+                    THEN 1 ELSE 0 END AS kept
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+    )
+    SELECT user_id, event_type,
+           count(*) AS n_raw,
+           CAST(sum(kept) AS BIGINT) AS n_kept
+    FROM marked GROUP BY user_id, event_type
+    """,
+)
+def q_events_debounced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: same-key events within a strict 60 s of the
+    PREVIOUS RAW event collapse into one burst (gaps-and-islands, kept
+    = burst head); counts per (user, type) reconcile raw vs kept
+    (operators/relational.py events_debounced)."""
+    from ..operators.relational import events_debounced
+
+    return events_debounced(_events(spark, sf_dir))
+
+
+@register(
+    "user_triangles",
+    oracle="""
+    WITH pts AS (
+        SELECT DISTINCT user_id, event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events WHERE ts IS NOT NULL
+    ),
+    co AS (
+        SELECT x.user_id AS ua, y.user_id AS ub, count(*) AS w
+        FROM pts x JOIN pts y
+          ON x.event_type = y.event_type AND x.day = y.day
+         AND x.user_id < y.user_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT ua, ub FROM co ORDER BY w DESC, ua, ub LIMIT 2000
+    ),
+    tri AS (
+        SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.ua = e1.ua AND e1.ub < e2.ub
+        JOIN edges e3 ON e3.ua = e1.ub AND e3.ub = e2.ub
+    ),
+    corners AS (
+        SELECT a AS user_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT user_id, count(*) AS n_triangles FROM corners GROUP BY user_id
+    """,
+)
+def q_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation over the top-2000-strongest user
+    co-occurrence edges (oriented wedge join + closing probe; the
+    top-k gate makes the triangle joins fixed-size at any corpus
+    scale) (operators/relational.py user_triangles)."""
+    from ..operators.relational import user_triangles
+
+    return user_triangles(_events(spark, sf_dir))

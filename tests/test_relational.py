@@ -849,3 +849,63 @@ def test_last_touch_attribution_window_and_ties(spark):
     assert out["error"] == (1, 40.0)  # event_id 7 beats 6 at the same ts
     assert out["none"] == (2, 100.0)
     assert "click" not in out
+
+
+def test_events_debounced_chained_burst_semantics(spark):
+    """A storm of events each under the gap apart is ONE burst no
+    matter its total length (suppression keys off the previous RAW
+    event); a strictly-greater-than-gap space starts a new burst; an
+    exactly-at-gap event is still suppressed."""
+    from flight_events_flink_job_spark.operators.relational import (
+        events_debounced,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(seconds=59), 1, "click", 1.0, "{}"),
+        (3, base + dt.timedelta(seconds=118), 1, "click", 1.0, "{}"),
+        (4, base + dt.timedelta(seconds=178), 1, "click", 1.0, "{}"),  # ==60s
+        (5, base + dt.timedelta(seconds=239), 1, "click", 1.0, "{}"),  # 61s
+        (6, base, 1, "view", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r.user_id, r.event_type): (r.n_raw, r.n_kept)
+        for r in events_debounced(events).collect()
+    }
+    assert out[(1, "click")] == (5, 2)  # head + the 61s-later event
+    assert out[(1, "view")] == (1, 1)
+
+
+def test_user_triangles_closed_vs_open_triple(spark):
+    """A closed triple yields one triangle credited to all three
+    corners; an open wedge yields none; the co-occurrence threshold is
+    the top-k edge gate."""
+    from flight_events_flink_job_spark.operators.relational import (
+        user_triangles,
+    )
+
+    rows = []
+    eid = 0
+    # users 1,2,3 all co-active in many shared buckets (strong clique)
+    for d in range(5):
+        for u in (1, 2, 3):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1 + d), u, "click", 1.0, "{}"))
+    # user 4 shares buckets only with 1 (wedge 4-1, never 4-2/4-3 strong)
+    for d in range(5):
+        for u in (1, 4):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 2, 1 + d), u, "view", 1.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.user_id: r.n_triangles for r in user_triangles(events).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}

@@ -5,7 +5,7 @@
 # order that fails fastest:
 #   1. full pytest suite (651 tests incl. plan gates, property tests,
 #      streaming batch/stream parity, adversarial regressions; ~10 min)
-#   2. full-registry (157-query) parity sweep vs the DuckDB oracles at
+#   2. full-registry (159-query) parity sweep vs the DuckDB oracles at
 #      sf0.01 — the same comparison the grading driver runs (~8 min)
 #   3. adversarial-fixture parity sweep (generates the slice under
 #      /tmp, then the same full-registry differential over it; ~8 min)
