@@ -62,6 +62,8 @@ BNLJ_ALLOWED = {
     "bm25_topk",
     # same 1-row corpus-stats broadcast (shares bm25's scorer).
     "rrf_retrieval",
+    # 1-row sum-of-weights broadcast onto the |langs|-row share table.
+    "temperature_mix",
     # |sources|^2 signature-space pair join on a `<` condition — both
     # sides are the catalog-size per-source signature table (20 rows at
     # fixture scale, bounded by the source catalog at any scale).
