@@ -1667,6 +1667,85 @@ def ewma_daily_value(events: DataFrame) -> DataFrame:
     )
 
 
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """(event_type, n_days, cp_day, cusum_abs_scaled, mean_before,
+    mean_after): offline CUSUM changepoint detection over the per-type
+    daily value series — the standard "where did this metric's level
+    shift" pass (Page's cumulative-sum statistic; the day maximizing
+    |S_i| = |sum_{j<=i}(x_j - mean)| is the estimated changepoint).
+
+    Engine-exactness: the daily total is decimal-rounded to 4 dp and
+    scaled to BIGINT ``m`` (the ewma_daily_value contract). The CUSUM
+    statistic is then multiplied through by n so it stays INTEGER:
+    n * S_i = n * prefix_i - i * total. No double accumulates; the
+    argmax and its tie-break (earliest day) compare exact integers, so
+    both engines pick the identical changepoint even when two days tie.
+    Magnitude bound: |m| <= 1e13 (bronze |value| <= 1e9, 4 dp scale),
+    so |n * prefix| <= n^2 * 1e13 — safe in BIGINT to ~900 days per
+    type; beyond that widen to DECIMAL(38,0).
+    The only doubles are the two edge means, each a single IEEE
+    division of exactly-representable operands (|prefix| < 2^53):
+    mean_before = prefix_cp / (1e4 * i_cp), mean_after =
+    (total - prefix_cp) / (1e4 * (n - i_cp)) — bit-identical across
+    engines; NULL when the changepoint is the last day.
+
+    Scale shape: one aggregate exchange builds the bounded daily
+    series (days x types, not events); every window function —
+    ordered prefix/index, unbounded total/count, and the argmax
+    rank — evaluates over the SAME event_type partitioning, so
+    Catalyst plans a single exchange for all of them. The final
+    rn = 1 filter is a per-partition scan, no global sort.
+    """
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            (
+                F.round(F.sum(F.col("value").cast("decimal(27,10)")), 4)
+                .cast("decimal(18,4)")
+                * 10000
+            )
+            .cast("bigint")
+            .alias("m")
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        F.sum("m").over(wo).alias("prefix"),
+        F.row_number().over(wo).alias("i"),
+        F.sum("m").over(wa).alias("total"),
+        F.count("*").over(wa).alias("n_days"),
+    ).withColumn(
+        "cusum_scaled",
+        F.col("n_days") * F.col("prefix") - F.col("i") * F.col("total"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").alias("cp_day"),
+            F.abs(F.col("cusum_scaled")).alias("cusum_abs_scaled"),
+            (
+                F.col("prefix").cast("double")
+                / (F.lit(10000.0) * F.col("i"))
+            ).alias("mean_before"),
+            F.when(
+                F.col("n_days") > F.col("i"),
+                (F.col("total") - F.col("prefix")).cast("double")
+                / (F.lit(10000.0) * (F.col("n_days") - F.col("i"))),
+            ).alias("mean_after"),
+        )
+    )
+
+
 def events_gapfill_locf(events: DataFrame, bucket_s: int = 300) -> DataFrame:
     """(window_start, event_type, n_events, sum_value, locf_sum_value,
     is_gap): the hypertable ``time_bucket_gapfill`` + LOCF shape — a

@@ -74,6 +74,7 @@ _PRIORITY = [
     "image_dhash_pairs",
     "events_debounced",
     "user_triangles",
+    "cusum_changepoint",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

@@ -29,6 +29,7 @@ from ..operators.relational import (
     returned_items_top_customers,
     conversion_funnel,
     converted_users_without_errors,
+    cusum_changepoint,
     error_rate_windows,
     event_transitions,
     events_multigrain_rollup,
@@ -632,6 +633,55 @@ def q_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-up integer division) so both engines agree bit-for-bit
     (operators/relational.py ewma_daily_value)."""
     return ewma_daily_value(_events(spark, sf_dir))
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(CAST(round(sum(CAST(value AS DECIMAL(27,10))), 4)
+                         AS DECIMAL(18,4)) * 10000 AS BIGINT) AS m
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, day,
+               CAST(sum(m) OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS prefix,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS i,
+               CAST(sum(m) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+               count(*) OVER (PARTITION BY event_type) AS n_days
+        FROM daily
+    ),
+    c AS (
+        SELECT *, n_days * prefix - i * total AS cusum_scaled
+        FROM scored
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(cusum_scaled) DESC, day ASC) AS rn
+        FROM c
+    )
+    SELECT event_type, n_days, CAST(day AS TIMESTAMP) AS cp_day,
+           abs(cusum_scaled) AS cusum_abs_scaled,
+           CAST(prefix AS DOUBLE) / (10000.0 * i) AS mean_before,
+           CASE WHEN n_days > i
+                THEN CAST(total - prefix AS DOUBLE)
+                     / (10000.0 * (n_days - i)) END AS mean_after
+    FROM r WHERE rn = 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint per event type: the day maximizing
+    |cumulative deviation from the series mean|, computed entirely in
+    scaled-integer arithmetic (n*S_i = n*prefix_i - i*total over the
+    4dp-scaled daily BIGINTs) so the argmax and its earliest-day
+    tie-break are bit-identical across engines
+    (operators/relational.py cusum_changepoint)."""
+    return cusum_changepoint(_events(spark, sf_dir))
 
 
 @register(

@@ -729,6 +729,50 @@ def test_ewma_daily_value_hand_computed(spark):
     assert rows[3] == (None, 16.6667)
 
 
+def test_cusum_changepoint_hand_computed(spark):
+    """Series 10,10,10,40,40 (one level shift after day 3): scaled
+    CUSUM n*S_i peaks at day 3 (|5*prefix - i*total| = |5*300000 -
+    3*1100000| = 1800000), mean_before = 10, mean_after = 40; a
+    single-day type yields cusum 0 with NULL mean_after; NULL-value
+    rows are excluded before the daily aggregate."""
+    import datetime as dt
+
+    from flight_events_flink_job_spark.operators.relational import (
+        cusum_changepoint,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, d, 5), 1, "x", float(v), "{}")
+        for i, (d, v) in enumerate(
+            [(1, 10), (2, 10), (3, 10), (4, 40), (5, 40)]
+        )
+    ]
+    rows.append((10, dt.datetime(2024, 1, 1, 6), 1, "y", 7.0, "{}"))
+    rows.append((11, dt.datetime(2024, 1, 2, 6), 1, "x", None, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.event_type: r for r in cusum_changepoint(events).collect()}
+    x = out["x"]
+    assert x.n_days == 5
+    assert x.cp_day == dt.datetime(2024, 1, 3)
+    assert x.cusum_abs_scaled == 1800000
+    assert x.mean_before == 10.0
+    assert x.mean_after == 40.0
+    y = out["y"]
+    assert (y.n_days, y.cusum_abs_scaled) == (1, 0)
+    assert y.mean_before == 7.0 and y.mean_after is None
+    # All four window functions share one event_type exchange (plus the
+    # one building the daily series).
+    plan = (
+        cusum_changepoint(events)._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2
+
+
 def test_bloom_membership_theorem_and_forced_false_positives(spark, sf_dir):
     """Members are never missed (Bloom theorem) and exact members are
     all flagged in_bloom at the default width; shrinking to 16 bits
