@@ -1667,6 +1667,49 @@ def ewma_daily_value(events: DataFrame) -> DataFrame:
     )
 
 
+def key_skew_profile(events: DataFrame, key: str = "user_id", k: int = 10) -> DataFrame:
+    """(rank, user_id, cnt, share_ppm, n_keys, total_rows, skew_x1000):
+    join-key skew diagnostics — the pre-flight check a 100 TB pipeline
+    runs before shuffling on a key (should this join be salted? is AQE
+    skew handling going to fire?). Emits the k heaviest keys with their
+    integer-exact traffic share (parts per million) and the global
+    skew ratio max_cnt/avg_cnt scaled to x1000 — the factor by which
+    the hottest shuffle partition exceeds the average.
+
+    All arithmetic is BIGINT (ppm/x1000 scaling + floor division), so
+    the profile hash-matches across engines with no float rounding.
+
+    Scale shape: one map-side-combined count aggregate on the key; the
+    global stats reduce to ONE row (the single sanctioned broadcast);
+    the top-k is TakeOrderedAndProject (per-partition heap, no global
+    sort), ties broken by key so the boundary is deterministic. The
+    final rank window orders k rows — constant work.
+    """
+    counts = events.groupBy(key).agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col(key).asc()).limit(k)
+    wr = Window.orderBy(F.col("cnt").desc(), F.col(key).asc())
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .select(
+            "rank",
+            key,
+            "cnt",
+            F.expr("cnt * 1000000 div total_rows").alias("share_ppm"),
+            "n_keys",
+            "total_rows",
+            F.expr("max_cnt * 1000 * n_keys div total_rows").alias(
+                "skew_x1000"
+            ),
+        )
+    )
+
+
 def cusum_changepoint(events: DataFrame) -> DataFrame:
     """(event_type, n_days, cp_day, cusum_abs_scaled, mean_before,
     mean_after): offline CUSUM changepoint detection over the per-type

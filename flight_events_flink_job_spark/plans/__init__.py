@@ -75,6 +75,7 @@ _PRIORITY = [
     "events_debounced",
     "user_triangles",
     "cusum_changepoint",
+    "key_skew_profile",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

@@ -35,6 +35,7 @@ from ..operators.relational import (
     events_multigrain_rollup,
     events_rollup,
     inactive_customers,
+    key_skew_profile,
     nation_trade_volume,
     orders_asof_join,
     promo_revenue_share,
@@ -633,6 +634,37 @@ def q_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-up integer division) so both engines agree bit-for-bit
     (operators/relational.py ewma_daily_value)."""
     return ewma_daily_value(_events(spark, sf_dir))
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows,
+               max(cnt) AS max_cnt
+        FROM counts
+    ),
+    top AS (
+        SELECT user_id, cnt,
+               row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rank
+        FROM counts ORDER BY cnt DESC, user_id ASC LIMIT 10
+    )
+    SELECT t.rank, t.user_id, t.cnt,
+           (t.cnt * 1000000) // s.total_rows AS share_ppm,
+           s.n_keys, s.total_rows,
+           (s.max_cnt * 1000 * s.n_keys) // s.total_rows AS skew_x1000
+    FROM top t, stats s
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics on events.user_id: top-10 heavy keys
+    with integer-exact ppm shares and the max/avg skew ratio x1000 —
+    the pre-shuffle salting/AQE decision input, all BIGINT math
+    (operators/relational.py key_skew_profile)."""
+    return key_skew_profile(_events(spark, sf_dir))
 
 
 @register(

@@ -64,6 +64,8 @@ BNLJ_ALLOWED = {
     "rrf_retrieval",
     # 1-row sum-of-weights broadcast onto the |langs|-row share table.
     "temperature_mix",
+    # 1-row global key-count stats broadcast onto the top-10 heavy keys.
+    "key_skew_profile",
     # |sources|^2 signature-space pair join on a `<` condition — both
     # sides are the catalog-size per-source signature table (20 rows at
     # fixture scale, bounded by the source catalog at any scale).

@@ -729,6 +729,44 @@ def test_ewma_daily_value_hand_computed(spark):
     assert rows[3] == (None, 16.6667)
 
 
+def test_key_skew_profile_hand_computed(spark):
+    """10 rows over keys {1: 6, 2: 2, 3: 1, 4: 1}: rank 1 is the heavy
+    key with share 600000 ppm; skew_x1000 = 6*1000*4/10 = 2400 (the
+    hot partition is 2.4x the average); count ties rank by key asc; the
+    top-k cap limits output rows."""
+    import datetime as dt
+
+    from flight_events_flink_job_spark.operators.relational import (
+        key_skew_profile,
+    )
+
+    rows = []
+    for i, uid in enumerate([1] * 6 + [2] * 2 + [3] + [4]):
+        rows.append((i, dt.datetime(2024, 1, 1, 5), uid, "x", 1.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = key_skew_profile(events).collect()
+    assert [(r.rank, r.user_id, r.cnt, r.share_ppm) for r in out] == [
+        (1, 1, 6, 600000),
+        (2, 2, 2, 200000),
+        (3, 3, 1, 100000),
+        (4, 4, 1, 100000),
+    ]
+    assert all(
+        (r.n_keys, r.total_rows, r.skew_x1000) == (4, 10, 2400) for r in out
+    )
+    assert len(key_skew_profile(events, k=2).collect()) == 2
+    # Top-k must be a per-partition heap (TakeOrderedAndProject), not a
+    # global sort.
+    plan = (
+        key_skew_profile(events)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_cusum_changepoint_hand_computed(spark):
     """Series 10,10,10,40,40 (one level shift after day 3): scaled
     CUSUM n*S_i peaks at day 3 (|5*prefix - i*total| = |5*300000 -
