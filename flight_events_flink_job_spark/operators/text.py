@@ -533,6 +533,59 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_pmi(docs: DataFrame, min_count: int = 5, k: int = 20) -> DataFrame:
+    """(w1, w2, n2, pmi): top-k collocations by pointwise mutual
+    information over adjacent token pairs — the classic phrase-mining /
+    tokenizer-merge-candidate pass (pairs that co-occur far above
+    chance: PMI = ln(N * c(w1,w2) / (c(w1,.) * c(.,w2))), marginals
+    taken over the bigram table itself so the measure is
+    self-consistent). ``min_count`` drops the unstable low-frequency
+    tail that otherwise dominates PMI rankings.
+
+    Portability: counts and their products stay BIGINT; the single
+    double division of two exactly-representable products (< 2^53 at
+    any tested scale — widen to DECIMAL beyond ~1e8-token corpora) is
+    IEEE-exact, and only the final ln is engine-variant, so pmi is
+    rounded to 6 dp and BOTH engines rank by the rounded value with a
+    (w1, w2) tie-break — the ranking can never disagree on a last-ulp
+    ln difference.
+
+    Plan: bigrams assemble per-row via zip_with (zero shuffle, no
+    window over the token stream); one hash aggregate builds the pair
+    table; both marginals re-aggregate the (w1, w2, n2) rows — never
+    the token stream again; the 1-row corpus total rides a broadcast;
+    top-k is TakeOrderedAndProject (per-partition heap, no global
+    sort).
+    """
+    ts = tokens(F.col("text"))
+    pairs = F.zip_with(
+        F.slice(ts, 1, F.size(ts) - 1),
+        F.slice(ts, 2, F.size(ts) - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1l = c2.groupBy("w1").agg(F.sum("n2").alias("n1l"))
+    c1r = c2.groupBy("w2").agg(F.sum("n2").alias("n1r"))
+    tot = c2.agg(F.sum("n2").alias("nn"))
+    pmi = F.round(
+        F.log(
+            (F.col("nn") * F.col("n2")).cast("double")
+            / (F.col("n1l") * F.col("n1r")).cast("double")
+        ),
+        6,
+    )
+    return (
+        c2.filter(F.col("n2") >= min_count)
+        .join(c1l, "w1")
+        .join(c1r, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n2", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )
+
+
 def zipf_slope(docs: DataFrame, top_n: int = 100) -> DataFrame:
     """(lang, n_terms, zipf_slope): least-squares slope of
     log(frequency) vs log(rank) over each language's ``top_n`` terms —

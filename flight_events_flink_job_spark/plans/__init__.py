@@ -76,6 +76,7 @@ _PRIORITY = [
     "user_triangles",
     "cusum_changepoint",
     "key_skew_profile",
+    "token_pmi",
     # -- 2. stalest greens: last driver-green in round 2 --------------------
     "airline_stats_sliding",
     "converted_without_errors",

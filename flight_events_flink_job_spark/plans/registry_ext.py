@@ -58,6 +58,7 @@ from ..operators.text import (
     cross_source_leakage,
     doc_logfreq_score,
     quality_filter_funnel,
+    token_pmi,
     top_ngrams_per_lang,
     LANG_LEXICONS,
     STOPWORDS,
@@ -793,6 +794,33 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Add-one-smoothed bigram LM fluency score per document (corpus-
     trained, per-token logs 6dp-rounded then DECIMAL-summed)."""
     return bigram_lm_score(_docs(spark, sf_dir))
+
+
+@register(
+    "token_pmi",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') ts FROM documents),
+    bg AS (
+      SELECT unnest(ts[:len(ts)-1]) w1, unnest(ts[2:]) w2
+      FROM t WHERE len(ts) >= 2
+    ),
+    c2 AS (SELECT w1, w2, count(*) n2 FROM bg GROUP BY w1, w2),
+    c1l AS (SELECT w1, CAST(sum(n2) AS BIGINT) n1l FROM c2 GROUP BY w1),
+    c1r AS (SELECT w2, CAST(sum(n2) AS BIGINT) n1r FROM c2 GROUP BY w2),
+    tot AS (SELECT CAST(sum(n2) AS BIGINT) nn FROM c2)
+    SELECT w1, w2, n2,
+           round(ln(CAST(nn * n2 AS DOUBLE)
+                    / CAST(n1l * n1r AS DOUBLE)), 6) AS pmi
+    FROM c2 JOIN c1l USING (w1) JOIN c1r USING (w2) CROSS JOIN tot
+    WHERE n2 >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI over adjacent token pairs (min count
+    5; 6dp-rounded ln ranked with (w1, w2) tie-break so both engines
+    agree; operators/text.py token_pmi)."""
+    return token_pmi(_docs(spark, sf_dir))
 
 
 def _kmeans_ctes(

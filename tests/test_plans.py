@@ -66,6 +66,8 @@ BNLJ_ALLOWED = {
     "temperature_mix",
     # 1-row global key-count stats broadcast onto the top-10 heavy keys.
     "key_skew_profile",
+    # 1-row corpus bigram total broadcast onto the pair table.
+    "token_pmi",
     # |sources|^2 signature-space pair join on a `<` condition — both
     # sides are the catalog-size per-source signature table (20 rows at
     # fixture scale, bounded by the source catalog at any scale).

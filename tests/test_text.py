@@ -586,3 +586,29 @@ def test_rrf_fusion_semantics(spark, sf_dir):
         top = min(rs, key=lambda r: r.rrf_rank)
         if top.rk_bm25 == 1 and top.rk_ql == 1:
             assert top.rrf_score == 2.0 / 61
+
+
+def test_token_pmi_hand_computed(spark):
+    """Corpus 'a b a b': bigrams (a,b)x2 + (b,a)x1, N=3. PMI(b,a) =
+    ln(3*1/(1*1)) = ln 3 beats PMI(a,b) = ln(3*2/(2*2)) = ln 1.5, both
+    6dp-rounded; min_count=2 keeps only the repeated pair."""
+    import math
+
+    from flight_events_flink_job_spark.operators.text import token_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    rows = token_pmi(docs, min_count=1, k=10).collect()
+    assert [(r.w1, r.w2, r.n2) for r in rows] == [("b", "a", 1), ("a", "b", 2)]
+    assert rows[0].pmi == round(math.log(3.0), 6)
+    assert rows[1].pmi == round(math.log(1.5), 6)
+    only = token_pmi(docs, min_count=2, k=10).collect()
+    assert [(r.w1, r.w2) for r in only] == [("a", "b")]
+    # Top-k must be a per-partition heap, not a global sort.
+    plan = (
+        token_pmi(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
