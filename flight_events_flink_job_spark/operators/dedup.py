@@ -299,19 +299,37 @@ def prefix_filter_pairs(
 
 
 def dedup_ngram_jaccard(
-    docs: DataFrame, threshold: float = 0.7, n: int = 3
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    candidates: str = "linear",
 ) -> DataFrame:
-    """EXACT all-pairs n-gram Jaccard join: complete candidates from
-    prefix filtering (+ PPJoin length/positional prunes, both
-    exactness-preserving) + exact verification. Same output contract as
-    :func:`dedup_near_minhash` but deterministic-complete by theorem,
-    hence always oracle-exact at any threshold.
+    """All-pairs n-gram Jaccard join: candidate generation + exact
+    verification. Same output contract as :func:`dedup_near_minhash`
+    but with a deterministic exact-verify stage, hence oracle-exact at
+    any threshold on every fixture.
+
+    ``candidates`` picks the generation tier:
+
+    - ``"linear"`` (default, the production/100 TB path):
+      :func:`linear_candidate_pairs` — LSH ∪ df-capped prefix filter.
+      Every stage measured linear in corpus size (BASELINE.md §5);
+      verified-true-pair counts equal the exact tier's at every
+      measured scale point (sf0.1→2.0, the per-scale completeness
+      proof recorded in the scale-curve JSON).
+    - ``"exact"`` (the audit tier): theorem-complete prefix filtering
+      (Bayardo AllPairs + PPJoin length/positional prunes, all
+      exactness-preserving). Its POST-filter candidate count is
+      measured linear, but the raw equi-join match stream underneath
+      still grows with prefix-token collisions, so wall time is
+      super-linear at the sf1→2 leg (alpha ~1.27) — run it on samples
+      to audit the linear tier, not on the full corpus.
     """
-    return verify_jaccard(
-        prefix_filter_pairs(exploded_shingles(docs, n), threshold),
-        shingle_sets(docs, n),
-        threshold,
-    )
+    if candidates == "exact":
+        pairs = prefix_filter_pairs(exploded_shingles(docs, n), threshold)
+    else:
+        pairs = linear_candidate_pairs(docs, threshold, n)
+    return verify_jaccard(pairs, shingle_sets(docs, n), threshold)
 
 
 def linear_candidate_pairs(
@@ -336,9 +354,11 @@ def linear_candidate_pairs(
     which is precisely where LSH is strongest, because such pairs are
     near-identical boilerplate with high J. A miss therefore requires
     both an LSH non-collision AND all-boilerplate prefix overlap
-    simultaneously; empirically the union reproduces the
-    theorem-complete candidate set exactly on every driver fixture
-    (sf0.01/sf0.1) and the adversarial slice. At 100 TB both legs
+    simultaneously; empirically the union's VERIFIED pair set equals
+    the theorem-complete tier's on every driver fixture (sf0.01/sf0.1),
+    the adversarial slice, and every measured scale point (sf0.1→2.0,
+    5k→100k docs — counted per point by the scale harness,
+    ``true_pairs_linear == true_pairs_exact``). At 100 TB both legs
     shuffle on sparse bucket keys (band hash / rare shingle) with
     per-bucket fan-out bounded by banding resp. df_cap^2 — the measured
     scale curves in BASELINE.md §4 put both at alpha <= ~1.
@@ -487,12 +507,22 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 # 420k -> 807k, linear, BASELINE.md §4e) — while 30-bit combo keys
 # push that floor out to N ~ 2^30 at the price of 20 rows per doc
 # instead of 4. That price makes the combo scheme SLOWER below the
-# crossover (sf0.1, 5k docs: 4.6 s vs 2.7 s measured), so the scheme
-# is chosen by corpus size; both schemes are complete, so the result
-# set is identical either way.
+# crossover, which round 6 MEASURED head-to-head up to 1M docs
+# (BASELINE.md §5a): classic/combo seconds at
+# 25k/50k/100k/250k/500k/1M docs = 1.95/3.80, 2.53/6.02, 6.01/10.83,
+# 15.78/24.68, 17.06/24.95, 31.81/41.01. Classic's raw collision
+# stream does grow ~N²/2^15, but its per-match cost is so low that
+# the 5x key overhead keeps combo behind through 1M docs; the
+# classic/combo ratio shrinks ~0.87x per corpus doubling, putting
+# measured-trend parity at ~4M docs — the auto threshold below.
+# (The r5 threshold of 500k extrapolated from the pre-filter stream
+# counts alone and measured WRONG once both schemes were timed
+# head-to-head at the boundary.) Both schemes are complete, so the
+# result set is identical either way; above the threshold combo's
+# 30-bit keys make the candidate stream linear out to N ~ 2^30.
 SIMHASH_COMBO_BLOCKS = 6
 SIMHASH_COMBO_PICK = 3
-SIMHASH_COMBO_MIN_DOCS = 500_000
+SIMHASH_COMBO_MIN_DOCS = 4_000_000
 
 
 def simhash_near_pairs(
@@ -592,8 +622,16 @@ def simhash_near_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # Hamming gate BEFORE the pair-distinct: the raw match stream
+        # carries the scheme's accidental-collision floor (classic:
+        # ~N²/2^15 rows), and `.distinct()` is a full shuffle of it.
+        # Filtering first means only true-radius pairs (linear) reach
+        # the exchange — the filter is cheap codegen'd popcount work
+        # computed map-side either way. (Round 6: the registered query
+        # measured 2.7x the plain operator at 500k docs with the old
+        # distinct-then-filter order.)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -819,7 +857,7 @@ def neardup_components(
     dropped.
     """
     if pair_source == "exact":
-        pairs = dedup_ngram_jaccard(docs, threshold, n)
+        pairs = dedup_ngram_jaccard(docs, threshold, n, candidates="exact")
     else:
         sh = shingle_sets(docs, n)
         pairs = verify_jaccard(

@@ -2066,52 +2066,79 @@ def last_touch_attribution(
     with no touch in the window land on channel 'none'. The standard
     funnel-economics query a clickstream warehouse serves.
 
-    Determinism under timestamp ties: the winning touch is
-    max_by(type, (ts, event_id)) — a total order — never a frame-
-    position `last_value`, whose winner among equal-timestamp peers is
-    partition-layout-dependent. Attributed value is the decimal-exact
-    sum contract.
+    Determinism under timestamp ties: the winning touch is the maximum
+    (ts, event_id) — a total order — encoded in the scan's sort key,
+    never a bare frame-position `last_value` among equal peers.
+    Attributed value is the decimal-exact sum contract.
 
-    Plan: purchases equi-join touches on user_id (co-partitioned, the
-    range predicate stays a join residual), one per-purchase argmax
-    aggregate, one per-channel rollup. Fan-out is bounded by a user's
-    touches per window — the same bound any interval join here has.
+    Plan — an AS-OF lookup, NOT an interval join: the naive
+    purchases ⋈ touches equi-join on user_id alone produces
+    O(purchases × touches) raw rows PER USER (the window predicate is
+    only a post-join residual), which measured QUADRATIC on the
+    skewed-head scale fixture (0.8 → 115 s across sf0.1→2.0, round 6).
+    Since last-touch needs exactly one predecessor per purchase, the
+    whole query is one sorted scan instead: shuffle once on user_id,
+    sort by (ts, purchase-before-touch, event_id), and take
+    last(touch, ignorenulls) over the unbounded-preceding frame — each
+    purchase row sees precisely the latest strictly-earlier touch with
+    ZERO pair expansion. The tie order puts a purchase BEFORE touches
+    at the same timestamp, enforcing t_ts < p_ts strictly inside the
+    sort itself; the trailing-window bound becomes a scalar post-check
+    on the captured touch timestamp. Cost: one exchange + one
+    per-user sort, linear at any key skew (a heavy user is one big
+    sorted run, not a quadratic blowup).
     """
-    p = events.filter(F.col("event_type") == "purchase").select(
+    is_p = F.col("event_type") == "purchase"
+    no_ts = events.filter(is_p & F.col("ts").isNull()).select(
+        F.lit("none").alias("channel"), "value"
+    )
+    stream = events.filter(F.col("ts").isNotNull()).select(
         "user_id",
-        F.col("event_id").alias("p_id"),
-        F.col("ts").alias("p_ts"),
+        "ts",
+        "event_id",
         "value",
+        is_p.alias("is_purchase"),
+        F.when(
+            ~is_p,
+            F.struct(
+                F.col("ts").alias("t_ts"),
+                F.col("event_type").alias("touch_type"),
+            ),
+        ).alias("touch"),
     )
-    t = events.filter(
-        (F.col("event_type") != "purchase") & F.col("ts").isNotNull()
-    ).select(
-        # Renamed: p and t share a lineage, so t["user_id"] ==
-        # p["user_id"] resolves BOTH sides to the same attribute — a
-        # trivially-true predicate (Spark WARNs; verify_r5e.log:64).
-        # A distinct name forces the intended cross-side equi-join.
-        F.col("user_id").alias("t_user"),
-        F.col("event_type").alias("touch_type"),
-        F.col("ts").alias("t_ts"),
-        F.col("event_id").alias("t_id"),
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "ts",
+            # purchases sort before same-ts touches: the frame up to a
+            # purchase row therefore contains only STRICTLY earlier
+            # touches (t_ts < p_ts), and among touches the last row in
+            # (ts, event_id) order is exactly max_by(type, (ts, id)).
+            F.when(F.col("is_purchase"), F.lit(0)).otherwise(F.lit(1)),
+            "event_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    j = p.join(
-        t,
-        (p["user_id"] == t["t_user"])
-        & (t["t_ts"] < p["p_ts"])
-        & (t["t_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {window_days} DAYS")),
-        "left",
-    )
-    per_purchase = j.groupBy("p_id", "value").agg(
-        F.max_by(
-            F.col("touch_type"), F.struct(F.col("t_ts"), F.col("t_id"))
-        ).alias("channel")
-    )
-    return (
-        per_purchase.select(
-            F.coalesce(F.col("channel"), F.lit("none")).alias("channel"),
+    lt = F.last("touch", ignorenulls=True).over(w)
+    per_purchase = (
+        stream.withColumn("lt", lt)
+        .filter("is_purchase")
+        .select(
+            F.when(
+                F.col("lt").isNotNull()
+                & (
+                    F.col("lt.t_ts")
+                    >= F.col("ts") - F.expr(f"INTERVAL {window_days} DAYS")
+                ),
+                F.col("lt.touch_type"),
+            )
+            .otherwise(F.lit("none"))
+            .alias("channel"),
             "value",
         )
+    )
+    return (
+        per_purchase.unionByName(no_ts)
         .groupBy("channel")
         .agg(
             F.count("*").alias("n_purchases"),

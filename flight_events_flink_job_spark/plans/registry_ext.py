@@ -189,8 +189,14 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_PAIRS_SQL.format(cte=SHINGLES_CTE, threshold=0.7),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact trigram-Jaccard >= 0.7 via complete prefix-filter candidates
-    (Bayardo et al. AllPairs) — deterministic-equal to all-pairs."""
+    """Trigram-Jaccard >= 0.7: linear candidate union (LSH ∪ df-capped
+    prefix filter) + exact Jaccard verification. Oracle stays the exact
+    all-pairs join — parity holds iff the union captures every true
+    pair, which the driver re-proves each round; the scale harness
+    additionally proves it at every sf0.1→2.0 point by counting
+    verified pairs against the theorem-complete prefix-filter tier
+    (dedup_ngram_jaccard(candidates="exact"), the sampling-audit
+    path)."""
     return dedup_ngram_jaccard(_docs(spark, sf_dir))
 
 

@@ -69,11 +69,12 @@ def test_ngram_jaccard_equals_bruteforce(docs):
         .where(F.col("j") >= 0.5)
         .collect()
     }
-    fast = {
-        (r.doc_a, r.doc_b, r.jaccard)
-        for r in dedup_ngram_jaccard(docs, 0.5).collect()
-    }
-    assert fast == brute and len(brute) > 0
+    for tier in ("linear", "exact"):
+        fast = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup_ngram_jaccard(docs, 0.5, candidates=tier).collect()
+        }
+        assert fast == brute and len(brute) > 0, tier
 
 
 def test_simhash_hamming_zero_for_identical_token_sets(docs):
@@ -350,7 +351,12 @@ def test_linear_candidate_union_reproduces_exact_pairs(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     exact = set(
-        map(tuple, dedup_ngram_jaccard(docs, 0.7).select("doc_a", "doc_b").collect())
+        map(
+            tuple,
+            dedup_ngram_jaccard(docs, 0.7, candidates="exact")
+            .select("doc_a", "doc_b")
+            .collect(),
+        )
     )
     linear = set(
         map(

@@ -101,6 +101,16 @@ def main() -> None:
         default=None,
         help="comma-separated subset of TARGETS (default: all)",
     )
+    ap.add_argument(
+        "--skip-candidates",
+        action="store_true",
+        help="skip the candidate-count phase: count jobs shuffling "
+        "100M+-row streams leave the JVM with enough old-gen/GC "
+        "pressure to inflate the subsequent query timings ~1.7-2x "
+        "(measured round 6: dedup_simhash at sf5 26.3s in-session vs "
+        "12.5s fresh) — use this for the wall-time curves and a "
+        "separate run for the candidate exponents",
+    )
     args = ap.parse_args()
     sfs = [float(s) for s in args.sfs.split(",")]
     targets = args.targets.split(",") if args.targets else TARGETS
@@ -139,7 +149,7 @@ def main() -> None:
         point: dict = {"rows": rows, "queries": {}, "candidates": {}}
 
         lsh_family = {"dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash"}
-        if lsh_family & set(targets):
+        if lsh_family & set(targets) and not args.skip_candidates:
             from flight_events_flink_job_spark.operators.dedup import (
                 linear_candidate_pairs,
             )
@@ -183,7 +193,7 @@ def main() -> None:
             point["candidates"]["simhash_blocked"] = simhash_near_pairs(
                 docs
             ).count()
-        if "dedup_edit_distance" in targets:
+        if "dedup_edit_distance" in targets and not args.skip_candidates:
             from flight_events_flink_job_spark.operators.dedup import (
                 edit_candidate_pairs,
             )
