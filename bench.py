@@ -101,7 +101,15 @@ def main() -> int:
     spark = get_spark("bench")
     timings: dict[str, float] = {}
     mads: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    # FIXED alphabetical order, decoupled from the registry's driver-
+    # priority order: priority reshuffles every round (it drives the
+    # correctness window), and a query timed right after the heavy
+    # dedup tier reads 2-3x slower from accumulated JVM old-gen
+    # pressure (measured round 6: text_repetition 0.84 s early-order
+    # vs 2.71 s after the dedup block). A canonical order keeps
+    # round-over-round per-query deltas comparable.
+    for name in sorted(QUERIES):
+        fn = QUERIES[name]
         if name in BENCH_SKIP:
             continue  # streaming round trips time tempdir IO, not the engine
         if smoke and name not in smoke_core:
