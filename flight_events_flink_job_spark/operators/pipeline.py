@@ -726,3 +726,49 @@ def temperature_mix(
             "source",
         )
     )
+
+
+def source_quality_cap(
+    documents: DataFrame, cap: int = 10
+) -> DataFrame:
+    """(source, n_total, n_kept, doc_id, quality_rank, n_chars):
+    quality-ranked per-source document cap — the anti-spam pass a
+    web-scale corpus runs per domain (a handful of sources must not
+    dominate the training mix no matter how many pages they contribute).
+    Unlike :func:`per_group_sample` (a RANDOM spot-check draw), this
+    keeps each source's ``cap`` BEST documents — ranked by length with
+    doc_id as the deterministic tiebreak — and carries the per-source
+    drop accounting (n_total vs n_kept) so the mixing stage downstream
+    can see exactly how much each source was truncated.
+
+    Plan (100 TB): ONE hash exchange on source; rank and total share
+    that exchange and its per-source sort as two window expressions —
+    no join, no second scan. The drop-accounting count deliberately
+    trades away the WindowGroupLimit pushdown a bare capped rank would
+    get (counting a source means seeing all its rows once); that full
+    per-source pass is spill-safe sort work, the same cost any
+    per-domain aggregate pays, and the output stays bounded at
+    cap x |sources|.
+    """
+    w = Window.partitionBy("source")
+    wr = w.orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        documents.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(wr).alias("quality_rank"),
+            F.count("*").over(w).alias("n_total"),
+        )
+        .filter(F.col("quality_rank") <= cap)
+        .select(
+            "source",
+            F.col("n_total").cast("bigint").alias("n_total"),
+            F.least(F.col("n_total"), F.lit(cap))
+            .cast("bigint")
+            .alias("n_kept"),
+            "doc_id",
+            F.col("quality_rank").cast("bigint").alias("quality_rank"),
+            "n_chars",
+        )
+    )

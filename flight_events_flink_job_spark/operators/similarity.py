@@ -437,3 +437,62 @@ def hash_embed_search(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame, k: int = 5, num_queries: int = 16
+) -> DataFrame:
+    """(q_id, q_label, n_id, n_label, cosine, rank): hard-negative
+    mining for metric learning / contrastive training — per query
+    vector, the ``k`` corpus vectors MOST similar to it that carry a
+    DIFFERENT label. These are the pairs a contrastive loss learns the
+    most from (high similarity, wrong class); random negatives are
+    mostly trivial. The standard mining pass a training-data pipeline
+    runs between embedding refreshes (e.g. Contriever/DPR-style
+    in-batch negative augmentation).
+
+    Plan (100 TB): identical to :func:`cosine_topk` — the bounded query
+    set broadcasts onto ONE scan of the corpus (a deliberate, allowlisted
+    BroadcastNestedLoopJoin; no corpus shuffle, no CartesianProduct),
+    the label-mismatch gate filters the scored stream map-side, and the
+    per-query rank is a k-bounded WindowGroupLimit. Ties break on
+    neighbor id for determinism; cosine is 4dp-rounded at the edge so
+    the DuckDB twin keeps identical boundary pairs.
+    """
+    base = spread(embeddings).select(
+        "vec_id", to_double(F.col("embedding")).alias("vec"), "label"
+    )
+    q = base.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("vec").alias("n_vec"),
+        F.col("label").alias("n_label"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("q_label") != F.col("n_label"))
+        .select(
+            "q_id",
+            "q_label",
+            "n_id",
+            "n_label",
+            cosine_arrow(F.col("q_vec"), F.col("n_vec")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "q_label",
+            "n_id",
+            "n_label",
+            F.round(F.col("_cos"), 4).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -24,7 +24,8 @@ from .registry_stream import BENCH_SKIP  # noqa: F401
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- 0. round-6 additions (driver has never seen them) ------------------
-    # (inserted here as they are registered)
+    "hard_negatives",
+    "source_quality_cap",
     # -- 1. the 16 round-2-stale queries (VERDICT r5 item 3) ----------------
     "airline_stats_sliding",
     "converted_without_errors",
@@ -79,11 +80,12 @@ _PRIORITY = [
     "text_langid",
     "text_repetition",
     "text_stats",
-    # ---- 50-entry driver window ends here: 16 r2-stale + 4 changed-dedup
-    # + 30 r3-stale (6 parity core + 24 environment-sensitive). The
-    # remaining 13 r3-stale queries below rotate in next round; they and
-    # everything after are covered by the committed full-registry parity
-    # sweeps. ---------------------------------------------------------------
+    # ---- 50-entry driver window ends here: 2 round-6 additions + 16
+    # r2-stale + 4 changed-dedup + 28 r3-stale (6 parity core + 22
+    # environment-sensitive; text_repetition/text_stats shift just past
+    # the cutoff). The remaining r3-stale queries below rotate in next
+    # round; they and everything after are covered by the committed
+    # full-registry parity sweeps. ------------------------------------------
     "corpus_stats_cube",
     "doc_fingerprint",
     "doc_logfreq_score",

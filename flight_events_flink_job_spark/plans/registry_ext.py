@@ -43,6 +43,7 @@ from ..operators.similarity import (
     cosine_radius,
     cosine_topk,
     cosine_topk_lsh,
+    hard_negatives,
     hash_embed_search,
     knn_label_vote,
 )
@@ -572,6 +573,36 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries over one corpus scan (BroadcastNestedLoopJoin, no shuffle of
     the corpus, no CartesianProduct)."""
     return cosine_topk(_embs(spark, sf_dir))
+
+
+@register(
+    "hard_negatives",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label
+               FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 16),
+    scored AS (
+        SELECT q.vec_id q_id, q.label q_label,
+               c.vec_id n_id, c.label n_label,
+               list_cosine_similarity(q.v, c.v) cos
+        FROM q JOIN e c ON q.label <> c.label
+    )
+    SELECT q_id, q_label, n_id, n_label,
+           round(cos, 4) AS cosine, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, n_id) rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query vector, the 5 most-similar
+    corpus vectors with a DIFFERENT label (contrastive-training pair
+    selection). Same broadcast-queries/one-corpus-scan plan as
+    similarity_topk with a map-side label gate
+    (operators/similarity.py hard_negatives)."""
+    return hard_negatives(_embs(spark, sf_dir))
 
 
 @register(

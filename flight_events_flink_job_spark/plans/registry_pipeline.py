@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..operators.pipeline import (
     EMAIL_RE,
     per_group_sample,
+    source_quality_cap,
     corpus_shuffle,
     curation_pipeline,
     PHONE_RE,
@@ -295,6 +296,30 @@ def q_per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5-per-language spot-check sample (md5 rank inside
     group partitions — reproducible, append-stable, no rand())."""
     return per_group_sample(_docs(spark, sf_dir), "lang", 5)
+
+
+@register(
+    "source_quality_cap",
+    oracle="""
+    SELECT source, n_total,
+           CAST(least(n_total, 10) AS BIGINT) AS n_kept,
+           doc_id, quality_rank, n_chars
+    FROM (
+        SELECT source, doc_id, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS BIGINT) quality_rank,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) n_total
+        FROM documents
+    ) WHERE quality_rank <= 10
+    """,
+)
+def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked per-source document cap with drop accounting —
+    the per-domain anti-spam truncation of a web corpus; one exchange,
+    rank + total as two windows over it
+    (operators/pipeline.py source_quality_cap)."""
+    return source_quality_cap(_docs(spark, sf_dir))
 
 
 @register(

@@ -526,3 +526,30 @@ def test_temperature_mix_flattens_shares_within_budget(spark, sf_dir):
         for r in temperature_mix(docs.repartition(7), budget=100).collect()
     }
     assert again == {(r.lang, r.doc_id) for r in rows}
+
+
+def test_source_quality_cap_keeps_best_and_accounts_drops(spark):
+    """Each source keeps its cap best docs by (n_chars DESC, doc_id);
+    n_total carries the pre-cap count so downstream mixing sees the
+    truncation; under-cap sources survive whole."""
+    from flight_events_flink_job_spark.operators.pipeline import source_quality_cap
+
+    rows = [(i, f"t{i}", "en", "big", 100 + i) for i in range(15)]
+    rows += [(100, "a", "en", "small", 50), (101, "b", "en", "small", 60)]
+    # tie on n_chars: lower doc_id wins the better rank
+    rows += [(200, "x", "en", "tie", 70), (201, "y", "en", "tie", 70)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = source_quality_cap(docs, cap=10)
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["big"]) == 10
+    assert all(r.n_total == 15 and r.n_kept == 10 for r in by_src["big"])
+    # best-by-length: doc_ids 14..5 survive (n_chars 114..105)
+    assert {r.doc_id for r in by_src["big"]} == set(range(5, 15))
+    assert len(by_src["small"]) == 2
+    assert all(r.n_total == 2 and r.n_kept == 2 for r in by_src["small"])
+    tie = sorted(by_src["tie"], key=lambda r: r.quality_rank)
+    assert [r.doc_id for r in tie] == [200, 201]

@@ -18,6 +18,8 @@ from flight_events_flink_job_spark.plans import BENCH_SKIP, QUERIES
 # a handful-of-rows interval dimension).
 BNLJ_ALLOWED = {
     "similarity_topk",
+    # same 16-broadcast-queries shape with a map-side label gate.
+    "hard_negatives",
     # same deliberate shape as similarity_topk: 16 broadcast query
     # vectors against one corpus scan, threshold gate instead of rank.
     "similarity_radius",

@@ -156,3 +156,33 @@ def test_radius_plan_broadcasts_queries_no_cartesian(spark, sf_dir):
     plan = cosine_radius(embs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_hard_negatives_skips_same_label_nearest(spark):
+    """The nearest neighbor by cosine shares the query's label and must
+    be SKIPPED; the top hard negative is the closest different-label
+    vector, and no emitted row ever shares the query's label."""
+    from flight_events_flink_job_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # query
+        (10, [0.99, 0.14, 0.0, 0.0], 0),  # nearest, SAME label
+        (11, [0.9, 0.44, 0.0, 0.0], 1),   # top hard negative
+        (12, [0.0, 1.0, 0.0, 0.0], 1),
+        (13, [-1.0, 0.0, 0.0, 0.0], 2),
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    got = hard_negatives(embs, k=2, num_queries=1).collect()
+    assert [(r.n_id, r.rank) for r in got] == [(11, 1), (12, 2)]
+    assert all(r.q_label != r.n_label for r in got)
+
+
+def test_hard_negatives_plan_broadcasts_queries(spark, sf_dir):
+    from flight_events_flink_job_spark.operators.similarity import hard_negatives
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = hard_negatives(embs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
