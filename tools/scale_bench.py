@@ -75,6 +75,10 @@ TARGETS = [
     # the flagship fuzzy-dedup pipeline, re-pointed at the linear
     # candidate union this round (VERDICT r5 item 1).
     "neardup_dedup_corpus",
+    # round-6 additions: broadcast-queries label-gated top-k and the
+    # per-source capped window must both stay linear in corpus rows.
+    "hard_negatives",
+    "source_quality_cap",
 ]
 
 TABLES_NEEDED = [
@@ -254,6 +258,8 @@ def main() -> None:
         "key_skew_profile": "events",
         "value_histogram": "events",
         "last_touch_attribution": "events",
+        "hard_negatives": "embeddings",
+        "source_quality_cap": "documents",
     }
     exps: dict = {"queries": {}, "candidates": {}}
     pairs = list(zip(sfs, sfs[1:]))
