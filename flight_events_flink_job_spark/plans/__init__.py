@@ -26,6 +26,7 @@ _PRIORITY = [
     # -- 0. round-6 additions (driver has never seen them) ------------------
     "hard_negatives",
     "source_quality_cap",
+    "stream_watermark_eviction",
     # -- 1. the 16 round-2-stale queries (VERDICT r5 item 3) ----------------
     "airline_stats_sliding",
     "converted_without_errors",

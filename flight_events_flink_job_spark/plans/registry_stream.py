@@ -22,6 +22,7 @@ from ..streaming.job import (
     run_file_stream_jdbc,
     stage_flight_event_json,
     streaming_airline_stats_update,
+    streaming_datagen_stats_watermarked,
 )
 from ..streaming.dedup import drain_deduped_from_staged
 from ..streaming.enrichment import drain_enriched_from_staged
@@ -36,6 +37,7 @@ from .registry import ORACLES, register
 BENCH_SKIP = {
     "streaming_airline_stats",
     "stream_update_mode_stats",
+    "stream_watermark_eviction",
     "airline_stats_jdbc",
     "stream_jdbc_serving",
     "user_activity_state",
@@ -112,6 +114,53 @@ def q_airline_stats_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower_bound=0, upper_bound=1_000_000, num_partitions=4,
     )
     return out.select(stats.columns)
+
+
+@register(
+    "stream_watermark_eviction",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 4999)) AS i),
+    f AS (
+        SELECT 'AL' || CAST(i % 7 AS VARCHAR) AS airline,
+               TIMESTAMP '1970-01-01' + to_seconds(1704067200 + i * 97)
+                   AS scheduled_time,
+               CAST(CASE WHEN i % 3 = 0
+                         THEN CASE WHEN i % 41 - 8 > 0 THEN 1 ELSE 0 END
+                         ELSE CASE WHEN (((i - i % 3) / 3) % 3) IN (0, 1)
+                                   THEN 1 ELSE 0 END
+                    END AS INTEGER) AS is_delayed,
+               CAST(i % 41 - 8 AS BIGINT) AS delay_minutes
+        FROM ids
+    )
+    SELECT airline,
+           count(*) AS total_flights,
+           CAST(sum(CASE WHEN is_delayed = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS delayed_flights,
+           round(avg(delay_minutes), 4) AS avg_delay_minutes,
+           round(sum(CASE WHEN is_delayed = 1 THEN 1 ELSE 0 END) * 100.0
+                 / count(*), 4) AS delay_rate,
+           TIMESTAMP '1970-01-01' + to_seconds(
+               CAST(floor(epoch(scheduled_time) / 120) * 120 AS BIGINT))
+               AS window_start,
+           TIMESTAMP '1970-01-01' + to_seconds(
+               CAST(floor(epoch(scheduled_time) / 120) * 120 AS BIGINT))
+               + INTERVAL 2 MINUTE AS window_end
+    FROM f
+    GROUP BY airline, window_start
+    """,
+)
+def q_stream_watermark_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK-EVICTION parity, driver-checked: update mode + RocksDB
+    + a 30-min watermark over the datagen STREAM (monotone event time,
+    so eviction drops nothing and windows leave state while the query
+    runs — the configuration the round-6 endurance soak measures flat);
+    the latest-epoch changelog snapshot must hash-equal the batch
+    window aggregate over the same generated rows (streaming/job.py
+    streaming_datagen_stats_watermarked)."""
+    base = tempfile.mkdtemp(prefix="stream_wm_")
+    return streaming_datagen_stats_watermarked(
+        spark, f"{base}/out", f"{base}/ckpt"
+    )
 
 
 @register("stream_update_mode_stats", oracle=ORACLES["airline_delay_stats"])

@@ -529,3 +529,134 @@ def topk_routes_from_partials(partials: DataFrame, k: int = 10) -> DataFrame:
         )
         .limit(k)
     )
+
+
+def streaming_datagen_stats_watermarked(
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint_dir: str,
+    rows: int = 5000,
+    rows_per_batch: int = 500,
+    window_size: str = "2 minutes",
+    watermark: str = "30 minutes",
+    timeout_s: int = 300,
+    state_probe: dict | None = None,
+) -> DataFrame:
+    """A1 as a WATERMARKED update-mode aggregate over the datagen
+    STREAM — the state-eviction configuration the parity queries can't
+    otherwise exercise end-to-end (``streaming_airline_stats_update``
+    must omit the watermark because its file-staged input interleaves
+    event time across files, so eviction would drop late rows and break
+    the batch oracle).
+
+    The datagen source's event time is MONOTONE (scheduled = BASE +
+    i*97 s with offset-ordered ids), so no row is ever late: every
+    2-minute window is fully fed before the ``watermark`` lag passes
+    it, windows are finalized and EVICTED from the RocksDB store while
+    the stream runs (the flat-state behavior the round-6 soak measures
+    over 110 batches, tools/stream_soak.py), and the latest-epoch
+    snapshot of the changelog still equals the batch aggregate exactly.
+    One query therefore driver-checks update mode + RocksDB + watermark
+    eviction + the Python DataSourceStreamReader together.
+    """
+    import time as _time
+
+    from ..sources.datagen import GEN_FORMAT, register_datagen
+
+    register_datagen(spark)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        raw = (
+            spark.readStream.format(GEN_FORMAT)
+            .option("rows", rows)
+            .option("rowsPerBatch", rows_per_batch)
+            .load()
+        )
+        flights = valid_flights(parse_flight_events(raw))
+        agg = (
+            flights.withWatermark("scheduled_time", watermark)
+            .groupBy(
+                F.window("scheduled_time", window_size).alias("w"), "airline"
+            )
+            .agg(
+                F.count("*").alias("total_flights"),
+                F.sum(F.when(F.col("is_delayed") == 1, 1).otherwise(0)).alias(
+                    "delayed_flights"
+                ),
+                F.round(F.avg("delay_minutes"), ROUND_DP).alias(
+                    "avg_delay_minutes"
+                ),
+            )
+            .withColumn(
+                "delay_rate",
+                F.round(
+                    F.col("delayed_flights") * 100.0 / F.col("total_flights"),
+                    ROUND_DP,
+                ),
+            )
+            .select(
+                "airline", "total_flights", "delayed_flights",
+                "avg_delay_minutes", "delay_rate",
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+            )
+        )
+
+        def upsert_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.withColumn("_epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(upsert_epoch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        # Drain: the generator holds at `rows`; stop once all input is
+        # consumed AND an empty batch has run (the changelog is then
+        # complete — update mode emits on change, not on finalize).
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline:
+            prog = q.recentProgress
+            if (
+                prog
+                and sum(p["numInputRows"] for p in prog) >= rows
+                and prog[-1]["numInputRows"] == 0
+            ):
+                break
+            _time.sleep(0.5)
+        else:
+            raise TimeoutError("watermarked datagen stream did not drain")
+        if state_probe is not None:
+            # Eviction evidence for the pytest: peak state rows must sit
+            # FAR below the total window count (finalized windows left
+            # the store mid-run), not just end low.
+            state_probe["max_state_rows"] = max(
+                (
+                    p["stateOperators"][0]["numRowsTotal"]
+                    for p in q.recentProgress
+                    if p.get("stateOperators")
+                ),
+                default=0,
+            )
+        q.stop()
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    log = spark.read.parquet(out_dir)
+    value_cols = [c for c in log.columns if c not in
+                  ("airline", "window_start", "_epoch")]
+    return (
+        log.groupBy("airline", "window_start")
+        .agg(*[
+            F.expr(f"max_by({c}, _epoch)").alias(c) for c in value_cols
+        ])
+        .select(AIRLINE_STATS_COLUMNS)
+    )

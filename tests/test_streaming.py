@@ -777,3 +777,26 @@ def test_zorder_write_clusters_both_dimensions(spark, sf_dir):
         # each of 8 z-range files must cover well under the full range
         # of BOTH dimensions (unclustered files would cover ~100%)
         assert mean_span <= 0.65 * glo[key], (key, mean_span, glo[key])
+
+
+def test_watermark_evicts_windows_mid_run(spark, tmp_path):
+    """The watermarked update-mode drain must hold FAR fewer windows in
+    state than the stream produces (finalized windows are evicted while
+    the query runs), and the final snapshot must still cover every
+    window — bounded state with zero data loss on a monotone stream."""
+    from flight_events_flink_job_spark.streaming.job import (
+        streaming_datagen_stats_watermarked,
+    )
+
+    probe: dict = {}
+    out = streaming_datagen_stats_watermarked(
+        spark,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        state_probe=probe,
+    )
+    n_windows = out.select("airline", "window_start").distinct().count()
+    # 5000 rows at 97 s spacing over 2-min windows -> ~4000+ key-windows;
+    # a 30-min watermark keeps only the trailing slice in state.
+    assert n_windows > 3000
+    assert 0 < probe["max_state_rows"] < n_windows / 2, probe
