@@ -495,3 +495,107 @@ def cluster_balanced_sample(
             "label",
         )
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    num_queries: int = 16,
+    ivf_stride: int = 61,
+    nprobe: int = 4,
+    m: int = 4,
+    k_codes: int = 8,
+    iterations: int = 2,
+    pq_stride: int = 7,
+    dim: int = 64,
+    centroids: list | None = None,
+) -> DataFrame:
+    """(q_id, n_id, adc_d2, rank): the COMPOSED IVF-PQ index — IVF
+    coarse routing gates the candidate set, PQ Asymmetric Distance
+    Computation scores it. This is the production ANN shape of Jégou
+    et al. 2011 ("IVFADC", §IV) that the repo's separate tiers build
+    toward: ``similarity.cosine_topk_ivf`` probes posting lists but
+    re-ranks with FULL vectors; ``pq_topk`` scores from codes but
+    scans EVERY corpus vector's codes per query. Composing them is
+    what makes a 100 TB index serveable: a query touches only
+    ~nprobe/|C| of the corpus, and what it touches is byte codes
+    joined against a broadcast distance table — raw vectors never
+    participate after encoding. (Codes here quantize the raw vector,
+    not the IVF residual — the residual-encoding refinement changes
+    per-list codebook training, not this plan topology, and raw-vector
+    codes keep every stage independently oracle-replayable.)
+
+    Plan shape, in order: (1) coarse assignment — a NARROW Arrow
+    expression per corpus row against the driver-held capped centroid
+    model (``similarity.ivf_centroids``, the module's one sanctioned
+    O(max_centroids) collect); (2) the candidate gate — broadcast the
+    (num_queries x nprobe) probe list onto the assignment, one
+    equi-join on cell id, no shuffle of the corpus; (3) ADC — the
+    gated (q_id, vec_id) stream joins the PQ code triples on vec_id
+    and the BROADCAST per-query distance table on (q_id, subspace,
+    cid), then one hash aggregate sums m DECIMAL entries per
+    candidate; (4) the k-bounded rank window per query. The only
+    data-sized exchanges are the code join and the final aggregate,
+    both on the GATED stream (~nprobe/|C| of the corpus per query) —
+    never the full corpus per query as in ``pq_topk``.
+
+    Determinism: every stage is deterministic (stride-sampled
+    centroids, sequential-fold distances, DECIMAL cross-subspace sums,
+    (adc, n_id) tie-breaks), so the driver check is value-exact —
+    the DuckDB oracle replays IVF assignment, both Lloyd chains, the
+    gate, and the ADC sum end-to-end.
+    """
+    from .similarity import _prepared, _ranked_centroids, ivf_centroids
+
+    cents = (
+        centroids if centroids is not None else ivf_centroids(embeddings, ivf_stride)
+    )
+    e_cell = _prepared(embeddings, "n").select(
+        F.col("n_id").alias("vec_id"),
+        F.element_at(_ranked_centroids(F.col("n_vec"), cents, 1), 1).alias("cell"),
+    )
+    q_cell = (
+        _prepared(embeddings.filter(F.col("vec_id") < num_queries), "q")
+        .select(
+            "q_id",
+            F.explode(_ranked_centroids(F.col("q_vec"), cents, nprobe)).alias(
+                "cell"
+            ),
+        )
+    )
+    cand = (
+        e_cell.join(F.broadcast(q_cell), "cell")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id")
+    )
+    width = dim // m
+    assigned, cent = _pq_lloyd(embeddings, m, k_codes, iterations, pq_stride, dim)
+    codes = assigned.select("vec_id", "subspace", "cid")
+    d2q = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qs = _pq_slices(
+        embeddings.filter(F.col("vec_id") < num_queries), m, width
+    ).select(F.col("vec_id").alias("q_id"), "subspace", F.col("v").alias("qv"))
+    dtable = qs.join(F.broadcast(cent), "subspace").select(
+        "q_id", "subspace", "cid", d2q.alias("d2")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dtable), ["q_id", "subspace", "cid"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(F.col("d2").cast("decimal(27,10)")).alias("adc_dec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dec"), F.col("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(F.col("adc_dec"), 4).cast("double").alias("adc_d2"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

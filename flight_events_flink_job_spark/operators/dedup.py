@@ -18,6 +18,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -298,11 +300,39 @@ def prefix_filter_pairs(
     )
 
 
+def lsh_bands_for_threshold(
+    threshold: float,
+    rows_per_band: int = 4,
+    target_miss: float = 0.0125,
+    min_bands: int = 16,
+    max_bands: int = 96,
+) -> int | None:
+    """Bands needed so a TRUE pair at exactly J == threshold collides
+    in >= 1 band with probability >= 1 - target_miss: the smallest b
+    with (1 - t^r)^b <= target_miss, floored at ``min_bands`` (never
+    weaker than the historical r=4/b=16 default, whose union
+    completeness is proven on every measured fixture at t >= 0.7).
+    Returns None when the requirement exceeds ``max_bands`` — at such
+    low thresholds (t < ~0.5 with r=4) LSH recall is uneconomical and
+    the caller should use the theorem-complete exact tier instead.
+    At t=0.7 this derives exactly b=16 (the proven configuration);
+    miss probability only FALLS for t > 0.7 and the floor keeps the
+    band count there unchanged.
+    """
+    p_band = threshold ** rows_per_band
+    if p_band >= 1.0:
+        return min_bands
+    need = math.ceil(math.log(target_miss) / math.log(1.0 - p_band))
+    if need > max_bands:
+        return None
+    return max(min_bands, need)
+
+
 def dedup_ngram_jaccard(
     docs: DataFrame,
     threshold: float = 0.7,
     n: int = 3,
-    candidates: str = "linear",
+    candidates: str = "auto",
 ) -> DataFrame:
     """All-pairs n-gram Jaccard join: candidate generation + exact
     verification. Same output contract as :func:`dedup_near_minhash`
@@ -311,12 +341,23 @@ def dedup_ngram_jaccard(
 
     ``candidates`` picks the generation tier:
 
-    - ``"linear"`` (default, the production/100 TB path):
-      :func:`linear_candidate_pairs` — LSH ∪ df-capped prefix filter.
-      Every stage measured linear in corpus size (BASELINE.md §5);
-      verified-true-pair counts equal the exact tier's at every
-      measured scale point (sf0.1→2.0, the per-scale completeness
-      proof recorded in the scale-curve JSON).
+    - ``"auto"`` (default): ``"linear"`` when
+      :func:`lsh_bands_for_threshold` can hit the <=1.25% per-pair
+      boundary-miss target within the band budget (t >= ~0.5 with
+      r=4), else ``"exact"`` — so low-threshold callers keep the old
+      exact-tier completeness guarantee instead of silently losing
+      boundary pairs (round-6 ADVICE item 1).
+    - ``"linear"`` (the production/100 TB path):
+      :func:`linear_candidate_pairs` — LSH ∪ df-capped prefix filter,
+      with the LSH band count DERIVED from the threshold so the
+      per-pair miss probability at J == t stays <= 1.25% at any
+      accepted threshold (at the registered t=0.7 this derives the
+      proven r=4/b=16). Every stage measured linear in corpus size
+      (BASELINE.md §5); verified-true-pair counts equal the exact
+      tier's at every measured scale point (sf0.1→2.0, the per-scale
+      completeness proof recorded in the scale-curve JSON). Raises
+      ``ValueError`` when the threshold is too low for the band
+      budget.
     - ``"exact"`` (the audit tier): theorem-complete prefix filtering
       (Bayardo AllPairs + PPJoin length/positional prunes, all
       exactness-preserving). Its POST-filter candidate count is
@@ -325,6 +366,10 @@ def dedup_ngram_jaccard(
       super-linear at the sf1→2 leg (alpha ~1.27) — run it on samples
       to audit the linear tier, not on the full corpus.
     """
+    if candidates == "auto":
+        candidates = (
+            "linear" if lsh_bands_for_threshold(threshold) is not None else "exact"
+        )
     if candidates == "exact":
         pairs = prefix_filter_pairs(exploded_shingles(docs, n), threshold)
     else:
@@ -336,8 +381,8 @@ def linear_candidate_pairs(
     docs: DataFrame,
     threshold: float = 0.7,
     n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     df_cap: int = 64,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate stream for the cluster-dedup pipeline:
@@ -345,6 +390,14 @@ def linear_candidate_pairs(
     banded MinHash-LSH collisions (:func:`lsh_candidate_pairs`) and
     df-capped prefix-filter matches (:func:`prefix_filter_pairs` with
     ``df_cap``).
+
+    ``bands``/``num_hashes`` default to the THRESHOLD-DERIVED values
+    of :func:`lsh_bands_for_threshold` (r=4 rows per band; b grows as
+    the threshold falls so the boundary-pair miss stays <= 1.25%; at
+    the registered t=0.7 this is exactly the proven r=4/b=16) and the
+    function refuses thresholds where the budget can't reach that
+    target — callers there must use the exact tier (round-6 ADVICE
+    item 1: fixed b=16 at t=0.5 would miss ~35% of boundary pairs).
 
     Why the union: each generator alone is linear in corpus size but
     incomplete in a different corner. LSH misses a true pair with
@@ -363,6 +416,17 @@ def linear_candidate_pairs(
     per-bucket fan-out bounded by banding resp. df_cap^2 — the measured
     scale curves in BASELINE.md §4 put both at alpha <= ~1.
     """
+    if bands is None:
+        bands = lsh_bands_for_threshold(threshold)
+        if bands is None:
+            raise ValueError(
+                f"threshold={threshold} needs more LSH bands than the "
+                "budget allows for a <=1.25% boundary-miss — use the "
+                "theorem-complete exact tier (dedup_ngram_jaccard "
+                "candidates='exact') at thresholds this low"
+            )
+    if num_hashes is None:
+        num_hashes = 4 * bands
     lsh = lsh_candidate_pairs(minhash_signatures(docs, num_hashes, n), bands)
     capped = prefix_filter_pairs(exploded_shingles(docs, n), threshold, df_cap)
     return lsh.unionByName(capped).distinct()
@@ -836,7 +900,7 @@ def neardup_components(
     docs: DataFrame,
     threshold: float = 0.7,
     n: int = 3,
-    pair_source: str = "linear",
+    pair_source: str = "auto",
 ) -> DataFrame:
     """Cluster-level dedup over ``documents``: n-gram-Jaccard near-dup
     pairs -> connected components -> every doc labeled with its cluster
@@ -845,17 +909,24 @@ def neardup_components(
     is then a trivial ``filter(doc_id == component)``.
 
     ``pair_source`` picks the candidate generator feeding the exact
-    Jaccard verify: ``"linear"`` (default, the 100 TB path) uses
-    :func:`linear_candidate_pairs` — LSH ∪ df-capped prefix filter,
-    measured linear in corpus size; ``"exact"`` uses the
-    theorem-complete prefix filter (:func:`dedup_ngram_jaccard`) —
-    the audit tier, super-linear candidate growth at scale (BASELINE.md
-    §4e, the round-5 verdict's one named scale defect — hence no longer
-    the default). Both verify candidates with exact set Jaccard, so the
-    pairs that exist are identical; they differ only in whether a
-    both-generators-miss pair (never observed on any fixture) could be
-    dropped.
+    Jaccard verify: ``"auto"`` (default) resolves to ``"linear"`` when
+    :func:`lsh_bands_for_threshold` can hit the boundary-miss target
+    at this threshold and ``"exact"`` otherwise (same rule as
+    :func:`dedup_ngram_jaccard`). ``"linear"`` (the 100 TB path) uses
+    :func:`linear_candidate_pairs` — LSH ∪ df-capped prefix filter
+    with threshold-derived band count, measured linear in corpus
+    size; ``"exact"`` uses the theorem-complete prefix filter
+    (:func:`dedup_ngram_jaccard`) — the audit tier, super-linear
+    candidate growth at scale (BASELINE.md §4e, the round-5 verdict's
+    one named scale defect — hence no longer the default). Both verify
+    candidates with exact set Jaccard, so the pairs that exist are
+    identical; they differ only in whether a both-generators-miss pair
+    (never observed on any fixture) could be dropped.
     """
+    if pair_source == "auto":
+        pair_source = (
+            "linear" if lsh_bands_for_threshold(threshold) is not None else "exact"
+        )
     if pair_source == "exact":
         pairs = dedup_ngram_jaccard(docs, threshold, n, candidates="exact")
     else:

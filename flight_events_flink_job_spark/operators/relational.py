@@ -2186,7 +2186,7 @@ def events_debounced(events: DataFrame, gap_s: int = 60) -> DataFrame:
 
 
 def user_triangles(
-    events: DataFrame, top_edges: int = 2000, bucket_cap: int = 256
+    events: DataFrame, top_edges: int = 2000, bucket_cap: int | None = 256
 ) -> DataFrame:
     """(user_id, n_triangles): triangle participation counts over the
     user co-occurrence graph — the classic cohesion/community signal
@@ -2214,7 +2214,12 @@ def user_triangles(
     ones that survive the cap, so the strongest edges — the only
     ones the top_edges gate keeps anyway — are unaffected at the
     fixture scales (cap inactive below ~bucket_cap users/bucket;
-    verified against the uncapped oracle).
+    verified against the uncapped oracle). Pass ``bucket_cap=None``
+    for the UNCAPPED audit semantics — true triangle participation
+    with unbounded per-bucket fan-out, the same escape hatch the
+    dedup tier keeps via ``candidates="exact"`` (round-6 ADVICE
+    item 4); run it on samples to audit the capped tier, not on a
+    full-scale corpus.
 
     Edges are already oriented (ua < ub), so each triangle a<b<c is
     found exactly once: wedge join E(a,b) x E(a,c) on a with b < c,
@@ -2230,18 +2235,21 @@ def user_triangles(
         )
         .agg(F.count("*").alias("n_ev"))
     )
-    pairs = (
-        activity.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("event_type", "day").orderBy(
-                    F.col("n_ev").desc(), "user_id"
-                )
-            ),
+    if bucket_cap is None:
+        pairs = activity.select("user_id", "event_type", "day")
+    else:
+        pairs = (
+            activity.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("event_type", "day").orderBy(
+                        F.col("n_ev").desc(), "user_id"
+                    )
+                ),
+            )
+            .filter(F.col("rk") <= bucket_cap)
+            .select("user_id", "event_type", "day")
         )
-        .filter(F.col("rk") <= bucket_cap)
-        .select("user_id", "event_type", "day")
-    )
     co = (
         pairs.alias("x")
         .join(

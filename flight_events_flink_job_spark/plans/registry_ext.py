@@ -1044,6 +1044,101 @@ def _pq_topk_oracle(
     """
 
 
+def _ivf_pq_topk_oracle(
+    m: int = 4,
+    k_codes: int = 8,
+    iterations: int = 2,
+    pq_stride: int = 7,
+    dim: int = 64,
+    num_queries: int = 16,
+    k: int = 10,
+    ivf_stride: int = 61,
+    nprobe: int = 4,
+) -> str:
+    """Twin of operators/clustering.ivf_pq_topk: the IVF coarse chain
+    (assignment + nprobe probe lists, same CTEs as the
+    similarity_topk_ivf oracle, iv_-prefixed), the (q_id, vec_id)
+    candidate gate, the per-subspace PQ Lloyd chains and ADC distance
+    tables of _pq_topk_oracle, with the gate applied INSIDE the parts
+    union so only probed-cell candidates reach the DECIMAL sum."""
+    width = dim // m
+    ctes: list[str] = []
+    d2iv = (
+        "list_reduce(list_prepend(0.0, "
+        "[(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]) for i in range(1, {n})]), "
+        "(a,x) -> a+x)".format(n=dim + 1)
+    )
+    ctes.append(
+        "iv_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)"
+    )
+    ctes.append(
+        f"iv_c AS (SELECT vec_id AS cid, v AS cv FROM iv_e "
+        f"WHERE vec_id % {ivf_stride} = 0)"
+    )
+    ctes.append(
+        f"iv_d AS (SELECT e.vec_id, c.cid, {d2iv} AS d2 FROM iv_e e, iv_c c)"
+    )
+    ctes.append(
+        "iv_r AS (SELECT vec_id, cid, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY d2, cid) rn FROM iv_d)"
+    )
+    ctes.append("iv_assign AS (SELECT vec_id, cid FROM iv_r WHERE rn = 1)")
+    ctes.append(
+        f"iv_probes AS (SELECT vec_id AS q_id, cid FROM iv_r "
+        f"WHERE vec_id < {num_queries} AND rn <= {nprobe})"
+    )
+    ctes.append(
+        """cand AS (
+        SELECT p.q_id, a.vec_id
+        FROM iv_probes p JOIN iv_assign a ON p.cid = a.cid
+        WHERE a.vec_id <> p.q_id)"""
+    )
+    for s in range(m):
+        ctes.extend(_pq_ctes(s, width, k_codes, iterations, pq_stride))
+    d2q = (
+        "list_reduce(list_prepend(0.0, "
+        "[(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1, {n})]), "
+        "(a,x) -> a+x)".format(n=width + 1)
+    )
+    for s in range(m):
+        lo, hi = s * width + 1, (s + 1) * width
+        ctes.append(
+            f"""q{s} AS (SELECT vec_id AS q_id,
+                (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] qv
+                FROM embeddings WHERE vec_id < {num_queries})"""
+        )
+        ctes.append(
+            f"""dt{s} AS (SELECT q.q_id, c.cid, {d2q} AS d2
+                FROM q{s} q, s{s}_c{iterations - 1} c)"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"""SELECT a.vec_id, d.q_id, d.d2
+            FROM s{s}_a{iterations} a
+            JOIN dt{s} d ON a.cid = d.cid
+            JOIN cand g ON g.vec_id = a.vec_id AND g.q_id = d.q_id"""
+        for s in range(m)
+    )
+    ctes.append(f"parts AS ({union})")
+    ctes.append(
+        """adc AS (
+        SELECT q_id, vec_id,
+               sum(CAST(d2 AS DECIMAL(27,10))) AS adc_dec
+        FROM parts GROUP BY q_id, vec_id)"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT q_id, vec_id AS n_id,
+           CAST(round(adc_dec, 4) AS DOUBLE) AS adc_d2,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY adc_dec, vec_id) AS rank
+        FROM adc)
+    WHERE rank <= {k}
+    """
+
+
 def _semdedup_oracle(
     k: int = 8,
     iterations: int = 2,
@@ -2253,6 +2348,19 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import pq_topk
 
     return pq_topk(_embs(spark, sf_dir))
+
+
+@register("ivf_pq_topk", oracle=_ivf_pq_topk_oracle())
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ index (Jégou et al. 2011 IVFADC shape):
+    IVF coarse routing gates each query to ~nprobe/|C| of the corpus,
+    PQ Asymmetric Distance Computation scores the gated candidates
+    from broadcast distance tables — the serveable-at-100TB ANN path
+    the separate IVF and PQ tiers build toward
+    (operators/clustering.ivf_pq_topk)."""
+    from ..operators.clustering import ivf_pq_topk
+
+    return ivf_pq_topk(_embs(spark, sf_dir))
 
 
 def _cluster_sample_oracle(

@@ -1746,3 +1746,48 @@ def q_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import user_triangles
 
     return user_triangles(_events(spark, sf_dir))
+
+
+@register(
+    "user_triangles_exact",
+    oracle="""
+    WITH pts AS (
+        SELECT DISTINCT user_id, event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events WHERE ts IS NOT NULL
+    ),
+    co AS (
+        SELECT x.user_id AS ua, y.user_id AS ub, count(*) AS w
+        FROM pts x JOIN pts y
+          ON x.event_type = y.event_type AND x.day = y.day
+         AND x.user_id < y.user_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT ua, ub FROM co ORDER BY w DESC, ua, ub LIMIT 2000
+    ),
+    tri AS (
+        SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.ua = e1.ua AND e1.ub < e2.ub
+        JOIN edges e3 ON e3.ua = e1.ub AND e3.ub = e2.ub
+    ),
+    corners AS (
+        SELECT a AS user_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT user_id, count(*) AS n_triangles FROM corners GROUP BY user_id
+    """,
+)
+def q_user_triangles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED triangle participation (bucket_cap=None): true
+    per-bucket pair fan-out with no occupancy gate — the audit
+    semantics the capped production tier is checked against (round-6
+    ADVICE item 4; same escape-hatch pattern as the dedup tier's
+    candidates='exact'). Run on samples at scale — per-bucket pair
+    expansion is O(occupancy^2) by construction
+    (operators/relational.py user_triangles)."""
+    from ..operators.relational import user_triangles
+
+    return user_triangles(_events(spark, sf_dir), bucket_cap=None)

@@ -282,8 +282,21 @@ def _gen_documents(spark: SparkSession, n: int, seed: int) -> DataFrame:
     )
 
 
-def _gen_embeddings(spark: SparkSession, n: int, seed: int) -> DataFrame:
+def _gen_embeddings(
+    spark: SparkSession, n: int, seed: int, mode: str = "uniform"
+) -> DataFrame:
+    """``mode="uniform"``: labels round-robin over ids, moderate noise —
+    every blob the same size (the original curve fixture).
+    ``mode="clustered"``: the adversarial occupancy fixture (VERDICT r6
+    item 2) — Gaussian-ish blobs with ONE DOMINANT cluster (label 0
+    owns ~50% of vectors, the rest Zipf-thinned) and 2.4x tighter
+    noise, so hyperplane-LSH buckets, IVF posting lists, and PQ
+    codeword cells all go head-heavy instead of uniform. Uniform
+    vectors under-stress bucket occupancy: a structure whose cost is
+    sum-of-squares over bucket sizes looks linear on them and
+    quadratic on a real head-heavy corpus."""
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    clustered = mode == "clustered"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -298,16 +311,30 @@ def _gen_embeddings(spark: SparkSession, n: int, seed: int) -> DataFrame:
                 for lb in range(N_LABELS)
             ]
         )
+        noise_div = 6000.0 if clustered else 2500.0
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            labels = ids % N_LABELS
+            if clustered:
+                # ~50% label 0, remainder Zipf-thinned across 1..9:
+                # P(label=j) ~ 0.5/H * 1/j. Pure function of id.
+                u = np.array(
+                    [_splitmix((seed * 31 + 7) ^ int(i)) % 10000 for i in ids]
+                )
+                hz = sum(1.0 / j for j in range(1, N_LABELS))
+                bounds = np.cumsum(
+                    [5000]
+                    + [int(5000 / hz / j) for j in range(1, N_LABELS - 1)]
+                )
+                labels = np.searchsorted(bounds, u, side="right")
+            else:
+                labels = ids % N_LABELS
             # per-(vec, dim) noise from splitmix over a flat counter
             noise = np.array(
                 [
                     [
                         (_splitmix((seed << 2) ^ (int(i) * EMB_DIM + d)) % 2001
                          - 1000)
-                        / 2500.0
+                        / noise_div
                         for d in range(EMB_DIM)
                     ]
                     for i in ids
@@ -335,6 +362,7 @@ def gen_scale_tables(
     sf: float,
     seed: int = 42,
     tables: list[str] | None = None,
+    emb_mode: str = "uniform",
 ) -> dict[str, int]:
     """Write the requested tables at scale factor ``sf`` as one parquet
     file-tree per table under ``out_dir`` (same layout the driver
@@ -357,7 +385,7 @@ def gen_scale_tables(
         "orders": lambda: _gen_orders(spark, n_ord, n_cust),
         "lineitem": lambda: _gen_lineitem(spark, n_ord, n_part, n_supp),
         "documents": lambda: _gen_documents(spark, n_docs, seed),
-        "embeddings": lambda: _gen_embeddings(spark, n_vecs, seed),
+        "embeddings": lambda: _gen_embeddings(spark, n_vecs, seed, emb_mode),
         "events": lambda: _gen_events(spark, n_events, n_users),
     }
     written = {}

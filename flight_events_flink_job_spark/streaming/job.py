@@ -618,13 +618,25 @@ def streaming_datagen_stats_watermarked(
         # Drain: the generator holds at `rows`; stop once all input is
         # consumed AND an empty batch has run (the changelog is then
         # complete — update mode emits on change, not on finalize).
+        # recentProgress retains only the last ~100 entries, so absorb
+        # it incrementally keyed by batchId: a long run (or a flood of
+        # no-data micro-batches) can then never evict a counted data
+        # batch out of the row-total or the state-peak scan (round-6
+        # ADVICE item 3 — the bounded-buffer re-sum raised spurious
+        # TimeoutErrors past ~100 batches).
+        seen: dict = {}
+
+        def _absorb() -> None:
+            for p in q.recentProgress:
+                seen[p["batchId"]] = p
+
         deadline = _time.time() + timeout_s
         while _time.time() < deadline:
-            prog = q.recentProgress
+            _absorb()
             if (
-                prog
-                and sum(p["numInputRows"] for p in prog) >= rows
-                and prog[-1]["numInputRows"] == 0
+                seen
+                and sum(p["numInputRows"] for p in seen.values()) >= rows
+                and seen[max(seen)]["numInputRows"] == 0
             ):
                 break
             _time.sleep(0.5)
@@ -634,10 +646,11 @@ def streaming_datagen_stats_watermarked(
             # Eviction evidence for the pytest: peak state rows must sit
             # FAR below the total window count (finalized windows left
             # the store mid-run), not just end low.
+            _absorb()
             state_probe["max_state_rows"] = max(
                 (
                     p["stateOperators"][0]["numRowsTotal"]
-                    for p in q.recentProgress
+                    for p in seen.values()
                     if p.get("stateOperators")
                 ),
                 default=0,

@@ -228,3 +228,70 @@ def test_stride_init_rejects_sparse_vec_ids(spark, sf_dir):
         lloyd_chain(sparse, k=8, stride=7)
     with pytest.raises(ValueError, match="stride init"):
         pq_encode(sparse, m=4, k=8)
+
+
+def test_ivf_pq_topk_gates_candidates_to_probed_cells(spark, sf_dir):
+    """The composed IVF-PQ search must (a) return only neighbors whose
+    IVF cell is among the query's nprobe probes — the routing gate that
+    makes the index serveable at scale — and (b) rank them by exactly
+    the ADC distances pq_topk computes (same codes, same tables), i.e.
+    equal the pq_topk result RESTRICTED to the gated candidate set."""
+    from flight_events_flink_job_spark.operators.clustering import (
+        ivf_pq_topk,
+        pq_topk,
+    )
+    from flight_events_flink_job_spark.operators.similarity import (
+        _prepared,
+        _ranked_centroids,
+        ivf_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    embs = _embs(spark, sf_dir)
+    out = ivf_pq_topk(embs, k=5, num_queries=4, nprobe=2)
+    rows = out.collect()
+    assert rows, "composed index returned nothing"
+    cents = ivf_centroids(embs)
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in _prepared(embs, "n")
+        .select(
+            F.col("n_id").alias("vec_id"),
+            F.element_at(_ranked_centroids(F.col("n_vec"), cents, 1), 1).alias(
+                "cell"
+            ),
+        )
+        .collect()
+    }
+    probes = {
+        r["q_id"]: set(r["p"])
+        for r in _prepared(embs.filter(F.col("vec_id") < 4), "q")
+        .select(
+            "q_id", _ranked_centroids(F.col("q_vec"), cents, 2).alias("p")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert cells[r.n_id] in probes[r.q_id], (r.q_id, r.n_id)
+        assert 1 <= r.rank <= 5
+    # ADC agreement: full-scan pq_topk with a huge k, filtered to the
+    # gate, re-ranked, must reproduce the composed result exactly.
+    full = {
+        (r.q_id, r.n_id): r.adc_d2
+        for r in pq_topk(embs, num_queries=4, k=10**6).collect()
+    }
+    import itertools
+
+    expect = {}
+    for q in probes:
+        gated = sorted(
+            (
+                (d2, n)
+                for (qq, n), d2 in full.items()
+                if qq == q and cells[n] in probes[q]
+            ),
+        )
+        for rank, (d2, n) in enumerate(itertools.islice(gated, 5), 1):
+            expect[(q, n)] = (d2, rank)
+    got = {(r.q_id, r.n_id): (r.adc_d2, r.rank) for r in rows}
+    assert got == expect

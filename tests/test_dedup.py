@@ -431,3 +431,108 @@ def test_scalegen_events_matches_driver_schema_with_skew(spark, sf_dir, tmp_path
     # head = 20% dedicated + uniform spillover (10/n_users of the 80%);
     # at sf0.005 n_users=75 -> expected ~0.31
     assert 0.15 * n <= heavy <= 0.45 * n
+
+
+def test_lsh_bands_derive_from_threshold():
+    """Round-6 ADVICE item 1: fixed r=4/b=16 at t<0.7 silently loses
+    boundary pairs (~35% per-pair miss at J=0.5). The derived band
+    count must (a) reproduce the proven b=16 exactly at the registered
+    t=0.7, (b) never weaken above it, (c) grow as the threshold falls
+    so the miss stays <= 1.25%, and (d) refuse thresholds where the
+    budget can't reach the target."""
+    import math
+
+    from flight_events_flink_job_spark.operators.dedup import (
+        lsh_bands_for_threshold,
+    )
+
+    assert lsh_bands_for_threshold(0.7) == 16
+    assert lsh_bands_for_threshold(0.8) == 16
+    assert lsh_bands_for_threshold(0.9) == 16
+    for t in (0.5, 0.55, 0.6, 0.65):
+        b = lsh_bands_for_threshold(t)
+        assert b is not None and b > 16
+        miss = (1.0 - t**4) ** b
+        assert miss <= 0.0125, (t, b, miss)
+    assert lsh_bands_for_threshold(0.45) is None
+    assert lsh_bands_for_threshold(0.3) is None
+
+
+def test_low_threshold_auto_falls_back_to_exact(spark):
+    """candidates='auto' at a low threshold must take the
+    theorem-complete tier, and an explicit 'linear' there must refuse
+    rather than silently under-recall."""
+    import pytest as _pytest
+
+    from flight_events_flink_job_spark.operators.dedup import (
+        linear_candidate_pairs,
+        neardup_components,
+    )
+
+    rows = [
+        (0, "a b c d e f g h", "en", "s", 1),
+        (1, "a b c d e z y x", "en", "s", 1),
+        (2, "p q r s t u v w", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # t=0.3: auto == exact (the complete tier) — the J~0.33 pair from
+    # docs 0/1 must be found, which derived-band LSH cannot promise.
+    auto = set(
+        map(tuple, dedup_ngram_jaccard(docs, 0.3).select("doc_a", "doc_b").collect())
+    )
+    exact = set(
+        map(
+            tuple,
+            dedup_ngram_jaccard(docs, 0.3, candidates="exact")
+            .select("doc_a", "doc_b")
+            .collect(),
+        )
+    )
+    assert auto == exact and (0, 1) in auto
+    with _pytest.raises(ValueError, match="exact"):
+        linear_candidate_pairs(docs, 0.3)
+    # the CC labeling rides the same auto rule without raising
+    assert neardup_components(docs, 0.3).count() == 3
+
+
+def test_linear_tier_derived_bands_at_mid_threshold(spark):
+    """At t=0.5 (where the old fixed b=16 missed ~35% of boundary
+    pairs) the derived-band linear tier must reproduce the exact
+    verified pair set on a fixture built of boundary-J pairs."""
+    from flight_events_flink_job_spark.operators.dedup import (
+        linear_candidate_pairs,
+        shingle_sets,
+        verify_jaccard,
+    )
+
+    rows = []
+    for i in range(30):
+        # pair (2i, 2i+1): 11-shingle docs sharing 8 shingles ->
+        # J = 8/14 ~ 0.57, just above the 0.5 threshold boundary
+        base = [f"w{i}_{j}" for j in range(13)]
+        alt = base[:10] + [f"v{i}_{j}" for j in range(3)]
+        rows.append((2 * i, " ".join(base), "en", "s", 1))
+        rows.append((2 * i + 1, " ".join(alt), "en", "s", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sh = shingle_sets(docs)
+    exact = set(
+        map(
+            tuple,
+            dedup_ngram_jaccard(docs, 0.5, candidates="exact")
+            .select("doc_a", "doc_b")
+            .collect(),
+        )
+    )
+    lin = set(
+        map(
+            tuple,
+            verify_jaccard(linear_candidate_pairs(docs, 0.5), sh, 0.5)
+            .select("doc_a", "doc_b")
+            .collect(),
+        )
+    )
+    assert len(exact) > 0 and lin == exact

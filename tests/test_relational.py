@@ -991,3 +991,40 @@ def test_user_triangles_closed_vs_open_triple(spark):
     )
     out = {r.user_id: r.n_triangles for r in user_triangles(events).collect()}
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_user_triangles_uncapped_escape_hatch(spark):
+    """bucket_cap=None restores true triangle participation (round-6
+    ADVICE item 4): with a tiny cap, low-activity clique members are
+    dropped from the pair expansion and their triangle disappears; the
+    uncapped audit mode finds it."""
+    from flight_events_flink_job_spark.operators.relational import (
+        user_triangles,
+    )
+
+    rows = []
+    eid = 0
+    # users 1,2 are heavy (many events/bucket); 3 is light but co-active
+    # in the same buckets -> (1,2,3) is a true clique across 5 days
+    for d in range(5):
+        for u, n in ((1, 5), (2, 5), (3, 1)):
+            for _ in range(n):
+                eid += 1
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 1 + d), u, "click", 1.0, "{}")
+                )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    capped = {
+        r.user_id: r.n_triangles
+        for r in user_triangles(events, bucket_cap=2).collect()
+    }
+    uncapped = {
+        r.user_id: r.n_triangles
+        for r in user_triangles(events, bucket_cap=None).collect()
+    }
+    assert capped == {}  # user 3 never survives the 2-user occupancy cap
+    assert uncapped == {1: 1, 2: 1, 3: 1}
