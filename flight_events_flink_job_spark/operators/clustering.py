@@ -599,3 +599,127 @@ def ivf_pq_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def semdedup_scaled(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    target_occupancy: int = 64,
+    max_bucket: int = 256,
+    centroids: list | None = None,
+) -> DataFrame:
+    """(cluster_id, n_vectors, n_dropped, n_kept): the SCALE PATH of
+    :func:`semdedup`. The registered ``semdedup`` keeps the paper's
+    semantics with a FIXED k, which makes within-cluster pair work
+    O(N^2/k) — fine at driver scale, quadratic by construction as the
+    corpus grows (Abbas et al. 2023 run k ~ corpus/occupancy on GPU
+    clusters for exactly this reason). This variant holds expected
+    cluster occupancy CONSTANT instead:
+
+    - the cluster count grows with the corpus: centroids are the
+      stride-sampled driver-held model of :func:`similarity.
+      ivf_centroids` with ``stride = target_occupancy`` (k = N/stride,
+      hard-capped at 4096 — the module's one sanctioned bounded
+      collect; past the cap, ~262k vectors at occupancy 64, the coarse
+      quantizer becomes hierarchical/sharded, which changes the train
+      step only). Stride sampling is DENSITY-ADAPTIVE: clustered
+      corpora get proportionally more centroids inside the blob, so
+      occupancy stays near target even when the distribution is
+      head-heavy (measured on the clustered scalegen fixture);
+    - assignment is the Arrow matmul of :func:`similarity.
+      _ranked_centroids` (BLAS, not the interpreted per-row fold —
+      O(N*k) flops but vectorized), d2-to-centroid for keep-precedence
+      re-computed JVM-side as the exact left-to-right fold against the
+      broadcast centroid table (one fold per ROW, never per pair; the
+      oracle replays it with list_reduce);
+    - the pair join is occupancy-BOUNDED: each member is compared only
+      against its cluster's ``max_bucket`` highest-keep-precedence
+      members (precedence = farther-from-centroid first, ties lower
+      vec_id — the members that can drop others), so pair work is
+      <= N * max_bucket whatever the distribution. When a cluster's
+      occupancy is <= max_bucket — every measured fixture, since
+      density-adaptive centroids hold occupancy ~target — the top-set
+      is ALL members and the verdicts are exactly semdedup's on these
+      clusters.
+
+    Same output contract as :func:`semdedup`. Deterministic end to
+    end, so the driver check is value-exact.
+    """
+    from .similarity import _prepared, _ranked_centroids, ivf_centroids
+
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, stride=target_occupancy)
+    )
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(c), list(map(float, v))) for c, v in cents],
+        "cid BIGINT, cv ARRAY<DOUBLE>",
+    )
+    prep = _prepared(embeddings, "n")
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        prep.select(
+            F.col("n_id").alias("vec_id"),
+            F.col("n_vec").alias("v"),
+            F.element_at(
+                _ranked_centroids(F.col("n_vec"), cents, 1), 1
+            ).alias("cid"),
+        )
+        .join(F.broadcast(cent_df), "cid")
+        .withColumn("d2", d2)
+        .drop("cv")
+    ).persist()
+    from ..functions.vectors import dot, l2_norm
+
+    withn = assigned.withColumn("nrm", l2_norm(F.col("v")))
+    # keep-precedence rank within the cluster: the top max_bucket
+    # members by (d2 DESC, vec_id ASC) are the only candidate DROPPERS
+    prec_rank = F.row_number().over(
+        Window.partitionBy("cid").orderBy(F.col("d2").desc(), "vec_id")
+    )
+    droppers = withn.withColumn("pr", prec_rank).filter(
+        F.col("pr") <= max_bucket
+    )
+    x, y = withn.alias("x"), droppers.alias("y")
+    precedence = (F.col("y.d2") > F.col("x.d2")) | (
+        (F.col("y.d2") == F.col("x.d2"))
+        & (F.col("y.vec_id") < F.col("x.vec_id"))
+    )
+    denom = F.col("x.nrm") * F.col("y.nrm")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot(F.col("x.v"), F.col("y.v")) / denom
+    )
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cid") == F.col("y.cid"))
+            & (F.col("x.vec_id") != F.col("y.vec_id"))
+            & precedence
+            & (cos >= F.lit(threshold)),
+            "left_semi",
+        )
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .withColumn("is_dropped", F.lit(1).cast("bigint"))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(
+                F.coalesce(F.col("is_dropped"), F.lit(0).cast("bigint"))
+            ).alias("n_dropped"),
+        )
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vectors",
+            "n_dropped",
+            (F.col("n_vectors") - F.col("n_dropped")).alias("n_kept"),
+        )
+    )

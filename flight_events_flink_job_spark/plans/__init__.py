@@ -14,11 +14,11 @@ from .registry_stream import BENCH_SKIP  # noqa: F401
 # (never driver-seen), then the 16 queries whose most recent
 # driver-green is round 3 (the 13 queued below the r6 cutoff plus
 # text_langid/text_repetition/text_stats, which slipped past entry
-# 50), then 32 of the 50 round-4-stale greens, chosen by machinery
+# 50), then 31 of the 50 round-4-stale greens, chosen by machinery
 # volatility: the streaming/JDBC family (broker-less env-sensitive),
 # the vector/clustering tier being scale-curved this round, the
 # simhash/incremental dedup queries whose gates this round touches,
-# multimodal, and the sketch/graph family. The 18 round-4-stale
+# multimodal, and the sketch/graph family. The 19 round-4-stale
 # queries after the cutoff rotate in next round; they and everything
 # past the window are covered by the committed full-registry parity
 # sweep (tools/parity_r7_*.log) that the judge can re-run in one
@@ -32,15 +32,16 @@ DRIVER_WINDOW = 50
 # section boundaries are the comment rows below, encoded here so the
 # bookkeeping is executable.
 WINDOW_SECTIONS = [
-    ("round-7 additions", 2),
+    ("round-7 additions", 3),
     ("round-3-stale", 16),
-    ("round-4-stale rotation", 32),
+    ("round-4-stale rotation", 31),
 ]
 
 _PRIORITY = [
     # -- 0. round-7 additions (driver has never seen them) ------------------
     "ivf_pq_topk",
     "user_triangles_exact",
+    "semdedup_scaled",
     # -- 1. the 16 round-3-stale queries (VERDICT r6 item 1) ----------------
     "corpus_stats_cube",
     "doc_fingerprint",
@@ -58,7 +59,7 @@ _PRIORITY = [
     "top_bigrams_per_lang",
     "value_anomalies",
     "vocab_coverage_bands",
-    # -- 2. round-4-stale rotation (32 of 50, most env-sensitive first) -----
+    # -- 2. round-4-stale rotation (31 of 50, most env-sensitive first) -----
     #    streaming / JDBC / datagen family
     "airline_stats_jdbc",
     "datagen_flights",
@@ -95,10 +96,10 @@ _PRIORITY = [
     "event_value_quantiles_sketch",
     "merge_upsert",
     "pattern_match_funnel",
-    "weekly_cohort_retention",
-    # ---- 50-entry driver window ends here (2 + 16 + 32; boundary
-    # asserted by tests/test_registry_window.py). The 18 r4-stale
+    # ---- 50-entry driver window ends here (3 + 16 + 31; boundary
+    # asserted by tests/test_registry_window.py). The 19 r4-stale
     # queries below rotate in next round. -----------------------------------
+    "weekly_cohort_retention",
     "bpe_pair_stats",
     "conversion_funnel",
     "customer_value_deciles",

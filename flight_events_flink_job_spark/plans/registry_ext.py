@@ -1199,6 +1199,69 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(_embs(spark, sf_dir))
 
 
+def _semdedup_scaled_oracle(
+    threshold: float = 0.4,
+    target_occupancy: int = 64,
+    max_bucket: int = 256,
+    dim: int = 64,
+) -> str:
+    """Twin of operators/clustering.semdedup_scaled: stride-sampled
+    driver-held centroids (the similarity_topk_ivf assignment CTEs),
+    the keep-precedence occupancy cap, then the semdedup drop verdict
+    restricted to each cluster's top-``max_bucket`` precedence
+    members."""
+    d2 = (
+        "list_reduce(list_prepend(0.0, "
+        "[(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]) for i in range(1, {n})]), "
+        "(a,x) -> a+x)".format(n=dim + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id % {target_occupancy} = 0),
+    d AS (SELECT e.vec_id, e.v, c.cid, {d2} AS d2 FROM e, c),
+    a AS (SELECT vec_id, v, cid, d2 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cid) rn FROM d)
+          WHERE rn = 1),
+    droppers AS (SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY cid ORDER BY d2 DESC, vec_id) pr FROM a)
+          WHERE pr <= {max_bucket}),
+    dropped AS (
+        SELECT DISTINCT x.vec_id
+        FROM a x JOIN droppers y
+          ON x.cid = y.cid AND x.vec_id != y.vec_id
+         AND (y.d2 > x.d2 OR (y.d2 = x.d2 AND y.vec_id < x.vec_id))
+         AND (CASE WHEN list_dot_product(x.v, x.v) = 0
+                     OR list_dot_product(y.v, y.v) = 0 THEN 0.0
+                   ELSE list_cosine_similarity(x.v, y.v) END)
+             >= {threshold})
+    SELECT a.cid AS cluster_id,
+           count(*) AS n_vectors,
+           CAST(sum(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           count(*) - CAST(sum(CASE WHEN dr.vec_id IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+    GROUP BY a.cid
+    """
+
+
+@register("semdedup_scaled", oracle=_semdedup_scaled_oracle())
+def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB SemDedup path: cluster count grows with the corpus
+    (stride-sampled density-adaptive centroids, occupancy held ~64),
+    Arrow-matmul assignment, pair work capped at N*max_bucket by the
+    keep-precedence occupancy gate — the fixed-k registered semdedup
+    is O(N^2/k) by construction and stops at driver scale
+    (operators/clustering.semdedup_scaled)."""
+    from ..operators.clustering import semdedup_scaled
+
+    return semdedup_scaled(_embs(spark, sf_dir))
+
+
 @register("similarity_topk_lsh", oracle=_topk_lsh_oracle())
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH (16 tables x 4

@@ -295,3 +295,54 @@ def test_ivf_pq_topk_gates_candidates_to_probed_cells(spark, sf_dir):
             expect[(q, n)] = (d2, rank)
     got = {(r.q_id, r.n_id): (r.adc_d2, r.rank) for r in rows}
     assert got == expect
+
+
+def test_semdedup_scaled_partitions_corpus_and_caps_bind_correctly(spark, sf_dir):
+    """semdedup_scaled must partition every vector exactly once, and
+    with the occupancy cap inactive (max_bucket >= any cluster) its
+    verdicts must equal the uncapped pair semantics — i.e. raising the
+    cap further changes nothing; lowering it to 1 can only reduce
+    drops (fewer candidate droppers), never add them."""
+    from flight_events_flink_job_spark.operators.clustering import (
+        semdedup_scaled,
+    )
+
+    embs = _embs(spark, sf_dir)
+    n = embs.count()
+    out = semdedup_scaled(embs).collect()
+    assert sum(r.n_vectors for r in out) == n
+    assert all(r.n_kept + r.n_dropped == r.n_vectors for r in out)
+    assert all(r.n_kept >= 1 for r in out)
+    base = {r.cluster_id: (r.n_vectors, r.n_dropped) for r in out}
+    wide = {
+        r.cluster_id: (r.n_vectors, r.n_dropped)
+        for r in semdedup_scaled(embs, max_bucket=10**6).collect()
+    }
+    assert base == wide  # cap inactive at fixture occupancy
+    tight = {
+        r.cluster_id: r.n_dropped
+        for r in semdedup_scaled(embs, max_bucket=1).collect()
+    }
+    assert all(tight[c] <= d for c, (_, d) in base.items())
+
+
+def test_semdedup_scaled_occupancy_tracks_target_on_clustered_corpus(spark, tmp_path):
+    """Stride-sampled centroids are density-adaptive: on the
+    dominant-blob clustered fixture the max cluster occupancy must stay
+    within a small multiple of the target, not absorb the blob."""
+    from flight_events_flink_job_spark.operators.clustering import (
+        semdedup_scaled,
+    )
+    from flight_events_flink_job_spark.sources.scalegen import (
+        gen_scale_tables,
+    )
+
+    gen_scale_tables(
+        spark, str(tmp_path), 0.1, tables=["embeddings"], emb_mode="clustered"
+    )
+    embs = spark.read.parquet(f"{tmp_path}/embeddings.parquet")
+    occ = [r.n_vectors for r in semdedup_scaled(embs, target_occupancy=64).collect()]
+    assert sum(occ) == embs.count()
+    # blob-proportional centroid density keeps the head bounded: the
+    # biggest cluster stays within ~4x target, nowhere near blob size
+    assert max(occ) <= 4 * 64, max(occ)

@@ -79,6 +79,21 @@ TARGETS = [
     # per-source capped window must both stay linear in corpus rows.
     "hard_negatives",
     "source_quality_cap",
+    # round-7 additions (VERDICT r6 item 2): the vector/ANN tier —
+    # hyperplane-LSH buckets, IVF posting lists, PQ codebooks, and the
+    # Lloyd chains — curved to sf10 (200k vectors) on BOTH the uniform
+    # and the clustered (dominant-blob) embedding fixture; bucket
+    # occupancy is the quantity most likely to hide a sum-of-squares
+    # pathology, so it is counted per scale point alongside wall time.
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "ivf_pq_topk",
+    "hash_embed_search",
+    "semdedup",
+    "dedup_embedding_cosine",
+    "knn_label_vote",
+    "kmeans_clusters",
+    "cluster_balanced_sample",
 ]
 
 TABLES_NEEDED = [
@@ -104,6 +119,22 @@ def main() -> None:
         "--targets",
         default=None,
         help="comma-separated subset of TARGETS (default: all)",
+    )
+    ap.add_argument(
+        "--emb-mode",
+        default="uniform",
+        choices=["uniform", "clustered"],
+        help="embeddings fixture distribution: 'clustered' = dominant "
+        "Gaussian blob + Zipf tail (stresses LSH/IVF/PQ bucket "
+        "occupancy); fixtures land in {base}/sf{sf}-clustered",
+    )
+    ap.add_argument(
+        "--vector-occupancy",
+        action="store_true",
+        help="count hyperplane-LSH bucket / IVF posting-list / PQ "
+        "codeword-cell occupancy per scale point (max, p99, and the "
+        "sum-of-squares pair bound that drives join cost). Run "
+        "separately from wall-time curves, like --skip-candidates.",
     )
     ap.add_argument(
         "--skip-candidates",
@@ -136,13 +167,16 @@ def main() -> None:
     spark = get_spark("scale_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    out: dict = {"sfs": sfs, "points": {}}
+    out: dict = {"sfs": sfs, "emb_mode": args.emb_mode, "points": {}}
+    suffix = "-clustered" if args.emb_mode == "clustered" else ""
     for sf in sfs:
-        sf_dir = f"{args.base}/sf{sf}"
+        sf_dir = f"{args.base}/sf{sf}{suffix}"
         marker = f"{sf_dir}/.complete"
         if not os.path.exists(marker):
             t0 = time.perf_counter()
-            rows = gen_scale_tables(spark, sf_dir, sf, tables=TABLES_NEEDED)
+            rows = gen_scale_tables(
+                spark, sf_dir, sf, tables=TABLES_NEEDED, emb_mode=args.emb_mode
+            )
             open(marker, "w").write(json.dumps(rows))
             print(
                 f"# generated sf{sf} in {time.perf_counter() - t0:.1f}s:"
@@ -207,6 +241,72 @@ def main() -> None:
                 docs
             ).count()
 
+        if args.vector_occupancy:
+            # Bucket-occupancy counts (VERDICT r6 item 2): for each ANN
+            # structure, the per-bucket row counts — max and p99 show
+            # head-heaviness, and sum(n^2) is the candidate-pair bound a
+            # same-bucket pair join pays (the quantity that goes
+            # quadratic when a dominant blob collapses into one bucket).
+            from pyspark.sql import functions as SF
+
+            from flight_events_flink_job_spark.operators.clustering import (
+                _pq_lloyd,
+            )
+            from flight_events_flink_job_spark.operators.similarity import (
+                _prepared,
+                _ranked_centroids,
+                hyperplane_buckets,
+                ivf_centroids,
+            )
+
+            embs = load_table(spark, sf_dir, "embeddings")
+
+            def occ_stats(counts_df) -> dict:
+                row = counts_df.agg(
+                    SF.count("*").alias("buckets"),
+                    SF.max("n").alias("mx"),
+                    SF.expr("percentile_approx(n, 0.99)").alias("p99"),
+                    SF.sum(SF.col("n") * SF.col("n")).alias("sum_sq"),
+                ).collect()[0]
+                return {
+                    "buckets": int(row["buckets"]),
+                    "max": int(row["mx"]),
+                    "p99": int(row["p99"]),
+                    "pair_bound_sum_sq": int(row["sum_sq"]),
+                }
+
+            prep = _prepared(embs, "n")
+            point["occupancy"] = {
+                "lsh_hyperplane": occ_stats(
+                    prep.select(
+                        SF.explode(
+                            hyperplane_buckets(SF.col("n_vec"))
+                        ).alias("b")
+                    )
+                    .groupBy("b")
+                    .agg(SF.count("*").alias("n"))
+                )
+            }
+            cents = ivf_centroids(embs)
+            point["occupancy"]["ivf_cells"] = occ_stats(
+                prep.select(
+                    SF.element_at(
+                        _ranked_centroids(SF.col("n_vec"), cents, 1), 1
+                    ).alias("cell")
+                )
+                .groupBy("cell")
+                .agg(SF.count("*").alias("n"))
+            )
+            assigned, _ = _pq_lloyd(embs, 4, 8, 2, 7, 64)
+            point["occupancy"]["pq_cells"] = occ_stats(
+                assigned.groupBy("subspace", "cid").agg(
+                    SF.count("*").alias("n")
+                )
+            )
+            print(
+                f"# sf{sf} occupancy: {point['occupancy']}", file=sys.stderr
+            )
+
         for name in targets:
             fn = QUERIES[name]
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -260,6 +360,15 @@ def main() -> None:
         "last_touch_attribution": "events",
         "hard_negatives": "embeddings",
         "source_quality_cap": "documents",
+        "similarity_topk_lsh": "embeddings",
+        "similarity_topk_ivf": "embeddings",
+        "ivf_pq_topk": "embeddings",
+        "hash_embed_search": "embeddings",
+        "semdedup": "embeddings",
+        "dedup_embedding_cosine": "embeddings",
+        "knn_label_vote": "embeddings",
+        "kmeans_clusters": "embeddings",
+        "cluster_balanced_sample": "embeddings",
     }
     exps: dict = {"queries": {}, "candidates": {}}
     pairs = list(zip(sfs, sfs[1:]))
