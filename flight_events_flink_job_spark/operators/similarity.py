@@ -267,13 +267,19 @@ def _ranked_centroids(vec_col, centroids, nprobe: int):
         else:
             # one BLAS matmul prunes |C| -> m candidates (the full
             # per-dim fold over all centroids moved O(b*|C|) temporaries
-            # 64x through memory - measured 5x the whole-query time)
-            d2a = (
-                (mat * mat).sum(axis=1)[:, None]
-                - 2.0 * (mat @ cmat.T)
-                + c_norms[None, :]
-            )
-            cand = np.argpartition(d2a, m - 1, axis=1)[:, :m]
+            # 64x through memory - measured 5x the whole-query time).
+            # argpartition is invariant to adding a per-row constant, so
+            # the |v|^2 term is dropped and the score is built IN PLACE
+            # on the single matmul output: the naive broadcast form
+            # allocated two extra b x |C| temporaries per batch, which
+            # at |C| ~ 3k centroids (sf10 semdedup_scaled/IVF) measured
+            # 3x the matmul itself (round-7 profile; the exact fold on
+            # the m survivors still decides the final order, so
+            # candidate selection stays margin-safe).
+            g = mat @ cmat.T
+            g *= -2.0
+            g += c_norms[None, :]
+            cand = np.argpartition(g, m - 1, axis=1)[:, :m]
         # exact distances, bit-identical to the oracle's sequential
         # fold, on candidates only: d2 accumulates dim-by-dim in order
         cc = cmat[cand]

@@ -94,6 +94,9 @@ TARGETS = [
     "knn_label_vote",
     "kmeans_clusters",
     "cluster_balanced_sample",
+    # the occupancy-bounded SemDedup scale path (added r7 after the
+    # fixed-k registered semdedup measured quadratic-by-construction)
+    "semdedup_scaled",
 ]
 
 TABLES_NEEDED = [
@@ -119,6 +122,13 @@ def main() -> None:
         "--targets",
         default=None,
         help="comma-separated subset of TARGETS (default: all)",
+    )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of tables to generate per fixture "
+        "dir (default: all). Use for emb-mode=clustered runs where only "
+        "embeddings/documents are read, to skip the 60M-row lineitem.",
     )
     ap.add_argument(
         "--emb-mode",
@@ -175,7 +185,9 @@ def main() -> None:
         if not os.path.exists(marker):
             t0 = time.perf_counter()
             rows = gen_scale_tables(
-                spark, sf_dir, sf, tables=TABLES_NEEDED, emb_mode=args.emb_mode
+                spark, sf_dir, sf,
+                tables=args.tables.split(",") if args.tables else TABLES_NEEDED,
+                emb_mode=args.emb_mode,
             )
             open(marker, "w").write(json.dumps(rows))
             print(
@@ -363,12 +375,13 @@ def main() -> None:
         "similarity_topk_lsh": "embeddings",
         "similarity_topk_ivf": "embeddings",
         "ivf_pq_topk": "embeddings",
-        "hash_embed_search": "embeddings",
+        "hash_embed_search": "documents",
         "semdedup": "embeddings",
         "dedup_embedding_cosine": "embeddings",
         "knn_label_vote": "embeddings",
         "kmeans_clusters": "embeddings",
         "cluster_balanced_sample": "embeddings",
+        "semdedup_scaled": "embeddings",
     }
     exps: dict = {"queries": {}, "candidates": {}}
     pairs = list(zip(sfs, sfs[1:]))

@@ -1,0 +1,245 @@
+"""State-growth soak for the STATEFUL streaming joins and session
+windows (VERDICT r6 item 3, second half): the RocksDB update-mode
+aggregate got its 110-batch soak in round 6 (tools/stream_soak.py);
+this gives the same endurance evidence to the two stateful shapes whose
+state is managed by WATERMARK EVICTION rather than window finalization:
+
+- the stream-stream interval join (streaming/joins.py) — join state on
+  both sides must be evicted once rows age past (watermark + interval),
+  so steady-state rows ~= rate x retention, independent of run length;
+- session windows (streaming/sessions.py sessionize_stream) with a
+  production watermark in APPEND mode — open sessions finalize and
+  leave the store once the watermark passes session_end + gap.
+
+Input: a deterministic time-ordered event log staged as ``n_files``
+contiguous-time parquet files (the file source's maxFilesPerTrigger=1
+turns each file into one micro-batch, so event time advances
+span/n_files per batch — hours of event time enter AND leave the
+watermark horizon every batch). A StreamingQueryListener sums
+numRowsTotal across ALL state operators per batch (a stream-stream
+join carries several stores; recentProgress's bounded buffer is never
+re-summed).
+
+PASS per soak (same bar as stream_soak.py): >= 100 data batches, state
+plateau (last-quarter max <= 1.25x second-quarter max), stable latency
+(last-quarter median <= 2x second-quarter median).
+
+Usage: python tools/stream_state_soak.py [n_files] [rows_per_file]
+Prints one JSON line per soak; committed as bench/stream_state_soak_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    os.environ["TZ"] = "UTC"
+    time.tzset()
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    per_file = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from flight_events_flink_job_spark.session import get_spark
+    from flight_events_flink_job_spark.streaming.job import ROCKSDB_PROVIDER
+    from flight_events_flink_job_spark.streaming.joins import (
+        signup_purchase_conversions,
+    )
+    from flight_events_flink_job_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    spark = get_spark("stream_state_soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    work = tempfile.mkdtemp(prefix="state_soak_")
+    staging = f"{work}/staging"
+
+    # Deterministic time-ordered event log: one file per simulated day,
+    # rows inside a file span that day uniformly. user/event_type/value
+    # are pure functions of the row id (xxhash64) — no rand().
+    base = dt.datetime(2024, 1, 1)
+    n_users = 500
+    for f in range(n_files):
+        day = base + dt.timedelta(days=f)
+        df = (
+            spark.range(f * per_file, (f + 1) * per_file, 1, 1)
+            .select(
+                F.col("id").alias("event_id"),
+                (
+                    F.lit(day)
+                    + F.make_interval(
+                        secs=F.pmod(F.col("id") * 37, 86_400).cast("double")
+                    )
+                ).alias("ts"),
+                F.pmod(F.xxhash64("id", F.lit("u")), F.lit(n_users)).alias(
+                    "user_id"
+                ),
+                F.element_at(
+                    F.array(
+                        F.lit("signup"),
+                        F.lit("purchase"),
+                        F.lit("view"),
+                        F.lit("click"),
+                    ),
+                    (F.pmod(F.xxhash64("id", F.lit("t")), F.lit(4)) + 1).cast(
+                        "int"
+                    ),
+                ).alias("event_type"),
+                (F.pmod(F.xxhash64("id", F.lit("v")), F.lit(10_000)) / 100.0).alias(
+                    "value"
+                ),
+            )
+            .coalesce(1)
+        )
+        df.write.mode("append").parquet(staging)
+
+    schema = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE"
+    )
+
+    progress: list[dict] = []
+
+    class Collector(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            progress.append(
+                {
+                    "batch_id": p.batchId,
+                    "duration_ms": p.batchDuration,
+                    "input_rows": p.numInputRows,
+                    "state_rows": sum(
+                        op.numRowsTotal for op in p.stateOperators
+                    )
+                    if p.stateOperators
+                    else None,
+                }
+            )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    spark.streams.addListener(Collector())
+
+    def soak(name: str, build_query) -> dict:
+        progress.clear()
+        ck = f"{work}/ck_{name}"
+        t0 = time.perf_counter()
+        q = build_query(ck)
+        # availableNow: the file source drains all staged files in
+        # maxFilesPerTrigger-sized batches, then terminates itself.
+        q.awaitTermination(1800)
+        if q.isActive:
+            q.stop()
+            q.awaitTermination(60)
+        wall = time.perf_counter() - t0
+        data = [
+            p
+            for p in progress
+            if p["input_rows"] > 0 and p["state_rows"] is not None
+        ]
+        n = len(data)
+        quarter = max(n // 4, 1)
+        second = data[quarter : 2 * quarter]
+        last = data[-quarter:]
+        max_mid = max(p["state_rows"] for p in second)
+        max_last = max(p["state_rows"] for p in last)
+        lat_mid = statistics.median(p["duration_ms"] for p in second)
+        lat_last = statistics.median(p["duration_ms"] for p in last)
+        verdict = {
+            "soak": name,
+            "n_batches": n,
+            "rows_per_file": per_file,
+            "wall_sec": round(wall, 1),
+            "state_rows_max_q2": max_mid,
+            "state_rows_max_q4": max_last,
+            "state_bounded": max_last <= 1.25 * max_mid,
+            "latency_ms_median_q2": lat_mid,
+            "latency_ms_median_q4": lat_last,
+            "latency_stable": lat_last <= 2 * lat_mid,
+            "state_rows_series_every_10": [
+                p["state_rows"] for p in data[::10]
+            ],
+        }
+        verdict["pass"] = bool(
+            n >= 100
+            and verdict["state_bounded"]
+            and verdict["latency_stable"]
+        )
+        print(json.dumps(verdict), flush=True)
+        return verdict
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+
+    def build_join(ck: str):
+        # realistic retention: 1-day watermark, 6-hour join interval —
+        # each micro-batch advances a full day of event time, so rows
+        # enter AND leave the join state every batch.
+        ev = reader()
+        joined = signup_purchase_conversions(
+            ev.where(F.col("event_type") == "signup"),
+            ev.where(F.col("event_type") == "purchase"),
+            upper="6 HOURS",
+            watermark="1 DAY",
+        )
+        return (
+            joined.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def build_sessions(ck: str):
+        # production sessionization: append mode + watermark, so a
+        # session leaves the store once the watermark passes its
+        # end + gap (the complete-mode parity query keeps everything
+        # by design; this is the eviction twin).
+        sess = sessionize_stream(
+            reader().withWatermark("ts", "1 DAY"), gap="30 minutes"
+        )
+        return (
+            sess.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    results = [
+        soak("interval_join", build_join),
+        soak("session_windows", build_sessions),
+    ]
+    shutil.rmtree(work, ignore_errors=True)
+    return 0 if all(r["pass"] for r in results) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
