@@ -382,6 +382,9 @@ def main() -> None:
         "kmeans_clusters": "embeddings",
         "cluster_balanced_sample": "embeddings",
         "semdedup_scaled": "embeddings",
+        # composed end-to-end pipeline (VERDICT r6 item 7)
+        "curation_pipeline": "documents",
+        "semdedup": "embeddings",
     }
     exps: dict = {"queries": {}, "candidates": {}}
     pairs = list(zip(sfs, sfs[1:]))
