@@ -572,18 +572,22 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 # push that floor out to N ~ 2^30 at the price of 20 rows per doc
 # instead of 4. That price makes the combo scheme SLOWER below the
 # crossover, which round 6 MEASURED head-to-head up to 1M docs
-# (BASELINE.md §5a): classic/combo seconds at
-# 25k/50k/100k/250k/500k/1M docs = 1.95/3.80, 2.53/6.02, 6.01/10.83,
-# 15.78/24.68, 17.06/24.95, 31.81/41.01. Classic's raw collision
-# stream does grow ~N²/2^15, but its per-match cost is so low that
-# the 5x key overhead keeps combo behind through 1M docs; the
-# classic/combo ratio shrinks ~0.87x per corpus doubling, putting
-# measured-trend parity at ~4M docs — the auto threshold below.
-# (The r5 threshold of 500k extrapolated from the pre-filter stream
-# counts alone and measured WRONG once both schemes were timed
-# head-to-head at the boundary.) Both schemes are complete, so the
-# result set is identical either way; above the threshold combo's
-# 30-bit keys make the candidate stream linear out to N ~ 2^30.
+# (BASELINE.md §5a, §6f): classic/combo seconds at
+# 25k/50k/100k/250k/500k/1M/2M docs = 1.95/3.80, 2.53/6.02,
+# 6.01/10.83, 15.78/24.68, 17.06/24.95, 31.81/41.01, 68.02/79.45.
+# Classic's raw collision stream does grow ~N²/2^15, but its
+# per-match cost is so low that the 5x key overhead keeps combo
+# behind through every measured point; the classic/combo ratio
+# shrinks ~0.88-0.91x per corpus doubling (1.46x at 500k, 1.29x at
+# 1M, 1.17x at 2M — the round-7 bracketing point), putting parity at
+# ~4M docs, the auto threshold below. The gate is now BRACKETED by
+# measurement on the classic-favored side through 2M rather than
+# fitted from 1M (round-6 verdict item 4). (The r5 threshold of 500k
+# extrapolated from the pre-filter stream counts alone and measured
+# WRONG once both schemes were timed head-to-head at the boundary.)
+# Both schemes are complete, so the result set is identical either
+# way; above the threshold combo's 30-bit keys make the candidate
+# stream linear out to N ~ 2^30.
 SIMHASH_COMBO_BLOCKS = 6
 SIMHASH_COMBO_PICK = 3
 SIMHASH_COMBO_MIN_DOCS = 4_000_000

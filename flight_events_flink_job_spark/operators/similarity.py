@@ -265,21 +265,49 @@ def _ranked_centroids(vec_col, centroids, nprobe: int):
                 np.arange(len(cids)), (len(mat), len(cids))
             )
         else:
-            # one BLAS matmul prunes |C| -> m candidates (the full
-            # per-dim fold over all centroids moved O(b*|C|) temporaries
-            # 64x through memory - measured 5x the whole-query time).
+            # BLAS matmul prunes |C| -> m candidates (the full per-dim
+            # fold over all centroids moved O(b*|C|) temporaries 64x
+            # through memory - measured 5x the whole-query time).
             # argpartition is invariant to adding a per-row constant, so
-            # the |v|^2 term is dropped and the score is built IN PLACE
-            # on the single matmul output: the naive broadcast form
-            # allocated two extra b x |C| temporaries per batch, which
-            # at |C| ~ 3k centroids (sf10 semdedup_scaled/IVF) measured
-            # 3x the matmul itself (round-7 profile; the exact fold on
-            # the m survivors still decides the final order, so
-            # candidate selection stays margin-safe).
-            g = mat @ cmat.T
-            g *= -2.0
-            g += c_norms[None, :]
-            cand = np.argpartition(g, m - 1, axis=1)[:, :m]
+            # the |v|^2 term is dropped and the score built IN PLACE on
+            # the matmul output (the naive broadcast form allocated two
+            # extra b x |C| temporaries per batch — measured 3x the
+            # matmul itself at 3k centroids). The CENTROID axis is
+            # additionally processed in <=512-wide chunks with a
+            # running top-m merge: at the 4096-centroid cap a full
+            # b x |C| score matrix is ~400 MB per Arrow batch and 32
+            # concurrent workers thrashed allocation (sf20 read
+            # 79 s +- 36 s MAD); chunking holds the transient at
+            # ~50 MB. Exactness is untouched — the global top-m by
+            # score must be in some chunk's top-m, and the exact fold
+            # on the merged candidates still decides the final order.
+            chunk = 512
+            best_ids = None
+            best_g = None
+            for lo in range(0, len(cids), chunk):
+                cm = cmat[lo : lo + chunk]
+                g = mat @ cm.T
+                g *= -2.0
+                g += c_norms[None, lo : lo + chunk]
+                take = min(m, g.shape[1])
+                idx = (
+                    np.argpartition(g, take - 1, axis=1)[:, :take]
+                    if g.shape[1] > take
+                    else np.broadcast_to(
+                        np.arange(g.shape[1]), (len(mat), g.shape[1])
+                    )
+                )
+                gsel = np.take_along_axis(g, idx, axis=1)
+                isel = idx + lo
+                if best_ids is None:
+                    best_ids, best_g = isel, gsel
+                else:
+                    best_ids = np.concatenate([best_ids, isel], axis=1)
+                    best_g = np.concatenate([best_g, gsel], axis=1)
+                    keep = np.argpartition(best_g, m - 1, axis=1)[:, :m]
+                    best_ids = np.take_along_axis(best_ids, keep, axis=1)
+                    best_g = np.take_along_axis(best_g, keep, axis=1)
+            cand = best_ids
         # exact distances, bit-identical to the oracle's sequential
         # fold, on candidates only: d2 accumulates dim-by-dim in order
         cc = cmat[cand]
