@@ -395,7 +395,16 @@ def _pq_lloyd(
                     ).alias("cv")
                 )
             )
-    return assigned, cent
+    # Both consumers (pq_topk, ivf_pq_topk) evaluate TWO branches of
+    # this chain — codes via `assigned`, the ADC distance table via
+    # `cent` — and `cent`'s lineage is a prefix of `assigned`'s, so
+    # without a cache Spark runs the Lloyd iterations twice per query.
+    # Persisting the k_codes*m-row codebook (tiny: 32 rows at the
+    # defaults) makes the chain compute once: the dtable branch reads
+    # the cache, and `assigned`'s own final iteration reads the same
+    # cached codebook instead of re-deriving it (round-7 stage profile:
+    # the Lloyd stage was ~45% of ivf_pq_topk wall at sf20).
+    return assigned, cent.persist()
 
 
 def pq_topk(
