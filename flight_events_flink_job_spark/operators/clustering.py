@@ -404,6 +404,14 @@ def _pq_lloyd(
     # the cache, and `assigned`'s own final iteration reads the same
     # cached codebook instead of re-deriving it (round-7 stage profile:
     # the Lloyd stage was ~45% of ivf_pq_topk wall at sf20).
+    # Lifecycle note (round-7 ADVICE item 3): the persist is never
+    # explicitly released — callers return lazy DataFrames, so there is
+    # no post-action hook to unpersist from. The leak is bounded: one
+    # k_codes*m-row cached plan (32 rows at the defaults) per
+    # pq_topk/ivf_pq_topk INVOCATION, i.e. O(queries-per-session), and
+    # Spark's ContextCleaner reclaims entries once the DataFrame is
+    # garbage-collected. Callers that build many indexes in one session
+    # should call ``spark.catalog.clearCache()`` between builds.
     return assigned, cent.persist()
 
 

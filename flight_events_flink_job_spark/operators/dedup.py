@@ -318,7 +318,20 @@ def lsh_bands_for_threshold(
     At t=0.7 this derives exactly b=16 (the proven configuration);
     miss probability only FALLS for t > 0.7 and the floor keeps the
     band count there unchanged.
+
+    Degenerate inputs (round-7 ADVICE item 1): thresholds outside
+    (0, 1] are contract violations — a Jaccard similarity is a ratio
+    in [0, 1], and t <= 0 would make ``p_band = 0`` (``log(1-p_band)``
+    = 0, a ZeroDivisionError in the band formula). t <= 0 returns
+    ``None`` like any other threshold too low for the band budget, so
+    ``candidates='auto'`` callers route to the exact tier instead of
+    crashing; t > 1 raises (no similarity exceeds 1 — the caller has a
+    bug, not a low threshold).
     """
+    if threshold > 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if threshold <= 0.0:
+        return None
     p_band = threshold ** rows_per_band
     if p_band >= 1.0:
         return min_bands

@@ -1071,9 +1071,16 @@ def _ivf_pq_topk_oracle(
     ctes.append(
         "iv_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)"
     )
+    # effective stride mirrors ivf_centroids' cap-widening (round-7
+    # ADVICE item 2): past the 4096-centroid cap the Spark side widens
+    # the nominal stride to ceil((max_id+1)/4096), so the oracle must too
     ctes.append(
-        f"iv_c AS (SELECT vec_id AS cid, v AS cv FROM iv_e "
-        f"WHERE vec_id % {ivf_stride} = 0)"
+        f"iv_s AS (SELECT GREATEST({ivf_stride}, "
+        f"CAST(ceil((max(vec_id) + 1) / 4096.0) AS BIGINT)) AS st FROM iv_e)"
+    )
+    ctes.append(
+        "iv_c AS (SELECT vec_id AS cid, v AS cv FROM iv_e "
+        "WHERE vec_id % (SELECT st FROM iv_s) = 0)"
     )
     ctes.append(
         f"iv_d AS (SELECT e.vec_id, c.cid, {d2iv} AS d2 FROM iv_e e, iv_c c)"
@@ -1217,8 +1224,13 @@ def _semdedup_scaled_oracle(
     )
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    -- effective stride mirrors ivf_centroids' cap-widening (round-7
+    -- ADVICE item 2): past the 4096-centroid cap the Spark side widens
+    -- the nominal stride to ceil((max_id+1)/4096), so the oracle must too
+    eff AS (SELECT GREATEST({target_occupancy},
+                CAST(ceil((max(vec_id) + 1) / 4096.0) AS BIGINT)) AS st FROM e),
     c AS (SELECT vec_id AS cid, v AS cv FROM e
-          WHERE vec_id % {target_occupancy} = 0),
+          WHERE vec_id % (SELECT st FROM eff) = 0),
     d AS (SELECT e.vec_id, e.v, c.cid, {d2} AS d2 FROM e, c),
     a AS (SELECT vec_id, v, cid, d2 FROM (
             SELECT *, row_number() OVER (

@@ -465,7 +465,13 @@ _IVF_MODELS: dict[str, list] = {}
     "similarity_topk_ivf",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 61 = 0),
+    -- effective stride mirrors ivf_centroids' cap-widening (round-7
+    -- ADVICE item 2): past the 4096-centroid cap the Spark side widens
+    -- the nominal stride to ceil((max_id+1)/4096), so the oracle must too
+    eff AS (SELECT GREATEST(61, CAST(ceil((max(vec_id) + 1) / 4096.0)
+                                 AS BIGINT)) AS st FROM e),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id % (SELECT st FROM eff) = 0),
     d AS (
         SELECT e.vec_id, c.cid,
                list_reduce(list_prepend(0.0,

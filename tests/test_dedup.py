@@ -458,6 +458,26 @@ def test_lsh_bands_derive_from_threshold():
     assert lsh_bands_for_threshold(0.3) is None
 
 
+def test_lsh_bands_degenerate_thresholds():
+    """Round-7 ADVICE item 1: t <= 0 used to ZeroDivisionError inside
+    the band formula (log(1 - t^r) = log(1) = 0) and negative t was
+    silently accepted. Contract now: t <= 0 -> None (auto callers
+    route to the exact tier, same as any too-low threshold); t > 1
+    raises (no similarity exceeds 1, the caller has a bug); t = 1.0
+    stays at the floor."""
+    import pytest as _pytest
+
+    from flight_events_flink_job_spark.operators.dedup import (
+        lsh_bands_for_threshold,
+    )
+
+    assert lsh_bands_for_threshold(0.0) is None
+    assert lsh_bands_for_threshold(-0.5) is None
+    assert lsh_bands_for_threshold(1.0) == 16
+    with _pytest.raises(ValueError, match="threshold"):
+        lsh_bands_for_threshold(1.5)
+
+
 def test_low_threshold_auto_falls_back_to_exact(spark):
     """candidates='auto' at a low threshold must take the
     theorem-complete tier, and an explicit 'linear' there must refuse

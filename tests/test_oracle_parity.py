@@ -26,6 +26,26 @@ def duck(sf_dir):
     return con
 
 
+def test_oracle_stride_widening_matches_ivf_centroids():
+    """Round-7 ADVICE item 2: the IVF-family oracles hard-coded
+    ``vec_id % stride = 0`` while the Spark side widens the stride to
+    ceil((max_id+1)/4096) past the centroid cap. The oracles now
+    compute the effective stride in SQL; this pins the SQL arithmetic
+    to the exact Python widening across the cap boundary (including
+    the first widened value and deep past it)."""
+    con = duckdb.connect()
+    for nominal in (61, 64):
+        cap = 4096
+        for max_id in (499, 1999, nominal * cap - 1, nominal * cap,
+                       nominal * cap + 1, 799_999, 10_000_000):
+            python_stride = max(nominal, -(-(max_id + 1) // cap))
+            (sql_stride,) = con.execute(
+                f"SELECT GREATEST({nominal}, "
+                f"CAST(ceil(({max_id} + 1) / {cap}.0) AS BIGINT))"
+            ).fetchone()
+            assert sql_stride == python_stride, (nominal, max_id)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     df = QUERIES[name](spark, sf_dir)

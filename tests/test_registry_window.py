@@ -55,9 +55,11 @@ def test_window_sections_sum_to_window():
 
 
 def test_window_composition_matches_driver_history():
-    """Entries 0..1 = round-7 additions (no driver record through r6);
-    entries 2..17 = last driver-green round 3; entries 18..49 = last
-    driver-green round 4 — exactly the WINDOW_SECTIONS contract."""
+    """The window splits into the WINDOW_SECTIONS runs, in order:
+    round additions first (no driver record through the design round),
+    then the stalest family, then the next — the exact counts come
+    from WINDOW_SECTIONS, never hand-counted here (round-7 ADVICE
+    item 5: the previous docstring hard-coded stale indices)."""
     last = _last_green()
     window = _PRIORITY[:DRIVER_WINDOW]
     (_, n_new), (_, n_r3), (_, n_r4) = WINDOW_SECTIONS

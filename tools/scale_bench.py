@@ -406,7 +406,6 @@ def main() -> None:
         "semdedup_scaled": "embeddings",
         # composed end-to-end pipeline (VERDICT r6 item 7)
         "curation_pipeline": "documents",
-        "semdedup": "embeddings",
     }
     exps: dict = {"queries": {}, "candidates": {}}
     pairs = list(zip(sfs, sfs[1:]))
