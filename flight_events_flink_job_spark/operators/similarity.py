@@ -235,16 +235,93 @@ def ivf_centroids(
     return [(int(r["vec_id"]), list(r["v"])) for r in rows]
 
 
+def _nearest_ids(
+    mat: np.ndarray,
+    cids: np.ndarray,
+    cmat: np.ndarray,
+    c_norms: np.ndarray,
+    nprobe: int,
+    m: int,
+) -> np.ndarray:
+    """(batch, min(nprobe, |C|)) ids of the nearest centroids per row by
+    (squared L2, cid) — the exact ranking core shared by the flat
+    (:func:`_ranked_centroids`) and hierarchical
+    (:func:`_ranked_cells_hier`) quantizers. The math is verbatim the
+    round-7 parity-proven implementation: BLAS matmul prunes |C| -> m
+    candidates in <=512-wide chunks, then the sequential dim-by-dim
+    fold (bit-exact with DuckDB ``list_reduce``) decides the final
+    order, ties by centroid id via stable lexsort."""
+    if len(cids) <= m:
+        cand = np.broadcast_to(
+            np.arange(len(cids)), (len(mat), len(cids))
+        )
+    else:
+        # BLAS matmul prunes |C| -> m candidates (the full per-dim
+        # fold over all centroids moved O(b*|C|) temporaries 64x
+        # through memory - measured 5x the whole-query time).
+        # argpartition is invariant to adding a per-row constant, so
+        # the |v|^2 term is dropped and the score built IN PLACE on
+        # the matmul output (the naive broadcast form allocated two
+        # extra b x |C| temporaries per batch — measured 3x the
+        # matmul itself at 3k centroids). The CENTROID axis is
+        # additionally processed in <=512-wide chunks with a
+        # running top-m merge: at the 4096-centroid cap a full
+        # b x |C| score matrix is ~400 MB per Arrow batch and 32
+        # concurrent workers thrashed allocation (sf20 read
+        # 79 s +- 36 s MAD); chunking holds the transient at
+        # ~50 MB. Exactness is untouched — the global top-m by
+        # score must be in some chunk's top-m, and the exact fold
+        # on the merged candidates still decides the final order.
+        chunk = 512
+        best_ids = None
+        best_g = None
+        for lo in range(0, len(cids), chunk):
+            cm = cmat[lo : lo + chunk]
+            g = mat @ cm.T
+            g *= -2.0
+            g += c_norms[None, lo : lo + chunk]
+            take = min(m, g.shape[1])
+            idx = (
+                np.argpartition(g, take - 1, axis=1)[:, :take]
+                if g.shape[1] > take
+                else np.broadcast_to(
+                    np.arange(g.shape[1]), (len(mat), g.shape[1])
+                )
+            )
+            gsel = np.take_along_axis(g, idx, axis=1)
+            isel = idx + lo
+            if best_ids is None:
+                best_ids, best_g = isel, gsel
+            else:
+                best_ids = np.concatenate([best_ids, isel], axis=1)
+                best_g = np.concatenate([best_g, gsel], axis=1)
+                keep = np.argpartition(best_g, m - 1, axis=1)[:, :m]
+                best_ids = np.take_along_axis(best_ids, keep, axis=1)
+                best_g = np.take_along_axis(best_g, keep, axis=1)
+        cand = best_ids
+    # exact distances, bit-identical to the oracle's sequential
+    # fold, on candidates only: d2 accumulates dim-by-dim in order
+    cc = cmat[cand]
+    d2 = np.zeros(cand.shape)
+    for i in range(mat.shape[1]):
+        d = mat[:, None, i] - cc[:, :, i]
+        d2 += d * d
+    cand_ids = cids[cand]
+    order = np.lexsort((cand_ids, d2), axis=1)[:, :nprobe]
+    return np.take_along_axis(cand_ids, order, axis=1)
+
+
 def _ranked_centroids(vec_col, centroids, nprobe: int):
     """ARRAY<BIGINT> of the ``nprobe`` nearest centroid ids by
     (squared L2 distance, cid), Arrow-vectorized.
 
     Bit-exact with the DuckDB oracle's sequential fold: the distance
     accumulates dimension-by-dimension left-to-right (the numpy loop
-    below runs ``d2 += (v_i - c_i)^2`` over dims in order; every numpy
-    elementwise op rounds per IEEE with no fusion), which is the exact
-    operation sequence of ``list_reduce``'s running sum. Ties break by
-    centroid id: cids are sorted ascending and the argsort is stable.
+    in :func:`_nearest_ids` runs ``d2 += (v_i - c_i)^2`` over dims in
+    order; every numpy elementwise op rounds per IEEE with no fusion),
+    which is the exact operation sequence of ``list_reduce``'s running
+    sum. Ties break by centroid id: cids are sorted ascending and the
+    argsort is stable.
     """
     cids = np.array([c for c, _ in centroids], dtype=np.int64)
     assert (np.diff(cids) > 0).all()
@@ -260,64 +337,8 @@ def _ranked_centroids(vec_col, centroids, nprobe: int):
     @pandas_udf("array<bigint>")
     def ranked(v: pd.Series) -> pd.Series:
         mat = np.vstack(v.to_numpy())
-        if len(cids) <= m:
-            cand = np.broadcast_to(
-                np.arange(len(cids)), (len(mat), len(cids))
-            )
-        else:
-            # BLAS matmul prunes |C| -> m candidates (the full per-dim
-            # fold over all centroids moved O(b*|C|) temporaries 64x
-            # through memory - measured 5x the whole-query time).
-            # argpartition is invariant to adding a per-row constant, so
-            # the |v|^2 term is dropped and the score built IN PLACE on
-            # the matmul output (the naive broadcast form allocated two
-            # extra b x |C| temporaries per batch — measured 3x the
-            # matmul itself at 3k centroids). The CENTROID axis is
-            # additionally processed in <=512-wide chunks with a
-            # running top-m merge: at the 4096-centroid cap a full
-            # b x |C| score matrix is ~400 MB per Arrow batch and 32
-            # concurrent workers thrashed allocation (sf20 read
-            # 79 s +- 36 s MAD); chunking holds the transient at
-            # ~50 MB. Exactness is untouched — the global top-m by
-            # score must be in some chunk's top-m, and the exact fold
-            # on the merged candidates still decides the final order.
-            chunk = 512
-            best_ids = None
-            best_g = None
-            for lo in range(0, len(cids), chunk):
-                cm = cmat[lo : lo + chunk]
-                g = mat @ cm.T
-                g *= -2.0
-                g += c_norms[None, lo : lo + chunk]
-                take = min(m, g.shape[1])
-                idx = (
-                    np.argpartition(g, take - 1, axis=1)[:, :take]
-                    if g.shape[1] > take
-                    else np.broadcast_to(
-                        np.arange(g.shape[1]), (len(mat), g.shape[1])
-                    )
-                )
-                gsel = np.take_along_axis(g, idx, axis=1)
-                isel = idx + lo
-                if best_ids is None:
-                    best_ids, best_g = isel, gsel
-                else:
-                    best_ids = np.concatenate([best_ids, isel], axis=1)
-                    best_g = np.concatenate([best_g, gsel], axis=1)
-                    keep = np.argpartition(best_g, m - 1, axis=1)[:, :m]
-                    best_ids = np.take_along_axis(best_ids, keep, axis=1)
-                    best_g = np.take_along_axis(best_g, keep, axis=1)
-            cand = best_ids
-        # exact distances, bit-identical to the oracle's sequential
-        # fold, on candidates only: d2 accumulates dim-by-dim in order
-        cc = cmat[cand]
-        d2 = np.zeros(cand.shape)
-        for i in range(mat.shape[1]):
-            d = mat[:, None, i] - cc[:, :, i]
-            d2 += d * d
-        cand_ids = cids[cand]
-        order = np.lexsort((cand_ids, d2), axis=1)[:, :nprobe]
-        return pd.Series(np.take_along_axis(cand_ids, order, axis=1).tolist())
+        ids = _nearest_ids(mat, cids, cmat, c_norms, nprobe, m)
+        return pd.Series(ids.tolist())
 
     return ranked(vec_col)
 
@@ -349,6 +370,206 @@ def cosine_topk_ivf(
     q = (
         _prepared(embeddings.filter(F.col("vec_id") < num_queries), "q")
         .withColumn("probes", _ranked_centroids(F.col("q_vec"), cents, nprobe))
+        .select("q_id", "q_vec", F.explode("probes").alias("cid"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id"))
+    return (
+        e.join(F.broadcast(q), "cid")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("_cos", cosine_arrow(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round(F.col("_cos"), 4).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (two-level) coarse quantizer — the occupancy-constant
+# scale path past the flat 4096-centroid cap (round-7 VERDICT item 2)
+# ---------------------------------------------------------------------------
+
+def ivf_model_hier(
+    embeddings: DataFrame,
+    target_occupancy: int = 64,
+    max_l1: int = 4096,
+    max_cells: int = 65536,
+) -> tuple[list, dict]:
+    """Train the two-level coarse quantizer: ``(l1, l2)`` where ``l1``
+    is the level-1 shard centroid list ``[(sid, vec), ...]`` and ``l2``
+    maps each shard id to its level-2 cell centroids
+    ``{sid: [(cell_id, vec), ...]}``.
+
+    Why two levels: the flat :func:`ivf_centroids` hard-caps |C| at
+    4096 to bound its driver collect, so past ~262k vectors per shard
+    (at occupancy 64) cell occupancy grows as N/4096 and every
+    IVF-family consumer silently degrades — `semdedup_scaled`'s
+    verdicts become the max_bucket approximation, posting lists stop
+    shrinking. Hierarchy restores the occupancy-constant property:
+    cell count = N/target up to ``max_cells`` while BOTH driver
+    collects stay individually bounded (level-1 <= max_l1+1 rows,
+    level-2 <= max_cells + max_l1 + 1 rows — each cell centroid is 64
+    doubles, so the full model at the 65536-cell cap is ~34 MB,
+    broadcast-sized). The occupancy-constant regime now extends to
+    max_cells * target = ~4.2M vectors PER SHARD of a corpus at the
+    defaults — and sharding the corpus (the 100 TB deployment shape)
+    multiplies that by the shard count.
+
+    Train step (deterministic, oracle-replayable end to end):
+
+    - level-1: stride-sample ``k1 = min(max_l1,
+      ceil(sqrt(total_cells)))`` shard centroids by vec_id (stride =
+      ceil(n/k1)) — sqrt-sizing balances the two matmul fan-outs;
+    - shard assignment: one Arrow-matmul pass of the corpus against
+      the k1-row level-1 table (:func:`_nearest_ids`, exact fold on
+      the pruned candidates, ties by sid);
+    - level-2: within each shard, members rank by vec_id and every
+      ``eff_target``-th member is a cell centroid (cell id = that
+      member's vec_id, globally unique). Stride-in-rank sampling is
+      density-adaptive at BOTH levels: a shard with 10x the members
+      gets 10x the cells, which is what holds occupancy ~target on
+      clustered corpora (measured, bench/occupancy_r7.json for the
+      flat tier).
+
+    The model is returned as plain Python (the module's sanctioned
+    bounded collects) so query-many callers train once.
+    """
+    import math
+
+    max_id = embeddings.agg(F.max("vec_id")).collect()[0][0] or 0
+    n = int(max_id) + 1
+    eff_target = max(target_occupancy, -(-n // max_cells))
+    total_cells = min(-(-n // target_occupancy), max_cells)
+    k1 = min(max_l1, math.ceil(math.sqrt(total_cells)))
+    l1_stride = -(-n // k1)
+    l1_rows = (
+        embeddings.filter(F.col("vec_id") % l1_stride == 0)
+        .select("vec_id", to_double(F.col("embedding")).alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    l1 = [(int(r["vec_id"]), list(r["v"])) for r in l1_rows]
+    assert len(l1) <= max_l1 + 1
+
+    prep = _prepared(embeddings, "n")
+    shard = prep.select(
+        F.col("n_id").alias("vec_id"),
+        F.col("n_vec").alias("v"),
+        F.element_at(_ranked_centroids(F.col("n_vec"), l1, 1), 1).alias("sid"),
+    )
+    w = Window.partitionBy("sid").orderBy("vec_id")
+    cell_rows = (
+        shard.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % eff_target == 0)
+        .select("sid", "vec_id", "v")
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(cell_rows) <= max_cells + max_l1 + 1
+    l2: dict[int, list] = {}
+    for r in cell_rows:
+        l2.setdefault(int(r["sid"]), []).append(
+            (int(r["vec_id"]), list(r["v"]))
+        )
+    return l1, l2
+
+
+def _ranked_cells_hier(vec_col, model: tuple, nprobe: int):
+    """ARRAY<BIGINT> of the ``nprobe`` nearest cell ids under the
+    two-level quantizer, Arrow-vectorized: rank the ``nprobe`` nearest
+    level-1 shards (exact fold via :func:`_nearest_ids`, ties by sid),
+    then rank the union of those shards' cells by (d2, cell_id) and
+    keep ``nprobe``. With nprobe=1 this is the corpus assignment
+    (nearest shard -> nearest cell within); queries use nprobe probes
+    at both levels. Every distance is the sequential dim-by-dim fold,
+    so the DuckDB oracle replays the routing exactly.
+    """
+    l1, l2 = model
+    sids = np.array([s for s, _ in l1], dtype=np.int64)
+    assert (np.diff(sids) > 0).all()
+    smat = np.array([v for _, v in l1])
+    s_norms = (smat * smat).sum(axis=1)
+    cells = {
+        s: (
+            np.array([c for c, _ in lst], dtype=np.int64),
+            np.array([v for _, v in lst]),
+        )
+        for s, lst in l2.items()
+    }
+    p1 = min(nprobe, len(sids))
+    m = max(16, 4 * p1)
+
+    @pandas_udf("array<bigint>")
+    def ranked(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())
+        b = len(mat)
+        shard_rank = _nearest_ids(mat, sids, smat, s_norms, p1, m)
+        cand_ids: list[list] = [[] for _ in range(b)]
+        cand_d2: list[list] = [[] for _ in range(b)]
+        for s in np.unique(shard_rank):
+            if int(s) not in cells:
+                # a shard can end up memberless when duplicate vectors
+                # tie its centroid into a lower-sid shard — it then has
+                # no cells, exactly like the oracle's member-derived
+                # h_cells CTE, so probing it contributes nothing
+                continue
+            ids_s, cm_s = cells[int(s)]
+            rows = np.where((shard_rank == s).any(axis=1))[0]
+            sub = mat[rows]
+            # exact sequential fold, dim-by-dim in order (oracle-exact)
+            d2 = np.zeros((len(rows), len(ids_s)))
+            for i in range(sub.shape[1]):
+                d = sub[:, None, i] - cm_s[None, :, i]
+                d2 += d * d
+            for j, r in enumerate(rows):
+                cand_ids[r].append(ids_s)
+                cand_d2[r].append(d2[j])
+        out = []
+        for r in range(b):
+            if not cand_ids[r]:
+                out.append([])
+                continue
+            ids_r = np.concatenate(cand_ids[r])
+            d2_r = np.concatenate(cand_d2[r])
+            order = np.lexsort((ids_r, d2_r))[:nprobe]
+            out.append(ids_r[order].tolist())
+        return pd.Series(out)
+
+    return ranked(vec_col)
+
+
+def cosine_topk_ivf_hier(
+    embeddings: DataFrame,
+    k: int = 10,
+    num_queries: int = 16,
+    nprobe: int = 4,
+    target_occupancy: int = 64,
+    model: tuple | None = None,
+) -> DataFrame:
+    """IVF approximate top-k on the HIERARCHICAL coarse quantizer —
+    the same posting-list plan as :func:`cosine_topk_ivf` (narrow
+    assignment, equi-join candidate gate, exact cosine re-rank, only
+    the small candidate set ever shuffles) but with cell routing that
+    keeps occupancy ~``target_occupancy`` past the flat tier's
+    4096-centroid cap (see :func:`ivf_model_hier`). Deterministic end
+    to end: the DuckDB oracle replays both quantizer levels, so the
+    driver check is value-exact.
+    """
+    mdl = (
+        model
+        if model is not None
+        else ivf_model_hier(embeddings, target_occupancy=target_occupancy)
+    )
+    e = _prepared(embeddings, "n").withColumn(
+        "cid", F.element_at(_ranked_cells_hier(F.col("n_vec"), mdl, 1), 1)
+    )
+    q = (
+        _prepared(embeddings.filter(F.col("vec_id") < num_queries), "q")
+        .withColumn("probes", _ranked_cells_hier(F.col("q_vec"), mdl, nprobe))
         .select("q_id", "q_vec", F.explode("probes").alias("cid"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id"))

@@ -346,3 +346,193 @@ def test_semdedup_scaled_occupancy_tracks_target_on_clustered_corpus(spark, tmp_
     # blob-proportional centroid density keeps the head bounded: the
     # biggest cluster stays within ~4x target, nowhere near blob size
     assert max(occ) <= 4 * 64, max(occ)
+
+
+# ---------------------------------------------------------------------------
+# Round 8: hierarchical coarse quantizer + residual PQ + cap guard
+# ---------------------------------------------------------------------------
+
+def test_hier_model_two_levels_and_occupancy(spark, sf_dir):
+    """ivf_model_hier must produce a genuine two-level model on the
+    fixture (multiple shards, cells distributed across them), total
+    cell count ~ N/target (per-shard ceil slack only), and the hier
+    assignment must hold cluster occupancy near target — the property
+    the flat tier loses past its 4096-centroid cap."""
+    from flight_events_flink_job_spark.operators.clustering import (
+        semdedup_scaled,
+    )
+    from flight_events_flink_job_spark.operators.similarity import (
+        ivf_model_hier,
+    )
+
+    embs = _embs(spark, sf_dir)
+    n = embs.count()
+    model = ivf_model_hier(embs, target_occupancy=16)
+    l1, l2 = model
+    assert len(l1) > 1, "expected a genuine two-level model"
+    cells = [c for lst in l2.values() for c in lst]
+    assert len({cid for cid, _ in cells}) == len(cells)
+    # total cells = sum over shards of ceil(size_s / 16):
+    # N/16 <= cells <= N/16 + |shards|
+    assert n / 16 <= len(cells) <= n / 16 + len(l1) + 1
+    occ = [
+        r.n_vectors
+        for r in semdedup_scaled(embs, hier_model=model).collect()
+    ]
+    assert sum(occ) == n
+    assert max(occ) <= 4 * 16, max(occ)
+
+
+def test_hier_model_cap_widening_bounds_collects(spark, sf_dir):
+    """With max_cells forced tiny, the effective occupancy target must
+    widen (exact Python arithmetic the oracle mirrors in SQL) so the
+    level-2 collect stays bounded at max_cells + |shards| slack."""
+    from flight_events_flink_job_spark.operators.similarity import (
+        ivf_model_hier,
+    )
+
+    embs = _embs(spark, sf_dir)
+    n = embs.count()
+    l1, l2 = ivf_model_hier(embs, target_occupancy=4, max_cells=16)
+    cells = [c for lst in l2.values() for c in lst]
+    assert len(cells) <= 16 + len(l1) + 1
+    # eff_target widened from 4 to ceil(n/16)
+    eff = max(4, -(-n // 16))
+    assert eff > 4
+    sizes = {s: len(lst) for s, lst in l2.items()}
+    assert all(v >= 1 for v in sizes.values())
+
+
+def test_hier_topk_finds_planted_neighbors(spark):
+    """On a 3-blob planted corpus the two-level router must send
+    queries to their own blob's cells: every returned neighbor shares
+    the query's blob and recall@5 vs the exact search stays high."""
+    import numpy as np
+
+    from flight_events_flink_job_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf_hier,
+        ivf_model_hier,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, per = 64, 40
+    centers = np.zeros((3, dim))
+    for b in range(3):
+        centers[b, b] = 10.0
+    rows = []
+    for i in range(3 * per):
+        b = i // per
+        v = centers[b] + rng.normal(0, 0.05, dim)
+        rows.append((i, [float(x) for x in v], b))
+    embs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    model = ivf_model_hier(embs, target_occupancy=8)
+    out = cosine_topk_ivf_hier(embs, k=5, num_queries=4, model=model)
+    got = [(r.q_id, r.n_id) for r in out.collect()]
+    assert got, "hier search returned nothing"
+    for q, nbr in got:
+        assert q // per == nbr // per, f"cross-blob neighbor {q}->{nbr}"
+    exact = {
+        (r.q_id, r.n_id)
+        for r in cosine_topk(embs, k=5, num_queries=4).collect()
+    }
+    recall = len(set(got) & exact) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_semdedup_scaled_strict_cap_raises_and_warn_path_completes(spark):
+    """Past max_bucket the verdicts are the capped approximation —
+    round-7 VERDICT #1 demands that be loud: strict_cap=True raises
+    from the Arrow pass; the default path warns (executor log) but
+    still returns the full partition accounting."""
+    import pytest as _pytest
+
+    rows = [
+        (i, [1.0 + 0.001 * i, 0.0, 0.0, 0.0], 0) for i in range(10)
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    one_centroid = [(0, [1.0, 0.0, 0.0, 0.0])]
+    with _pytest.raises(Exception, match="max_bucket"):
+        from flight_events_flink_job_spark.operators.clustering import (
+            semdedup_scaled,
+        )
+
+        semdedup_scaled(
+            embs, max_bucket=2, strict_cap=True, centroids=one_centroid
+        ).collect()
+    from flight_events_flink_job_spark.operators.clustering import (
+        semdedup_scaled,
+    )
+
+    out = semdedup_scaled(embs, max_bucket=2, centroids=one_centroid).collect()
+    assert sum(r.n_vectors for r in out) == 10
+
+
+def test_residual_pq_gate_and_recall_on_planted_blobs(spark):
+    """Residual PQ (IVFADC §IV) must keep the identical routing gate
+    as raw-vector PQ (same probes, same candidates) and, on a corpus
+    whose global structure dominates the raw codebook (far-apart
+    blobs, small local noise), rank candidates at least as faithfully:
+    recall@5 vs the exact gated L2 order must be >= the raw mode's."""
+    import numpy as np
+
+    from flight_events_flink_job_spark.operators.clustering import (
+        ivf_pq_topk,
+    )
+    from flight_events_flink_job_spark.functions.vectors import to_double
+    from flight_events_flink_job_spark.operators.similarity import (
+        ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, per = 64, 40
+    centers = rng.normal(0, 3.0, (3, dim))
+    rows = []
+    for i in range(3 * per):
+        b = i // per
+        v = centers[b] + rng.normal(0, 0.1, dim)
+        rows.append((i, [float(x) for x in v], b))
+    embs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    cents = ivf_centroids(embs, stride=30)
+    kw = dict(k=5, num_queries=4, nprobe=2, centroids=cents)
+    raw = ivf_pq_topk(embs, **kw).collect()
+    res = ivf_pq_topk(embs, residuals=True, **kw).collect()
+    assert {r.q_id for r in raw} == {r.q_id for r in res}
+    for coll in (raw, res):
+        ranks = {}
+        for r in coll:
+            ranks.setdefault(r.q_id, []).append(r.rank)
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+    # exact gated order: true L2 over the same candidate universe is
+    # blob-local (queries 0..3 live in blob 0), so exact top-5 = the
+    # 5 same-blob vectors nearest in raw space
+    ev = {
+        r["vec_id"]: np.array(r["v"])
+        for r in embs.select(
+            "vec_id", to_double(F.col("embedding")).alias("v")
+        ).collect()
+    }
+
+    def recall(coll):
+        hits = total = 0
+        by_q = {}
+        for r in coll:
+            by_q.setdefault(r.q_id, set()).add(r.n_id)
+        for q, got in by_q.items():
+            d = sorted(
+                (float(((ev[n] - ev[q]) ** 2).sum()), n)
+                for n in ev
+                if n != q and n // per == q // per
+            )
+            want = {n for _, n in d[:5]}
+            hits += len(got & want)
+            total += len(want)
+        return hits / total
+
+    assert recall(res) >= recall(raw), (recall(res), recall(raw))

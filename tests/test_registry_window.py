@@ -6,7 +6,10 @@ hand-counted — round 6 shipped a comment that was wrong twice).
 The composition is derived from ground truth: the committed
 CORRECTNESS_r*.json driver records (pinned to the rounds the window
 was designed against, so the test stays stable when the NEXT round's
-record lands) plus the registry itself.
+record lands) plus the registry itself. WINDOW_SECTIONS triples carry
+the expected last-driver-green round per section (None = this round's
+additions, never driver-seen), so this file needs no per-round edits
+beyond DESIGN_ROUNDS.
 """
 
 from __future__ import annotations
@@ -17,14 +20,15 @@ import pathlib
 from flight_events_flink_job_spark.plans import (
     DRIVER_WINDOW,
     QUERIES,
+    TAIL_STALE_ROUND,
     WINDOW_SECTIONS,
     _PRIORITY,
 )
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
-# The window was designed against the driver state as of round 6;
-# later records (r07+) must not flip the assertions.
-DESIGN_ROUNDS = range(1, 7)
+# The window was designed against the driver state as of round 7;
+# later records (r08+) must not flip the assertions.
+DESIGN_ROUNDS = range(1, 8)
 
 
 def _last_green() -> dict[str, int]:
@@ -50,39 +54,50 @@ def test_registry_order_starts_with_priority():
 
 
 def test_window_sections_sum_to_window():
-    assert sum(n for _, n in WINDOW_SECTIONS) == DRIVER_WINDOW
+    assert sum(n for _, n, _ in WINDOW_SECTIONS) == DRIVER_WINDOW
     assert len(_PRIORITY) >= DRIVER_WINDOW
 
 
 def test_window_composition_matches_driver_history():
-    """The window splits into the WINDOW_SECTIONS runs, in order:
-    round additions first (no driver record through the design round),
-    then the stalest family, then the next — the exact counts come
-    from WINDOW_SECTIONS, never hand-counted here (round-7 ADVICE
-    item 5: the previous docstring hard-coded stale indices)."""
+    """Each WINDOW_SECTIONS run, in order, must consist of queries
+    whose latest driver-green round (over DESIGN_ROUNDS) equals the
+    section's declared round — or, for the additions section (round
+    None), of queries the driver has never recorded."""
     last = _last_green()
     window = _PRIORITY[:DRIVER_WINDOW]
-    (_, n_new), (_, n_r3), (_, n_r4) = WINDOW_SECTIONS
-    adds = window[:n_new]
-    stale3 = window[n_new : n_new + n_r3]
-    stale4 = window[n_new + n_r3 :]
-    assert len(stale4) == n_r4
-    for q in adds:
-        assert q not in last, f"{q} listed as an addition but driver-seen r{last.get(q)}"
-    for q in stale3:
-        assert last.get(q) == 3, f"{q} expected r3-stale, last green r{last.get(q)}"
-    for q in stale4:
-        assert last.get(q) == 4, f"{q} expected r4-stale, last green r{last.get(q)}"
+    pos = 0
+    for label, count, expect in WINDOW_SECTIONS:
+        run = window[pos : pos + count]
+        assert len(run) == count, (label, run)
+        for q in run:
+            if expect is None:
+                assert q not in last, (
+                    f"{q} listed under '{label}' but driver-seen "
+                    f"r{last.get(q)}"
+                )
+            else:
+                assert last.get(q) == expect, (
+                    f"{q} expected r{expect}-stale under '{label}', "
+                    f"last green r{last.get(q)}"
+                )
+        pos += count
 
 
-def test_queued_tail_is_the_remaining_r4_stale_set():
+def test_queued_tail_is_the_remaining_stalest_set():
     """Everything queued past the window cutoff must be exactly the
-    r4-stale queries NOT rotated in — no query can sit in limbo
-    (neither in the window nor queued nor fresher than r4)."""
+    TAIL_STALE_ROUND-stale queries NOT rotated in — no query can sit
+    in limbo (neither in the window nor queued nor fresher)."""
     last = _last_green()
     tail = _PRIORITY[DRIVER_WINDOW:]
     for q in tail:
-        assert last.get(q) == 4, f"queued {q} expected r4-stale, last green r{last.get(q)}"
+        assert last.get(q) == TAIL_STALE_ROUND, (
+            f"queued {q} expected r{TAIL_STALE_ROUND}-stale, "
+            f"last green r{last.get(q)}"
+        )
     window = set(_PRIORITY[:DRIVER_WINDOW])
-    all_r4 = {q for q, r in last.items() if r == 4 and q in QUERIES}
-    assert all_r4 - window == set(tail)
+    all_stale = {
+        q
+        for q, r in last.items()
+        if r == TAIL_STALE_ROUND and q in QUERIES
+    }
+    assert all_stale - window == set(tail)
