@@ -43,6 +43,7 @@ def register(name: str, oracle: str | None = None):
             return fn(spark, sf_dir)
 
         wrapped.__name__ = name
+        wrapped.__doc__ = fn.__doc__  # surfaced by tools/gen_coverage.py
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle

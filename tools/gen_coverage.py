@@ -1,0 +1,91 @@
+"""Regenerate COVERAGE.md's registry inventory section.
+
+Round-7 VERDICT item 6: the hand-curated operator tables drifted two
+rounds behind the registry they document. The curated SURVEY-§2
+mapping stays hand-written (it encodes judgement the registry can't),
+but the COMPLETE query inventory is now GENERATED between the markers
+below from the registry itself + the committed driver records, and
+tests/test_coverage.py asserts the committed file matches a fresh
+regeneration — the registry cannot change without this section
+following.
+
+Usage: python tools/gen_coverage.py        # rewrites COVERAGE.md in place
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+BEGIN = "<!-- GENERATED:REGISTRY:BEGIN (tools/gen_coverage.py) -->"
+END = "<!-- GENERATED:REGISTRY:END -->"
+
+
+def _last_green() -> dict[str, int]:
+    last: dict[str, int] = {}
+    for path in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)", path.name).group(1))
+        for name, row in json.loads(path.read_text()).items():
+            if isinstance(row, dict) and row.get("err") is None:
+                last[name] = max(last.get(name, 0), r)
+    return last
+
+
+def generated_section() -> str:
+    from flight_events_flink_job_spark.plans import (
+        BENCH_SKIP,
+        ORACLES,
+        QUERIES,
+    )
+
+    last = _last_green()
+    lines = [
+        BEGIN,
+        "",
+        f"## Full registry inventory ({len(QUERIES)} queries; generated "
+        "— do not hand-edit this section)",
+        "",
+        "Check = **oracle** (driver value-hash vs DuckDB) or "
+        "**rows-only** (driver runs the query, hash waived — the "
+        "docstring says why). Driver-green = latest round the driver "
+        "recorded the query green (blank = added after the last "
+        "committed record; it is in the current driver window). "
+        "Benched = timed by bench.py (streaming/IO round trips are "
+        "excluded from timing, never from correctness).",
+        "",
+        "| Query | Check | Driver-green | Benched | What it is |",
+        "|---|---|---|---|---|",
+    ]
+    for name in sorted(QUERIES):
+        check = "oracle" if name in ORACLES else "rows-only"
+        green = f"r{last[name]}" if name in last else ""
+        benched = "" if name in BENCH_SKIP else "yes"
+        doc = (QUERIES[name].__doc__ or "").strip().split("\n\n")[0]
+        doc = " ".join(w for w in doc.split())
+        if len(doc) > 220:
+            doc = doc[:217] + "..."
+        doc = doc.replace("|", "\\|")
+        lines.append(f"| `{name}` | {check} | {green} | {benched} | {doc} |")
+    lines += ["", END]
+    return "\n".join(lines)
+
+
+def regenerate(text: str) -> str:
+    section = generated_section()
+    if BEGIN in text:
+        pre = text[: text.index(BEGIN)]
+        post = text[text.index(END) + len(END) :]
+        return pre + section + post
+    return text.rstrip() + "\n\n" + section + "\n"
+
+
+if __name__ == "__main__":
+    path = ROOT / "COVERAGE.md"
+    path.write_text(regenerate(path.read_text()))
+    print(f"regenerated {path}")

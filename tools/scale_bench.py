@@ -331,6 +331,28 @@ def main() -> None:
                 .groupBy("cell")
                 .agg(SF.count("*").alias("n"))
             )
+            # round-8: the two-level quantizer's cells at the
+            # PRODUCTION target (64) — the flat tier's max cell grows
+            # as N/4096 past the cap; hier must hold ~target through it
+            from flight_events_flink_job_spark.operators.similarity import (
+                _ranked_cells_hier,
+                ivf_model_hier,
+            )
+
+            hier = ivf_model_hier(embs, target_occupancy=64)
+            point["occupancy"]["ivf_cells_hier_t64"] = occ_stats(
+                prep.select(
+                    SF.element_at(
+                        _ranked_cells_hier(SF.col("n_vec"), hier, 1), 1
+                    ).alias("cell")
+                )
+                .groupBy("cell")
+                .agg(SF.count("*").alias("n"))
+            )
+            point["occupancy"]["hier_model"] = {
+                "l1_shards": len(hier[0]),
+                "l2_cells": sum(len(v) for v in hier[1].values()),
+            }
             assigned, _ = _pq_lloyd(embs, 4, 8, 2, 7, 64)
             point["occupancy"]["pq_cells"] = occ_stats(
                 assigned.groupBy("subspace", "cid").agg(
@@ -406,6 +428,11 @@ def main() -> None:
         "semdedup_scaled": "embeddings",
         # composed end-to-end pipeline (VERDICT r6 item 7)
         "curation_pipeline": "documents",
+        # round-8 hierarchical-quantizer family + residual IVFADC
+        "semdedup_hier": "embeddings",
+        "similarity_topk_ivf_hier": "embeddings",
+        "ivf_pq_topk_hier": "embeddings",
+        "ivf_pq_topk_residual": "embeddings",
     }
     exps: dict = {"queries": {}, "candidates": {}}
     pairs = list(zip(sfs, sfs[1:]))
