@@ -631,7 +631,15 @@ def ivf_pq_topk(
             "cell BIGINT, cv ARRAY<DOUBLE>",
         )
         # corpus residuals: one exact zip_with subtraction against the
-        # broadcast centroid table, fed into the SAME fused Lloyd chain
+        # broadcast centroid table, fed into the SAME fused Lloyd chain.
+        # PERSISTED: the residual table sits in the Lloyd chain's
+        # lineage, and the chain evaluates its source once per
+        # iteration branch (~5x per query) — without the cache each
+        # evaluation re-runs the Arrow cell ranker over the whole
+        # corpus (first r8 curve: residual mode cost 2.4x the raw mode
+        # at sf10 purely on ranker re-execution; BASELINE.md §7b). At
+        # index-build scale this materialization is the standard
+        # IVFADC practice of writing residuals/codes once.
         res_src = (
             _prepared(embeddings, "n")
             .select(
@@ -646,6 +654,7 @@ def ivf_pq_topk(
                 "vec_id",
                 F.zip_with("v", "cv", lambda a, b: a - b).alias("embedding"),
             )
+            .persist()
         )
         assigned, cent = _pq_lloyd(
             res_src, m, k_codes, iterations, pq_stride, dim

@@ -497,6 +497,7 @@ def _ranked_cells_hier(vec_col, model: tuple, nprobe: int):
         s: (
             np.array([c for c, _ in lst], dtype=np.int64),
             np.array([v for _, v in lst]),
+            (np.array([v for _, v in lst]) ** 2).sum(axis=1),
         )
         for s, lst in l2.items()
     }
@@ -508,6 +509,22 @@ def _ranked_cells_hier(vec_col, model: tuple, nprobe: int):
         mat = np.vstack(v.to_numpy())
         b = len(mat)
         shard_rank = _nearest_ids(mat, sids, smat, s_norms, p1, m)
+        if nprobe == 1:
+            # corpus-assignment fast path (the hot path: every corpus
+            # row, every micro-partition): exactly one probed shard per
+            # row, so the winning cell comes straight from
+            # _nearest_ids' matmul-pruned exact ranking — no candidate
+            # merge, no per-row Python. The first clustered curve read
+            # alphas 1.8/1.4 on the full-width interpreted fold this
+            # path replaces (BASELINE.md §7b).
+            out = np.zeros(b, dtype=np.int64)
+            for s in np.unique(shard_rank[:, 0]):
+                rows = np.where(shard_rank[:, 0] == s)[0]
+                ids_s, cm_s, n_s = cells[int(s)]
+                out[rows] = _nearest_ids(
+                    mat[rows], ids_s, cm_s, n_s, 1, 16
+                )[:, 0]
+            return pd.Series([[int(c)] for c in out])
         cand_ids: list[list] = [[] for _ in range(b)]
         cand_d2: list[list] = [[] for _ in range(b)]
         for s in np.unique(shard_rank):
@@ -517,7 +534,7 @@ def _ranked_cells_hier(vec_col, model: tuple, nprobe: int):
                 # no cells, exactly like the oracle's member-derived
                 # h_cells CTE, so probing it contributes nothing
                 continue
-            ids_s, cm_s = cells[int(s)]
+            ids_s, cm_s, _n_s = cells[int(s)]
             rows = np.where((shard_rank == s).any(axis=1))[0]
             sub = mat[rows]
             # exact sequential fold, dim-by-dim in order (oracle-exact)

@@ -158,7 +158,12 @@ def main() -> None:
     )
     args = ap.parse_args()
     sfs = [float(s) for s in args.sfs.split(",")]
-    targets = args.targets.split(",") if args.targets else TARGETS
+    # --targets none = occupancy/candidate phases only, no timed queries
+    targets = (
+        []
+        if args.targets == "none"
+        else (args.targets.split(",") if args.targets else TARGETS)
+    )
 
     os.environ.setdefault("TZ", "UTC")
     time.tzset()
