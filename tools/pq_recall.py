@@ -11,7 +11,10 @@ excluded, ties by neighbor id). Run on the uniform AND clustered
 scalegen fixtures.
 
 Usage:
-    python tools/pq_recall.py [sf] [k] [nprobe]   # default 1.0 10 4
+    python tools/pq_recall.py [sf] [k] [nprobe] [m] [k_codes]
+    # defaults 1.0 10 4 4 8 (the registered toy codebook); run a
+    # finer codebook (8 16) to see both modes climb toward the
+    # shared gate ceiling with residual keeping its lead
 Prints one JSON document; committed as bench/pq_residual_recall_r8.json.
 """
 
@@ -53,6 +56,8 @@ def main() -> None:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    m = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    k_codes = int(sys.argv[5]) if len(sys.argv) > 5 else 8
     num_queries = 16
 
     os.environ.setdefault("TZ", "UTC")
@@ -70,6 +75,8 @@ def main() -> None:
         "sf": sf,
         "k": k,
         "nprobe": nprobe,
+        "m": m,
+        "k_codes": k_codes,
         "fixtures": {},
     }
     for mode in ("uniform", "clustered"):
@@ -98,6 +105,8 @@ def main() -> None:
                 k=k,
                 num_queries=num_queries,
                 nprobe=nprobe,
+                m=m,
+                k_codes=k_codes,
                 centroids=cents,
                 **kwargs,
             ).collect():
