@@ -445,6 +445,92 @@ def linear_candidate_pairs(
     return lsh.unionByName(capped).distinct()
 
 
+def incremental_neardup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    candidates: str = "auto",
+) -> DataFrame:
+    """Admit only incoming documents that are not NEAR-duplicates
+    (word-``n``-gram Jaccard >= ``threshold``) of any already-ingested
+    document nor of a lower-id document in the same batch — the
+    near-dup sibling of :func:`pipeline.incremental_dedup` (each new
+    crawl snapshot is fuzzily deduped against everything already
+    ingested, never re-deduping the whole corpus from scratch).
+    Precondition: the two doc_id spaces are disjoint (snapshots are).
+
+    Admission rule (deterministic, pair-based — no transitive
+    closure): incoming doc ``d`` is REJECTED iff some existing doc, or
+    some incoming doc with LOWER doc_id, verifies at exact Jaccard >=
+    threshold against it. Greedy-by-id mirrors the exact-key
+    operator's min_by keeper and replays in plain SQL; a
+    closure-based rule would need recursion and admit/reject whole
+    chains atomically.
+
+    Candidate generation REUSES the proven single-corpus machinery on
+    the UNION of both sides: :func:`linear_candidate_pairs`
+    (threshold-derived LSH bands ∪ df-capped prefix filter — the
+    100 TB tier whose union completeness is proven per scale point,
+    BASELINE.md §5/5d) or the theorem-complete
+    :func:`prefix_filter_pairs` audit tier, selected by ``candidates``
+    exactly as :func:`dedup_ngram_jaccard`. Pairs not touching an
+    incoming doc are dropped BEFORE exact verification, so the index
+    side pays candidate generation but never re-verifies its own
+    history. At 100 TB the index side's shingle / signature / band
+    tables are persisted bucketed on their join keys (the
+    ``incremental_dedup_keyed`` pattern, tools/plans_r8.md), turning
+    the recurring per-snapshot candidate cost into co-partitioned
+    reads; this operator recomputes them per call — the
+    correctness-identical form.
+
+    Output: the admitted incoming rows (doc_id, lang, source,
+    n_chars). Incoming docs too short to shingle (< n tokens) can
+    match nothing and are always admitted.
+    """
+    docs = existing.select("doc_id", "text").unionByName(
+        incoming.select("doc_id", "text")
+    )
+    if candidates == "auto":
+        candidates = (
+            "linear" if lsh_bands_for_threshold(threshold) is not None else "exact"
+        )
+    if candidates == "exact":
+        pairs = prefix_filter_pairs(exploded_shingles(docs, n), threshold)
+    else:
+        pairs = linear_candidate_pairs(docs, threshold, n)
+    inc_a = incoming.select(
+        F.col("doc_id").alias("doc_a"), F.lit(True).alias("a_inc")
+    )
+    inc_b = incoming.select(
+        F.col("doc_id").alias("doc_b"), F.lit(True).alias("b_inc")
+    )
+    flagged = (
+        pairs.join(inc_a, "doc_a", "left")
+        .join(inc_b, "doc_b", "left")
+        .withColumn("a_inc", F.coalesce("a_inc", F.lit(False)))
+        .withColumn("b_inc", F.coalesce("b_inc", F.lit(False)))
+        .filter(F.col("a_inc") | F.col("b_inc"))
+    )
+    verified = verify_jaccard(
+        flagged.select("doc_a", "doc_b"), shingle_sets(docs, n), threshold
+    ).join(flagged, ["doc_a", "doc_b"])
+    # rejection flows to the incoming side of a cross pair and to the
+    # HIGHER id of a within-batch pair (pairs are doc_a < doc_b)
+    rejected = (
+        verified.select(
+            F.when(F.col("a_inc") & ~F.col("b_inc"), F.col("doc_a"))
+            .when(F.col("b_inc") & ~F.col("a_inc"), F.col("doc_b"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    return incoming.join(rejected, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def repeated_passages(
     docs: DataFrame, n: int = 8, max_df: int = 100, min_shared: int = 2
 ) -> DataFrame:

@@ -437,6 +437,14 @@ def ivf_model_hier(
 
     The model is returned as plain Python (the module's sanctioned
     bounded collects) so query-many callers train once.
+
+    Train cost: ONE corpus shuffle (the per-shard vec_id rank window)
+    plus one Arrow-matmul assignment pass — a one-time index-build
+    expense, measured sub-linear wall on the scale fixtures (1.9 →
+    4.4 s over 200k → 800k vectors, alpha ~0.5;
+    bench/hier_train_cost_r8.json). At 100 TB this is the standard
+    IVF train step: run once per snapshot, amortized over every query
+    the model serves.
     """
     import math
 

@@ -33,9 +33,9 @@ DRIVER_WINDOW = 50
 # section boundaries are the comment rows below, encoded here so the
 # bookkeeping is executable.
 WINDOW_SECTIONS = [
-    ("round-8 additions", 4, None),
+    ("round-8 additions", 5, None),
     ("round-4-stale rotation", 19, 4),
-    ("round-5-stale rotation", 27, 5),
+    ("round-5-stale rotation", 26, 5),
 ]
 # The queued tail must be exactly the rest of the stalest family:
 TAIL_STALE_ROUND = 5
@@ -46,6 +46,7 @@ _PRIORITY = [
     "ivf_pq_topk_hier",
     "semdedup_hier",
     "ivf_pq_topk_residual",
+    "incremental_neardup",
     # -- 1. the 19 round-4-stale queries (VERDICT r7 item 1 — the full
     #    set queued at this tail last round) ---------------------------------
     "weekly_cohort_retention",
@@ -99,10 +100,10 @@ _PRIORITY = [
     "gopher_quality_signals",
     "bigram_lm_score",
     "zipf_slope",
-    "cusum_changepoint",
-    # ---- 50-entry driver window ends here (4 + 19 + 27; boundary
-    # asserted by tests/test_registry_window.py). The 22 r5-stale
+    # ---- 50-entry driver window ends here (5 + 19 + 26; boundary
+    # asserted by tests/test_registry_window.py). The 23 r5-stale
     # queries below rotate in next round. -----------------------------------
+    "cusum_changepoint",
     "robust_anomalies",
     "forecast_revenue_change",
     "ewma_daily_value",

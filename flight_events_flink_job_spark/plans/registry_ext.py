@@ -185,6 +185,56 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_near_minhash(_docs(spark, sf_dir))
 
 
+_J = (
+    "round(len(list_intersect({a}.sg, {b}.sg)) * 1.0"
+    " / len(list_distinct(list_concat({a}.sg, {b}.sg))), 4)"
+)
+
+_INC_NEARDUP_SQL = f"""
+WITH {{cte}},
+split AS (SELECT (max(doc_id) + 1) // 2 AS half FROM documents),
+ex AS (SELECT * FROM sh WHERE doc_id < (SELECT half FROM split)),
+inc AS (SELECT * FROM sh WHERE doc_id >= (SELECT half FROM split)),
+rej_cross AS (
+    SELECT DISTINCT i.doc_id FROM inc i JOIN ex e
+    ON {_J.format(a='i', b='e')} >= {{threshold}}),
+rej_batch AS (
+    SELECT DISTINCT b.doc_id FROM inc a JOIN inc b
+    ON a.doc_id < b.doc_id
+   AND {_J.format(a='a', b='b')} >= {{threshold}})
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id >= (SELECT half FROM split)
+  AND d.doc_id NOT IN (SELECT doc_id FROM rej_cross)
+  AND d.doc_id NOT IN (SELECT doc_id FROM rej_batch)
+"""
+
+
+@register(
+    "incremental_neardup",
+    oracle=_INC_NEARDUP_SQL.format(cte=SHINGLES_CTE, threshold=0.7),
+)
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup (the fuzzy sibling of incremental_dedup):
+    the lower half of the corpus by doc_id plays the already-ingested
+    index, the upper half the new snapshot; an incoming doc is admitted
+    iff no index doc and no lower-id batch doc reaches trigram-Jaccard
+    >= 0.7 against it. Candidates ride the proven linear union (LSH
+    bands derived from the threshold ∪ df-capped prefix filter) over
+    the union corpus, index-side pairs pruned before exact
+    verification; the oracle replays the verdicts with the exact
+    all-pairs join (operators/dedup.incremental_neardup)."""
+    from ..operators.dedup import incremental_neardup
+
+    docs = _docs(spark, sf_dir)
+    half_row = docs.agg((F.max("doc_id") + 1) / 2).collect()[0][0]
+    half = int(half_row)
+    return incremental_neardup(
+        docs.filter(F.col("doc_id") < half),
+        docs.filter(F.col("doc_id") >= half),
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=_PAIRS_SQL.format(cte=SHINGLES_CTE, threshold=0.7),

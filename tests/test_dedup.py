@@ -556,3 +556,48 @@ def test_linear_tier_derived_bands_at_mid_threshold(spark):
         )
     )
     assert len(exact) > 0 and lin == exact
+
+
+def test_incremental_neardup_admits_and_rejects_correctly(spark):
+    """Semantics pin for the incremental near-dedup: an incoming doc
+    near-identical to an INDEX doc is rejected; a within-batch pair
+    rejects only the higher id; a fresh doc and a too-short-to-shingle
+    doc are admitted; index docs never appear in the output."""
+    from flight_events_flink_job_spark.operators.dedup import (
+        incremental_neardup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    existing = spark.createDataFrame(
+        [
+            (0, base, "en", "idx", 60),
+            (1, "one two three four five six seven eight", "en", "idx", 40),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    incoming = spark.createDataFrame(
+        [
+            # near-identical to index doc 0 (one token changed)
+            (100, base.replace("kappa", "lambda"), "en", "new", 60),
+            # within-batch near-pair: 101 (lower) kept, 102 rejected
+            (101, "red orange yellow green blue indigo violet pink", "en", "new", 48),
+            (102, "red orange yellow green blue indigo violet black", "en", "new", 48),
+            # fresh content
+            (103, "completely different words about flight events here", "en", "new", 52),
+            # too short to shingle (< 3 tokens): always admitted
+            (104, "hi there", "en", "new", 8),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r.doc_id for r in incremental_neardup(existing, incoming).collect()
+    }
+    assert got == {101, 103, 104}, got
+    # exact audit tier agrees
+    got_exact = {
+        r.doc_id
+        for r in incremental_neardup(
+            existing, incoming, candidates="exact"
+        ).collect()
+    }
+    assert got_exact == got
