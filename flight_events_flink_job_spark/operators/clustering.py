@@ -640,6 +640,14 @@ def ivf_pq_topk(
         # at sf10 purely on ranker re-execution; BASELINE.md §7b). At
         # index-build scale this materialization is the standard
         # IVFADC practice of writing residuals/codes once.
+        # LIFECYCLE (same caveat as the _pq_lloyd cent persist, but
+        # CORPUS-SIZED: N rows x `dim` doubles, not 32 rows): the
+        # cache must outlive the returned DataFrame's lazy execution,
+        # so this function cannot unpersist it. Repeated residual
+        # builds in one long-lived session accumulate storage memory
+        # until the ContextCleaner reclaims the dereferenced plans —
+        # call spark.catalog.clearCache() between index builds if that
+        # pressure matters.
         res_src = (
             _prepared(embeddings, "n")
             .select(

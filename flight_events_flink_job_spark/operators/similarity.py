@@ -525,14 +525,24 @@ def _ranked_cells_hier(vec_col, model: tuple, nprobe: int):
             # merge, no per-row Python. The first clustered curve read
             # alphas 1.8/1.4 on the full-width interpreted fold this
             # path replaces (BASELINE.md §7b).
-            out = np.zeros(b, dtype=np.int64)
+            # -1 sentinel = row routed to a memberless shard: same
+            # semantics as the multi-probe branch below (a cell-less
+            # shard contributes no candidates -> empty probe list).
+            # Unreachable for the training corpus (every shard has >=1
+            # member by construction), but the public
+            # cosine_topk_ivf_hier accepts external models/vectors —
+            # without this guard a row routing here raised KeyError
+            # inside the Arrow UDF (round-8 ADVICE).
+            out = np.full(b, -1, dtype=np.int64)
             for s in np.unique(shard_rank[:, 0]):
                 rows = np.where(shard_rank[:, 0] == s)[0]
+                if int(s) not in cells:
+                    continue
                 ids_s, cm_s, n_s = cells[int(s)]
                 out[rows] = _nearest_ids(
                     mat[rows], ids_s, cm_s, n_s, 1, 16
                 )[:, 0]
-            return pd.Series([[int(c)] for c in out])
+            return pd.Series([[int(c)] if c >= 0 else [] for c in out])
         cand_ids: list[list] = [[] for _ in range(b)]
         cand_d2: list[list] = [[] for _ in range(b)]
         for s in np.unique(shard_rank):

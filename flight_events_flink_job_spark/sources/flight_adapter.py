@@ -66,7 +66,22 @@ def flight_event_json(events: DataFrame, keep_event_id: bool = False) -> DataFra
     v_norm = F.when(
         F.col("value").isNull() | F.isnan(F.col("value")), F.lit(0.0)
     ).otherwise(F.least(F.greatest(F.col("value"), F.lit(-1e6)), F.lit(1e6)))
-    e = spread(events).filter(F.col("ts").isNotNull()).select(
+    # Pushdown fence (round-8 VERDICT item 3): downstream valid/rejected
+    # filters are pushed through Projects AND through the spread
+    # exchange, landing the whole json-build + from_json + predicate on
+    # the single scan split — `.explain` showed the rejected_rows filter
+    # (with the parse inlined) below the RoundRobin exchange, running
+    # 100k-row JSON work on ONE task. A trivially-true NON-DETERMINISTIC
+    # filter right above the exchange is a barrier Catalyst cannot move
+    # predicates across (filter reordering requires determinism), so
+    # every derived expression stays in the post-exchange 32-task stage.
+    # No pushdown value is lost: the only downstream predicates are over
+    # derived (parsed) columns the parquet scan could never prune on.
+    e = (
+        spread(events)
+        .filter(F.spark_partition_id() >= 0)
+        .filter(F.col("ts").isNotNull())
+        .select(
         F.col("event_id"),
         F.concat(F.lit("F"), F.col("event_id").cast("string")).alias("flight_id"),
         F.concat(F.lit("FL"), (F.col("event_id") % 1000).cast("string")).alias(
@@ -82,9 +97,12 @@ def flight_event_json(events: DataFrame, keep_event_id: bool = False) -> DataFra
             v_norm.cast("bigint") * 60 + F.col("event_id") % 90 - 300
         ).alias("offset_sec"),
         (v_norm > 15.0).alias("delayed_bool"),
-        F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("user_id"),
-    ).withColumn(
-        "actual_time", F.expr("scheduled_time + make_dt_interval(0, 0, 0, offset_sec)")
+            F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("user_id"),
+        )
+        .withColumn(
+            "actual_time",
+            F.expr("scheduled_time + make_dt_interval(0, 0, 0, offset_sec)"),
+        )
     )
 
     # Delay encoding split (quirk Q2 coverage): even ids → `delayed`

@@ -252,6 +252,19 @@ def make_fanout_batch(warehouse_dir: str, parallel_sinks: bool = True):
     (sinks.compact_table) folds away downstream. Demonstrated by
     hard-kill/restart differential: tools/stream_recovery.py,
     bench/stream_recovery_r8.json.
+
+    VISIBILITY CAVEAT (round-8 ADVICE): an epoch's sink directories
+    become reader-visible BEFORE the checkpoint offset commit, so if
+    the job crashes and is never restarted, batch readers of the
+    warehouse can observe one trailing partial/uncommitted epoch
+    (worst case: some of the six sinks wrote, others did not). The
+    exactly-once TABLE-STATE claim therefore holds once recovery
+    replays that epoch — restart-then-read, which is what the
+    recovery harness proves — not for reads taken between a crash
+    and the restart. Readers that must be crash-consistent without a
+    restart should filter to ``epoch <= last committed batch`` from
+    the checkpoint's offsets/commits log (or let compaction, which
+    runs against a quiesced stream, fold the layout).
     """
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
