@@ -604,7 +604,9 @@ def ivf_pq_topk(
 
     e_cell = _prepared(embeddings, "n").select(
         F.col("n_id").alias("vec_id"),
-        F.element_at(cell_ranker(F.col("n_vec"), 1), 1).alias("cell"),
+        # try_element_at: empty probe list (memberless shard under an
+        # external hier model) -> NULL cell, row contributes nothing.
+        F.try_element_at(cell_ranker(F.col("n_vec"), 1), F.lit(1)).alias("cell"),
     )
     q_cell = (
         _prepared(embeddings.filter(F.col("vec_id") < num_queries), "q")
@@ -653,9 +655,9 @@ def ivf_pq_topk(
             .select(
                 F.col("n_id").alias("vec_id"),
                 F.col("n_vec").alias("v"),
-                F.element_at(cell_ranker(F.col("n_vec"), 1), 1).alias(
-                    "cell"
-                ),
+                F.try_element_at(
+                    cell_ranker(F.col("n_vec"), 1), F.lit(1)
+                ).alias("cell"),
             )
             .join(F.broadcast(cvdf), "cell")
             .select(
@@ -803,8 +805,8 @@ def semdedup_scaled(
     if hier_model is not None:
         flat_cells = [cell for lst in hier_model[1].values() for cell in lst]
         cent_list = sorted(flat_cells)
-        cid_expr = F.element_at(
-            _ranked_cells_hier(F.col("n_vec"), hier_model, 1), 1
+        cid_expr = F.try_element_at(
+            _ranked_cells_hier(F.col("n_vec"), hier_model, 1), F.lit(1)
         )
     else:
         cent_list = (

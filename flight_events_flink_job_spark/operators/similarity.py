@@ -600,7 +600,11 @@ def cosine_topk_ivf_hier(
         else ivf_model_hier(embeddings, target_occupancy=target_occupancy)
     )
     e = _prepared(embeddings, "n").withColumn(
-        "cid", F.element_at(_ranked_cells_hier(F.col("n_vec"), mdl, 1), 1)
+        # try_element_at: a vector routed to a memberless shard has an
+        # EMPTY probe list (external models only) — NULL cid joins to
+        # nothing, same contributes-no-candidates semantics as the
+        # multi-probe path; plain element_at would raise under ANSI.
+        "cid", F.try_element_at(_ranked_cells_hier(F.col("n_vec"), mdl, 1), F.lit(1))
     )
     q = (
         _prepared(embeddings.filter(F.col("vec_id") < num_queries), "q")

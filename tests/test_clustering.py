@@ -442,6 +442,39 @@ def test_hier_topk_finds_planted_neighbors(spark):
     assert recall >= 0.6, recall
 
 
+def test_hier_memberless_shard_routes_empty_not_keyerror(spark):
+    """Round-8 ADVICE: the nprobe==1 fast path must apply the same
+    memberless-shard guard as the multi-probe path. With an external
+    model whose second shard has no cells, vectors routing there must
+    quietly contribute nothing (empty probe list) instead of raising
+    KeyError inside the Arrow UDF."""
+    from flight_events_flink_job_spark.operators.similarity import (
+        cosine_topk_ivf_hier,
+    )
+
+    dim = 8
+    a = [10.0] + [0.0] * (dim - 1)   # shard 0 centroid direction
+    b = [0.0, 10.0] + [0.0] * (dim - 2)  # shard 5 centroid direction
+    l1 = [(0, a), (5, b)]
+    l2 = {0: [(0, a)]}  # shard 5 is memberless: no cells at all
+    rows = [
+        (0, [float(x) for x in a], 0),
+        (1, [9.5, 0.5] + [0.0] * (dim - 2), 0),   # near shard 0
+        (2, [0.5, 9.5] + [0.0] * (dim - 2), 1),   # routes to shard 5
+        (3, [0.0, 9.0, 1.0] + [0.0] * (dim - 3), 1),  # routes to shard 5
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    out = cosine_topk_ivf_hier(
+        embs, k=3, num_queries=4, nprobe=1, model=(l1, l2)
+    ).collect()  # must not raise
+    # Rows routed to the memberless shard have no cell, so neither
+    # corpus nor query side produces candidates for them; whatever
+    # remains must come from shard 0's single cell only.
+    assert all(r.q_id in (0, 1) and r.n_id in (0, 1) for r in out), out
+
+
 def test_semdedup_scaled_strict_cap_raises_and_warn_path_completes(spark):
     """Past max_bucket the verdicts are the capped approximation —
     round-7 VERDICT #1 demands that be loud: strict_cap=True raises
