@@ -1261,3 +1261,207 @@ def dedup_edit_distance(
             ).alias("similarity"),
         )
     )
+
+
+def exact_substring_strip(docs: DataFrame, n: int = 8) -> DataFrame:
+    """(doc_id, n_spans, dup_tokens, clean_text): cross-document exact
+    duplicate-SPAN removal — the strip/rewrite stage of Lee et al. 2022
+    exact-substring dedup, completing the detection tier
+    (:func:`repeated_passages` finds which pairs share spans;
+    :func:`~..operators.text.dup_paragraph_fraction` scores how much of
+    a doc is duplicated; this one produces the cleaned corpus).
+
+    Semantics: an ``n``-token window is a DUPLICATE iff it occurs
+    verbatim in >= 2 DISTINCT documents; every token covered by any
+    duplicate window is removed from every document carrying it, and
+    adjacent covered positions merge into maximal spans (``n_spans`` /
+    ``dup_tokens`` report the per-doc span count and removed-token
+    count). All occurrences are stripped — the aggressive cross-doc
+    variant; within-document repetition is a different signal
+    (text.text_repetition) and keep-one-occurrence requires a global
+    tie-break order that does not distribute. Docs with no duplicate
+    window pass through unchanged (n_spans = 0, clean_text = text).
+
+    Plan (all equi-keyed, linear): tokenize with positions (one window
+    over doc_id — the same lead-assembled n-gram path as
+    :func:`exploded_shingles`, but positions are KEPT); duplicate
+    windows via a distinct + groupBy on the window string; covered
+    positions by exploding each duplicate start into its n positions;
+    maximal spans with the gaps-and-islands trick (cpos - row_number
+    per doc is constant within a contiguous run); clean text is an
+    anti-join of the token table against covered positions,
+    reassembled in position order. At 100 TB the window key becomes
+    ``xxhash64(gram)`` to cut shuffle width (kept as the raw string
+    here so the DuckDB oracle replays the key verbatim — same choice
+    as repeated_passages).
+    """
+    toks = spread(docs).select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("tok", n - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "pos", "gram")
+    )
+    dup = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    starts = grams.join(dup, "gram").select("doc_id", "pos")
+    covered = starts.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("pos"),
+    ).distinct()
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        covered.withColumn("grp", F.col("pos") - F.row_number().over(w2))
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("span_len"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def minhash_calibration(
+    docs: DataFrame, num_hashes: int = 64, n: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, n_agree, est_jaccard, exact_jaccard): MinHash
+    estimator calibration over a deterministic pair frame — each doc
+    against its id-successor. P(sig_i(A)=sig_i(B)) = J(A,B), so
+    ``n_agree / K`` estimates Jaccard with stderr sqrt(J(1-J)/K); this
+    op measures that error empirically against the exact set Jaccard,
+    which is what you consult before choosing K and the LSH band
+    layout for a 100 TB dedup pass (the near-dup tier's capture
+    probability is a function of the SIGNATURE's fidelity, and the
+    estimator's bias on your actual shingle distribution is an
+    assumption worth auditing, not assuming).
+
+    The signature is the PORTABLE K-permutation family of
+    :func:`source_overlap_minhash` (poly-hash + affine re-hashes mod
+    1e9+7) so the DuckDB oracle replays every slot exactly. The pair
+    frame (doc_id, doc_id+1) is an equi-join on a computed key — a
+    deterministic linear-size sample, no candidate generation, no
+    cross join; ``est_jaccard`` = n_agree/64 is an exact binary
+    fraction (K a power of two), so the value hash is stable with no
+    rounding on the estimate side.
+
+    Scale shape: one distinct-shingle shuffle, one K-column min
+    aggregate (partial-combined map-side), two id-keyed equi-joins.
+    The exact tier rides :func:`shingle_sets` arrays on the SAME
+    id-successor join — per-pair intersection work, linear in pairs.
+    """
+    from ..functions.textual import POLY_MOD, poly_hash_arrow
+
+    sh = exploded_shingles(docs, n)
+    hashed = sh.select(
+        "doc_id", poly_hash_arrow(F.col("shingle")).alias("h")
+    )
+    mins = [
+        F.min((F.col("h") * (2 * i + 3) + (7 * i + 1)) % POLY_MOD).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = hashed.groupBy("doc_id").agg(*mins)
+    agree = sum(
+        (
+            F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        ),
+        F.lit(0),
+    )
+    pairs = (
+        sigs.alias("a")
+        .join(sigs.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            agree.cast("bigint").alias("n_agree"),
+        )
+    )
+    ss = shingle_sets(docs, n)
+    exact = (
+        ss.alias("x")
+        .join(ss.alias("y"), F.col("x.doc_id") + 1 == F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.round(
+                F.size(F.array_intersect("x.shingles", "y.shingles"))
+                * F.lit(1.0)
+                / F.size(F.array_union("x.shingles", "y.shingles")),
+                4,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return pairs.join(exact, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        "n_agree",
+        (F.col("n_agree") / F.lit(float(num_hashes))).alias("est_jaccard"),
+        "exact_jaccard",
+    )
+
+
+def neardup_cluster_histogram(
+    docs: DataFrame, threshold: float = 0.7, n: int = 3
+) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs): the duplication profile of
+    the corpus — how many near-dup clusters exist at each size, and how
+    many documents they hold. THE summary a data curator reads before a
+    dedup pass ("38% of the corpus sits in clusters of 2-5; one
+    1,900-doc template family dominates"): cluster_size 1 rows are the
+    unique tail, the heavy tail above it is what dedup will remove.
+
+    Pure rollup over :func:`neardup_components` — two further hash
+    aggregates on keys that only ever shrink (component -> size ->
+    histogram), adding nothing corpus-sized to the CC plan's cost.
+    """
+    comps = neardup_components(docs, threshold, n)
+    csz = comps.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        csz.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )

@@ -280,9 +280,10 @@ def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_passages(_docs(spark, sf_dir))
 
 
-@register(
-    "neardup_components",
-    oracle=f"""
+# Recursive connected-components prelude over the exact all-pairs
+# trigram-Jaccard edge set (threshold 0.7) — shared by the
+# neardup_components oracle and the cluster-histogram rollup over it.
+_NEARDUP_CC_PRELUDE = f"""
     WITH RECURSIVE
     {SHINGLES_CTE.strip().rstrip()},
     pairs AS (
@@ -304,6 +305,13 @@ def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
     ),
     comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+"""
+
+
+@register(
+    "neardup_components",
+    oracle=f"""
+    {_NEARDUP_CC_PRELUDE.strip()}
     SELECT d.doc_id,
            COALESCE(c.component, d.doc_id) AS component,
            count(*) OVER (
@@ -3035,3 +3043,157 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import image_dhash_pairs, with_binary_payload
 
     return image_dhash_pairs(with_binary_payload(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: the strip/rewrite stage of exact-substring dedup,
+# MinHash estimator calibration, and the corpus duplication profile.
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_substring_strip",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+    tok AS (
+        SELECT doc_id,
+               unnest([i - 1 for i in range(1, len(ts) + 1)]) AS pos,
+               unnest(ts) AS tok
+        FROM toks
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest([i - 1 for i in range(1, len(ts) - 6)]) AS pos,
+               unnest([array_to_string(ts[i:i+7], ' ')
+                       for i in range(1, len(ts) - 6)]) AS gram
+        FROM toks WHERE len(ts) >= 8
+    ),
+    dup AS (
+        SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        GROUP BY gram HAVING count(*) >= 2
+    ),
+    starts AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+    cov AS (
+        SELECT DISTINCT doc_id, pos + r.range AS cpos
+        FROM starts, range(8) r
+    ),
+    isl AS (
+        SELECT doc_id, cpos,
+               cpos - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY cpos) AS grp
+        FROM cov
+    ),
+    spans AS (SELECT doc_id, grp, count(*) AS span_len
+              FROM isl GROUP BY 1, 2),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(span_len) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM tok t LEFT JOIN cov c
+          ON c.doc_id = t.doc_id AND c.cpos = t.pos
+        WHERE c.cpos IS NULL
+    ),
+    clean AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM documents d
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN clean c USING (doc_id)
+    """,
+)
+def q_exact_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-SPAN removal (Lee et al. 2022 strip
+    stage): 8-token windows occurring in >= 2 distinct docs mark their
+    positions covered; covered runs merge into maximal spans
+    (gaps-and-islands) and the cleaned text drops them
+    (operators/dedup.py exact_substring_strip)."""
+    from ..operators.dedup import exact_substring_strip
+
+    return exact_substring_strip(_docs(spark, sf_dir))
+
+
+def _minhash_calibration_oracle(k: int = 64) -> str:
+    """DuckDB twin of operators/dedup.minhash_calibration: the portable
+    poly-hash + K affine re-hashes per DOCUMENT, slot agreement on the
+    (doc_id, doc_id+1) pair frame, exact set Jaccard beside it."""
+    mins = ",\n               ".join(
+        f"min((h * {2 * i + 3} + {7 * i + 1}) % 1000000007) AS m{i}"
+        for i in range(k)
+    )
+    agree_sum = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+    WITH {SHINGLES_CTE.strip()},
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(unicode(s[i]) AS BIGINT) for i in range(1, len(s)+1)]),
+                   (a, c) -> (a * 31 + c) % 1000000007) AS h
+        FROM (SELECT doc_id, unnest(sg) AS s FROM sh)
+    ),
+    sigs AS (SELECT doc_id,
+               {mins}
+             FROM hashed GROUP BY doc_id),
+    agr AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST({agree_sum} AS BIGINT) AS n_agree
+        FROM sigs a JOIN sigs b ON a.doc_id + 1 = b.doc_id
+    ),
+    ex AS (
+        SELECT a.doc_id AS doc_a,
+               round(len(list_intersect(a.sg, b.sg)) * 1.0
+                     / len(list_distinct(list_concat(a.sg, b.sg))), 4)
+                   AS exact_jaccard
+        FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+    )
+    SELECT g.doc_a, g.doc_b, g.n_agree,
+           g.n_agree / {float(k)} AS est_jaccard,
+           e.exact_jaccard
+    FROM agr g JOIN ex e USING (doc_a)
+    """
+
+
+@register("minhash_calibration", oracle=_minhash_calibration_oracle())
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration on the deterministic id-successor
+    pair frame: K=64 portable-permutation slot agreement (est Jaccard =
+    n_agree/64, an exact binary fraction) against exact trigram-set
+    Jaccard — the fidelity audit run before sizing K and LSH bands for
+    a dedup pass (operators/dedup.py minhash_calibration)."""
+    from ..operators.dedup import minhash_calibration
+
+    return minhash_calibration(_docs(spark, sf_dir))
+
+
+@register(
+    "neardup_cluster_histogram",
+    oracle=f"""
+    {_NEARDUP_CC_PRELUDE.strip()},
+    members AS (
+        SELECT COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    csz AS (SELECT component, count(*) AS cluster_size
+            FROM members GROUP BY component)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM csz GROUP BY cluster_size
+    """,
+)
+def q_neardup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile: near-dup connected components
+    (trigram Jaccard >= 0.7) rolled up to (cluster_size, n_clusters,
+    n_docs) — the summary a curator reads before a dedup pass
+    (operators/dedup.py neardup_cluster_histogram)."""
+    from ..operators.dedup import neardup_cluster_histogram
+
+    return neardup_cluster_histogram(_docs(spark, sf_dir))

@@ -601,3 +601,107 @@ def test_incremental_neardup_admits_and_rejects_correctly(spark):
         ).collect()
     }
     assert got_exact == got
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: exact-substring strip, estimator calibration,
+# cluster histogram.
+# ---------------------------------------------------------------------------
+
+def test_exact_substring_strip_removes_shared_span_and_merges(spark):
+    """Two docs share a verbatim 10-token run (three overlapping 8-token
+    windows) — covered positions must merge into ONE maximal span of 10
+    tokens in each doc, the cleaned text keeps everything else in
+    order, and an unrelated doc passes through untouched."""
+    from flight_events_flink_job_spark.operators.dedup import (
+        exact_substring_strip,
+    )
+
+    shared = "q r s t u v w x y z"  # 10 tokens
+    rows = [
+        (0, f"a b c {shared} d e f", "en", "s0", 0),
+        (1, f"m n {shared} o p", "en", "s1", 0),
+        (2, "totally unrelated words that never repeat anywhere at all",
+         "en", "s2", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r.doc_id: r for r in exact_substring_strip(docs).collect()}
+    assert out[0].n_spans == 1 and out[0].dup_tokens == 10
+    assert out[0].clean_text == "a b c d e f"
+    assert out[1].n_spans == 1 and out[1].dup_tokens == 10
+    assert out[1].clean_text == "m n o p"
+    assert out[2].n_spans == 0 and out[2].dup_tokens == 0
+    assert out[2].clean_text == rows[2][1]
+
+
+def test_exact_substring_strip_within_doc_repeat_not_stripped(spark):
+    """A window repeated only WITHIN one doc is not a cross-document
+    duplicate (df counts distinct docs) — nothing is stripped."""
+    from flight_events_flink_job_spark.operators.dedup import (
+        exact_substring_strip,
+    )
+
+    rep = "a b c d e f g h"
+    rows = [
+        (0, f"{rep} x {rep}", "en", "s0", 0),
+        (1, "other words entirely unrelated to the first document here",
+         "en", "s1", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r.doc_id: r for r in exact_substring_strip(docs).collect()}
+    assert out[0].n_spans == 0 and out[0].clean_text == rows[0][1]
+
+
+def test_minhash_calibration_identical_pair_estimates_one(spark):
+    """Adjacent identical docs must agree on every signature slot
+    (est_jaccard 1.0) and score exact Jaccard 1.0; a disjoint adjacent
+    pair must land at 0 on both estimator and exact tiers."""
+    from flight_events_flink_job_spark.operators.dedup import (
+        minhash_calibration,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "s0", 0),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s1", 0),
+        (2, "one two three four five six seven", "en", "s2", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {(r.doc_a, r.doc_b): r for r in minhash_calibration(docs).collect()}
+    dup = out[(0, 1)]
+    assert dup.n_agree == 64 and dup.est_jaccard == 1.0
+    assert dup.exact_jaccard == 1.0
+    dis = out[(1, 2)]
+    assert dis.n_agree < 64 and dis.exact_jaccard == 0.0
+
+
+def test_neardup_cluster_histogram_partitions_corpus(spark, sf_dir):
+    """Histogram rows must partition the corpus exactly: sum(n_docs)
+    equals the document count and n_docs = cluster_size * n_clusters
+    per row; sizes agree with neardup_components."""
+    from flight_events_flink_job_spark.operators.dedup import (
+        neardup_cluster_histogram,
+        neardup_components,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = neardup_cluster_histogram(docs).collect()
+    assert all(r.n_docs == r.cluster_size * r.n_clusters for r in hist)
+    assert sum(r.n_docs for r in hist) == docs.count()
+    comp_sizes = (
+        neardup_components(docs)
+        .groupBy("component")
+        .count()
+        .groupBy("count")
+        .count()
+        .collect()
+    )
+    assert {(r["count"], r["count(1)"] if "count(1)" in r.asDict() else r[1])
+            for r in comp_sizes} == {
+        (r.cluster_size, r.n_clusters) for r in hist
+    }
