@@ -705,3 +705,72 @@ def test_neardup_cluster_histogram_partitions_corpus(spark, sf_dir):
             for r in comp_sizes} == {
         (r.cluster_size, r.n_clusters) for r in hist
     }
+
+
+def test_incremental_neardup_keyed_matches_generic_and_reads_buckets(
+    spark, tmp_path
+):
+    """The keyed (bucketed-index) incremental near-dedup must admit
+    exactly what the recompute-everything operator admits, and both
+    index scans must arrive bucketed (no exchange re-shuffling ingested
+    history) — the 100 TB plan property the r9 soak pins per increment
+    (bench/incremental_neardup_soak_r9.json)."""
+    from flight_events_flink_job_spark.operators.dedup import (
+        banded_signatures,
+        incremental_neardup,
+        incremental_neardup_keyed,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    rows = [
+        (0, base, "en", "s0", 0),
+        (1, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12", "en", "s0", 0),
+        # incoming: 10 is a near-dup of ingested 0, 11 is fresh,
+        # 12 duplicates 11 within the batch (greedy-by-id keeps 11)
+        (10, base.replace("w12", "x12"), "en", "s1", 0),
+        (11, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12", "en", "s1", 0),
+        (12, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 x12", "en", "s1", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    existing = docs.filter("doc_id < 10")
+    incoming = docs.filter("doc_id >= 10")
+    for t in ("t_nd_bands", "t_nd_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    (
+        banded_signatures(minhash_signatures(existing))
+        .write.format("parquet")
+        .option("path", str(tmp_path / "bands"))
+        .bucketBy(32, "band", "band_hash")
+        .sortBy("band", "band_hash")
+        .saveAsTable("t_nd_bands")
+    )
+    (
+        shingle_sets(existing)
+        .write.format("parquet")
+        .option("path", str(tmp_path / "sets"))
+        .bucketBy(32, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable("t_nd_sets")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        keyed = incremental_neardup_keyed(
+            spark.table("t_nd_bands"), spark.table("t_nd_sets"), incoming
+        )
+        got = {r.doc_id for r in keyed.collect()}
+        want = {
+            r.doc_id for r in incremental_neardup(existing, incoming).collect()
+        }
+        assert got == want == {11}
+        plan = keyed._jdf.queryExecution().executedPlan().toString()
+        assert plan.split("== Initial Plan ==")[0].count(
+            "SelectedBucketsCount"
+        ) >= 2, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in ("t_nd_bands", "t_nd_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
