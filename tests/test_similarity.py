@@ -186,3 +186,43 @@ def test_hard_negatives_plan_broadcasts_queries(spark, sf_dir):
     plan = hard_negatives(embs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_hier_recall_floor_at_default_nprobe(spark, sf_dir):
+    """Round-8 VERDICT item 5: the hier tier's speed/occupancy wins
+    carry a stated recall floor. bench/hier_recall_curve_r9.json
+    documents the full recall@10-vs-nprobe curve (clustered+uniform
+    sf40, 800k vectors: recall tracks the PROBE FRACTION — ~0.20 at
+    0.03% of cells, 0.55 at 1% — and the cosine re-rank sits exactly
+    at its routing-gate ceiling, i.e. re-rank is lossless). This pin
+    asserts the driver-fixture floor at the registered default
+    nprobe=4: measured 0.40 on the 2,000-vector fixture (~12% probe
+    fraction); the floor leaves margin for fixture regeneration, and
+    the computation is deterministic (stride-trained model, tie-broken
+    ranks) so a dip below means the router changed, not noise."""
+    from flight_events_flink_job_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf_hier,
+        ivf_model_hier,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = ivf_model_hier(embs, target_occupancy=64)
+
+    def tset(df):
+        t: dict[int, set] = {}
+        for r in df.collect():
+            t.setdefault(r.q_id, set()).add(r.n_id)
+        return t
+
+    truth = tset(cosine_topk(embs, k=10, num_queries=16))
+    got = tset(
+        cosine_topk_ivf_hier(embs, k=10, num_queries=16, nprobe=4, model=model)
+    )
+    total = sum(len(t) for t in truth.values())
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    assert hits / total >= 0.30, (
+        f"hier recall@10 at default nprobe fell to {hits / total:.3f} "
+        "(documented floor 0.30, measured 0.40 on this fixture — "
+        "see bench/hier_recall_curve_r9.json)"
+    )
