@@ -86,6 +86,29 @@ def cosine_arrow(a: Column, b: Column) -> Column:
     return cos(a, b)
 
 
+def dot_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized twin of :func:`dot` for bulk pair scoring
+    (the MIPS re-rank hot path). Bit-identical to the Catalyst fold
+    AND DuckDB's ``list_dot_product``: the numpy loop accumulates the
+    product sum dimension-by-dimension left-to-right — the exact
+    operation sequence of the sequential folds, so inner-product
+    columns are oracle-hashable without tolerance tricks (the
+    :func:`cosine_arrow` argument, minus the norms)."""
+
+    @pandas_udf("double")
+    def dp(pa: pd.Series, pb: pd.Series) -> pd.Series:
+        if len(pa) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.vstack(pa.to_numpy())
+        mb = np.vstack(pb.to_numpy())
+        acc = np.zeros(len(ma))
+        for i in range(ma.shape[1]):
+            acc += ma[:, i] * mb[:, i]
+        return pd.Series(acc)
+
+    return dp(a, b)
+
+
 def sign_bucket(vec: Column, bits: int) -> Column:
     """Coordinate-sign LSH bucket: an integer built from the signs of
     the first ``bits`` coordinates.

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.vectors import cosine_arrow, to_double
+from ..functions.vectors import cosine_arrow, dot, dot_arrow, to_double
 from .util import spread
 
 
@@ -197,6 +197,177 @@ def cosine_topk_lsh(
             "q_id",
             "n_id",
             F.round(F.col("_cos"), 4).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def mips_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    num_queries: int = 16,
+) -> DataFrame:
+    """Exact maximum-inner-product top-k neighbors per query vector —
+    the retrieval semantics of recommender / dual-encoder scoring
+    (un-normalized dot, NOT cosine: a long vector can out-score a
+    better-aligned short one, which is the point of MIPS).
+
+    Same 100 TB plan as :func:`cosine_topk`: queries broadcast, ONE
+    scan of the corpus (BroadcastNestedLoopJoin), no shuffle of the
+    corpus; per-query ranking state is a bounded top-k heap. The score
+    is the Arrow dim-by-dim sequential fold (functions/vectors.
+    dot_arrow), bit-identical to DuckDB's ``list_dot_product``, so the
+    exact variant is fully oracle-hashable. Output:
+    (q_id, n_id, dotp, rank); ties broken by neighbor id.
+    """
+    if queries is None:
+        queries = embeddings.filter(F.col("vec_id") < num_queries)
+    q = _prepared(queries, "q")
+    c = _prepared(embeddings, "n")
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            dot_arrow(F.col("q_vec"), F.col("n_vec")).alias("_dp"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_dp").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round(F.col("_dp"), 4).alias("dotp"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def _augmented(df: DataFrame, prefix: str, max_norm) -> DataFrame:
+    """Norm-augmentation of Bachrach et al. 2014 (the MIPS -> cosine
+    reduction): scale every vector by the corpus max L2 norm, append
+    sqrt(max(0, 1 - ||u||^2)) so all CORPUS vectors land on the unit
+    sphere in d+1 dims; queries get a 0 appended instead (their
+    augmented coordinate contributes nothing to any dot product, so
+    angular order in d+1 dims == inner-product order in d dims).
+
+    Every step is a Catalyst expression over DOUBLE (transform /
+    sequential fold / sqrt), each IEEE-rounding exactly like the DuckDB
+    list comprehension + list_dot_product replay — the augmented
+    coordinates, and therefore the LSH sign bits downstream, are
+    bit-identical across engines.
+    """
+    scaled = F.transform(
+        F.col(f"{prefix}_vec"), lambda x: x / max_norm
+    ).alias("_u")
+    df = df.withColumn("_u", scaled)
+    if prefix == "q":
+        aug = F.concat(F.col("_u"), F.array(F.lit(0.0)))
+    else:
+        aug = F.concat(
+            F.col("_u"),
+            F.array(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        F.lit(1.0) - dot(F.col("_u"), F.col("_u")),
+                    )
+                )
+            ),
+        )
+    return df.withColumn(f"{prefix}_aug", aug).drop("_u")
+
+
+def mips_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    num_queries: int = 16,
+    num_tables: int = 16,
+    num_planes: int = 4,
+    dim: int = 64,
+    seed: int = 77,
+) -> DataFrame:
+    """Approximate MIPS top-k via the norm-augmentation reduction +
+    random-hyperplane LSH — the scale path of :func:`mips_topk`.
+
+    Inner product is NOT metric (it violates the triangle inequality),
+    so vanilla LSH cannot bucket it directly; the classic fix
+    (Bachrach et al., RecSys 2014; Shrivastava & Li, NeurIPS 2014) maps
+    corpus vectors onto the unit sphere in d+1 dims (:func:`_augmented`)
+    where maximum inner product becomes minimum angle, which
+    sign-random-projection LSH handles. Candidates come only from
+    matching (table, code) buckets — the corpus is never crossed with
+    the queries — and the exact dot re-rank uses the ORIGINAL
+    d-dim vectors.
+
+    The sign bits here accumulate plane dots dimension-BY-dimension
+    (one numpy elementwise op per dim across the whole batch x all 64
+    planes), the exact sequential order of DuckDB's
+    ``list_dot_product`` — unlike the matmul in
+    :func:`hyperplane_buckets`, whose BLAS summation order is
+    unspecified. That makes the bucket assignment, hence the WHOLE
+    approximate result, replayable value-exactly by the SQL oracle
+    (the similarity_topk_lsh precedent, plus the augmentation).
+    """
+    if queries is None:
+        queries = embeddings.filter(F.col("vec_id") < num_queries)
+
+    # Bounded driver collect: ONE scalar (the corpus max norm) — the
+    # same sanctioned model-parameter class as the IVF centroid train.
+    max_norm = float(
+        _prepared(embeddings, "n")
+        .select(F.sqrt(dot(F.col("n_vec"), F.col("n_vec"))).alias("nn"))
+        .agg(F.max("nn"))
+        .collect()[0][0]
+    )
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables * num_planes, dim + 1))
+    weights = 1 << np.arange(num_planes - 1, -1, -1)
+    offsets = np.arange(num_tables) << num_planes
+
+    @pandas_udf("array<bigint>")
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())
+        # dim-by-dim accumulation: oracle-exact sign bits (see docstring)
+        acc = np.zeros((len(mat), planes.shape[0]))
+        for i in range(mat.shape[1]):
+            acc += mat[:, i : i + 1] * planes[:, i]
+        bits = (acc >= 0).astype(np.int64)
+        bits = bits.reshape(len(mat), num_tables, num_planes)
+        codes = (bits * weights).sum(axis=2) + offsets
+        return pd.Series(codes.tolist())
+
+    def bucketed(df: DataFrame, prefix: str) -> DataFrame:
+        p = _augmented(_prepared(df, prefix), prefix, F.lit(max_norm))
+        return p.select(
+            f"{prefix}_id",
+            f"{prefix}_vec",
+            F.explode(buckets(F.col(f"{prefix}_aug"))).alias("bucket"),
+        )
+
+    qb = bucketed(queries, "q")
+    cb = bucketed(embeddings, "n")
+    cands = (
+        cb.join(F.broadcast(qb), "bucket")
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", "q_vec", "n_vec")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_dp").desc(), F.col("n_id"))
+    return (
+        cands.withColumn("_dp", dot_arrow(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round(F.col("_dp"), 4).alias("dotp"),
             F.col("rank").cast("bigint").alias("rank"),
         )
     )

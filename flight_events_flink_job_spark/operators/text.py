@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -530,6 +530,69 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
                 "mean_log_prob"
             ),
         )
+    )
+
+
+def ccnet_lm_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style per-language quality tiers (Wenzek et al. 2020): each
+    document's LM fluency score (:func:`bigram_lm_score`, standing in
+    for CCNet's KenLM perplexity) is cut into head / middle / tail
+    thirds WITHIN its language — the standard pre-training curation
+    signal ("keep head+middle, drop tail") that a perplexity threshold
+    shared across languages would get wrong (perplexity scales are not
+    comparable across languages).
+
+    Tier boundaries come from a per-(lang, score) HISTOGRAM, not a
+    per-document rank: ntile/percent_rank over documents would
+    sort-shuffle the full corpus on a handful of language keys (a
+    per-key global sort — the classic 100 TB scale-killer), while the
+    histogram is one hash aggregate; its cumulative window runs over
+    distinct 4dp-rounded scores only (bounded: <= 20k rows per lang in
+    practice), and the two cuts per language ride a broadcast back
+    onto the document stream. Ceil semantics via integer arithmetic
+    ((n+2) div 3), so both engines place the boundary identically; a
+    document tying a cut joins the BETTER tier (ties are not split by
+    id — documented, deterministic). Docs with < 2 tokens have no
+    bigrams and are absent, as in :func:`bigram_lm_score`.
+
+    Output: (doc_id, lang, mean_log_prob, bucket).
+    """
+    j = bigram_lm_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "mean_log_prob")
+    h = j.groupBy("lang", "mean_log_prob").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("mean_log_prob").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.withColumn("cum", F.sum("c").over(wcum))
+    n = h.groupBy("lang").agg(F.sum("c").alias("n"))
+    cuts = (
+        cum.join(F.broadcast(n), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("cum") >= F.expr("(n + 2) div 3"),
+                    F.col("mean_log_prob"),
+                )
+            ).alias("head_cut"),
+            F.max(
+                F.when(
+                    F.col("cum") >= F.expr("(2 * n + 2) div 3"),
+                    F.col("mean_log_prob"),
+                )
+            ).alias("mid_cut"),
+        )
+    )
+    bucket = (
+        F.when(F.col("mean_log_prob") >= F.col("head_cut"), "head")
+        .when(F.col("mean_log_prob") >= F.col("mid_cut"), "middle")
+        .otherwise("tail")
+    )
+    return j.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "mean_log_prob", bucket.alias("bucket")
     )
 
 

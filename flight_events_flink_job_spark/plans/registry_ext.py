@@ -3197,3 +3197,192 @@ def q_neardup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import neardup_cluster_histogram
 
     return neardup_cluster_histogram(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-9 session additions: MIPS retrieval + CCNet quality tiers
+# ---------------------------------------------------------------------------
+
+@register(
+    "mips_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 16),
+    scored AS (
+        SELECT q.vec_id q_id, c.vec_id n_id, list_dot_product(q.v, c.v) dp
+        FROM q JOIN e c ON q.vec_id <> c.vec_id
+    )
+    SELECT q_id, n_id, round(dp, 4) AS dotp, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY dp DESC, n_id) rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-10 for 16 query vectors — the
+    recommender / dual-encoder retrieval semantics (un-normalized dot,
+    NOT cosine). Broadcast queries over ONE corpus scan, Arrow
+    dim-by-dim fold bit-identical to list_dot_product
+    (operators/similarity.mips_topk)."""
+    from ..operators.similarity import mips_topk
+
+    return mips_topk(_embs(spark, sf_dir))
+
+
+def _mips_lsh_oracle(
+    k: int = 10,
+    num_queries: int = 16,
+    num_tables: int = 16,
+    num_planes: int = 4,
+    dim: int = 64,
+    seed: int = 77,
+) -> str:
+    """DuckDB twin of similarity.mips_topk_lsh: the norm-augmentation
+    reduction (scale by corpus max norm, append sqrt(1-||u||^2) to the
+    corpus / 0 to queries) replayed literally, then the SAME fixed-seed
+    (d+1)-dim plane draw, bucket codes, candidate equi-join, and exact
+    inner-product re-rank on the original vectors. Sign bits agree
+    bit-exactly because the Spark UDF accumulates plane dots
+    dimension-by-dimension in list_dot_product's sequential order."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables * num_planes, dim + 1))
+    rows = ",\n        ".join(
+        "({}, [{}])".format(pid, ", ".join(repr(x) for x in plane))
+        for pid, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    m AS (SELECT sqrt(max(list_dot_product(v, v))) AS mx FROM e),
+    u AS (SELECT vec_id, v, [x / m.mx FOR x IN v] AS uu
+          FROM e CROSS JOIN m),
+    aug AS (
+        SELECT vec_id, v,
+               list_append(uu, sqrt(greatest(0.0,
+                   1.0 - list_dot_product(uu, uu)))) AS av,
+               list_append(uu, 0.0) AS aq
+        FROM u
+    ),
+    planes(pid, p) AS (VALUES
+        {rows}),
+    cb AS (
+        SELECT aug.vec_id, pid // {num_planes} AS tbl, pid % {num_planes} AS j,
+               CASE WHEN list_dot_product(aug.av, planes.p) >= 0
+                    THEN 1 ELSE 0 END AS b
+        FROM aug CROSS JOIN planes
+    ),
+    qb AS (
+        SELECT aug.vec_id, pid // {num_planes} AS tbl, pid % {num_planes} AS j,
+               CASE WHEN list_dot_product(aug.aq, planes.p) >= 0
+                    THEN 1 ELSE 0 END AS b
+        FROM aug CROSS JOIN planes
+        WHERE aug.vec_id < {num_queries}
+    ),
+    ccodes AS (
+        SELECT vec_id,
+               CAST(sum(b * (1 << ({num_planes} - 1 - j)))
+                    + tbl * {1 << num_planes} AS BIGINT) AS bucket
+        FROM cb GROUP BY vec_id, tbl
+    ),
+    qcodes AS (
+        SELECT vec_id,
+               CAST(sum(b * (1 << ({num_planes} - 1 - j)))
+                    + tbl * {1 << num_planes} AS BIGINT) AS bucket
+        FROM qb GROUP BY vec_id, tbl
+    ),
+    cand AS (
+        SELECT DISTINCT qc.vec_id AS q_id, cc.vec_id AS n_id
+        FROM qcodes qc JOIN ccodes cc
+          ON qc.bucket = cc.bucket AND qc.vec_id <> cc.vec_id
+    ),
+    scored AS (
+        SELECT c.q_id, c.n_id, list_dot_product(eq.v, en.v) dp
+        FROM cand c
+        JOIN e eq ON eq.vec_id = c.q_id
+        JOIN e en ON en.vec_id = c.n_id
+    )
+    SELECT q_id, n_id, round(dp, 4) AS dotp, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY dp DESC, n_id) rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("mips_topk_lsh", oracle=_mips_lsh_oracle())
+def q_mips_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate MIPS top-10 via the Bachrach et al. 2014
+    norm-augmentation reduction + random-hyperplane LSH (16 tables x 4
+    planes over d+1 dims, fixed seed 77), exact inner-product re-rank
+    within candidate buckets — the scale path of mips_topk (inner
+    product is not a metric; augmentation makes max-dot == min-angle so
+    sign-projection LSH applies). Hash-exact vs the oracle: the
+    approximation lives in WHICH candidates the buckets admit, and the
+    oracle replays the augmentation + bucket scheme deterministically
+    (operators/similarity.mips_topk_lsh)."""
+    from ..operators.similarity import mips_topk_lsh
+
+    return mips_topk_lsh(_embs(spark, sf_dir))
+
+
+@register(
+    "ccnet_lm_buckets",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(ts[:len(ts)-1]) w1, unnest(ts[2:]) w2
+      FROM t WHERE len(ts) >= 2
+    ),
+    c2 AS (SELECT w1, w2, count(*) n2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(n2) n1 FROM c2 GROUP BY w1),
+    v AS (SELECT count(DISTINCT tok) nv
+          FROM (SELECT unnest(ts) tok FROM t)),
+    s AS (
+      SELECT bg.doc_id,
+             CAST(round(ln((c2.n2 + 1.0) / (c1.n1 + v.nv)), 6)
+                  AS DECIMAL(20,6)) lp
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    sc AS (
+      SELECT doc_id,
+             round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS mean_log_prob
+      FROM s GROUP BY doc_id
+    ),
+    j AS (
+      SELECT sc.doc_id, d.lang, sc.mean_log_prob
+      FROM sc JOIN documents d USING (doc_id)
+    ),
+    h AS (SELECT lang, mean_log_prob, count(*) AS c FROM j GROUP BY 1, 2),
+    n AS (SELECT lang, sum(c) AS n FROM h GROUP BY 1),
+    cum AS (
+      SELECT lang, mean_log_prob,
+             sum(c) OVER (PARTITION BY lang
+                          ORDER BY mean_log_prob DESC) AS cum
+      FROM h
+    ),
+    cuts AS (
+      SELECT cum.lang,
+             max(CASE WHEN cum.cum >= (n.n + 2) // 3
+                      THEN cum.mean_log_prob END) AS head_cut,
+             max(CASE WHEN cum.cum >= (2 * n.n + 2) // 3
+                      THEN cum.mean_log_prob END) AS mid_cut
+      FROM cum JOIN n USING (lang) GROUP BY cum.lang
+    )
+    SELECT j.doc_id, j.lang, j.mean_log_prob,
+           CASE WHEN j.mean_log_prob >= c.head_cut THEN 'head'
+                WHEN j.mean_log_prob >= c.mid_cut THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM j JOIN cuts c USING (lang)
+    """,
+)
+def q_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language head/middle/tail quality tiers (Wenzek
+    et al. 2020) over the bigram LM fluency score — boundaries from a
+    per-(lang, score) histogram + broadcast cuts, NOT a per-document
+    ntile sort-shuffle on a handful of language keys
+    (operators/text.ccnet_lm_buckets)."""
+    from ..operators.text import ccnet_lm_buckets
+
+    return ccnet_lm_buckets(_docs(spark, sf_dir))

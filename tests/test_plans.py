@@ -40,6 +40,13 @@ BNLJ_ALLOWED = {
     "pq_topk",
     # 1-row vocabulary count broadcast onto the bigram stream.
     "bigram_lm_score",
+    # reuses bigram_lm_score's 1-row vocab broadcast; the tier cuts
+    # themselves ride a keyed BroadcastHashJoin (asserted separately in
+    # tests/test_text.py).
+    "ccnet_lm_buckets",
+    # same deliberate shape as similarity_topk: 16 broadcast query
+    # vectors against one corpus scan, inner-product rank.
+    "mips_topk",
     # 1-row corpus-totals broadcast onto the <=1024-row bucket model.
     "dsir_importance",
     # two 1-row broadcasts: the (k+1)-th-largest merge threshold onto

@@ -226,3 +226,90 @@ def test_hier_recall_floor_at_default_nprobe(spark, sf_dir):
         "(documented floor 0.30, measured 0.40 on this fixture — "
         "see bench/hier_recall_curve_r9.json)"
     )
+
+
+# ---------------------------------------------------------------------------
+# MIPS (maximum inner product) tier
+# ---------------------------------------------------------------------------
+
+def test_mips_ranks_by_inner_product_not_cosine(spark):
+    """A LONG vector must out-score a better-aligned short one — the
+    defining difference between MIPS and cosine retrieval."""
+    from flight_events_flink_job_spark.operators.similarity import mips_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.5, 0.0, 0.0, 0.0]),   # perfectly aligned, dot 0.5
+        (2, [3.0, 3.0, 0.0, 0.0]),   # 45 degrees off, dot 3.0 -> wins
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal, dot 0
+    ]
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    out = {
+        (r.q_id, r.rank): (r.n_id, r.dotp)
+        for r in mips_topk(df, df.filter("vec_id = 0"), k=3).collect()
+    }
+    assert out[(0, 1)][0] == 2 and out[(0, 1)][1] == 3.0
+    assert out[(0, 2)][0] == 1
+    assert out[(0, 3)][0] == 3
+
+
+def test_mips_plan_broadcasts_queries_no_cartesian(spark, sf_dir):
+    from flight_events_flink_job_spark.operators.similarity import mips_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = mips_topk(embs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_mips_lsh_recall_against_exact(spark, sf_dir):
+    """The augmented-LSH scale path must retrieve most of the true MIPS
+    top-10 (approximation quality), and every pair it DOES return must
+    carry the exact inner product (re-rank is exact)."""
+    from flight_events_flink_job_spark.operators.similarity import (
+        mips_topk,
+        mips_topk_lsh,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.q_id, r.n_id): r.dotp for r in mips_topk(embs).collect()}
+    approx = {(r.q_id, r.n_id): r.dotp for r in mips_topk_lsh(embs).collect()}
+    hit = set(exact) & set(approx)
+    recall = len(hit) / len(exact)
+    assert recall >= 0.6, f"MIPS-LSH recall {recall:.2f} below floor"
+    for pair in hit:
+        assert exact[pair] == approx[pair], pair
+
+
+def test_mips_augmentation_lands_corpus_on_unit_sphere(spark):
+    """The Bachrach reduction invariant: every augmented CORPUS vector
+    has unit norm (within fp eps), queries keep their direction with a
+    zero appended."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flight_events_flink_job_spark.functions.vectors import dot, to_double
+    from flight_events_flink_job_spark.operators.similarity import _augmented
+
+    rows = [(i, [float(i + 1), float(2 * i), 0.5, -1.0]) for i in range(8)]
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    ).select(
+        F.col("vec_id").alias("n_id"),
+        to_double(F.col("embedding")).alias("n_vec"),
+    )
+    mx = float(
+        df.select(F.sqrt(dot(F.col("n_vec"), F.col("n_vec"))).alias("nn"))
+        .agg(F.max("nn"))
+        .collect()[0][0]
+    )
+    aug = _augmented(df, "n", F.lit(mx))
+    for r in aug.select(
+        dot(F.col("n_aug"), F.col("n_aug")).alias("sq")
+    ).collect():
+        assert math.isclose(r.sq, 1.0, rel_tol=1e-9), r.sq

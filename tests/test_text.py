@@ -612,3 +612,54 @@ def test_token_pmi_hand_computed(spark):
         token_pmi(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality tiers
+# ---------------------------------------------------------------------------
+
+def test_ccnet_buckets_partition_each_lang_into_ordered_thirds(spark, sf_dir):
+    """Within every language: every scored doc gets exactly one bucket,
+    head scores >= middle scores >= tail scores, and head holds at
+    least a third of the docs (ties join the better tier, so head can
+    only be bigger than an exact third, never smaller)."""
+    from flight_events_flink_job_spark.operators.text import ccnet_lm_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = ccnet_lm_buckets(docs).collect()
+    assert rows
+    by_lang: dict[str, dict[str, list[float]]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(
+            r.mean_log_prob
+        )
+    for lang, buckets in by_lang.items():
+        n = sum(len(v) for v in buckets.values())
+        assert len(buckets.get("head", [])) >= (n + 2) // 3 - 1 or n < 3
+        if "head" in buckets and "middle" in buckets:
+            assert min(buckets["head"]) >= max(buckets["middle"]), lang
+        if "middle" in buckets and "tail" in buckets:
+            assert min(buckets["middle"]) > max(buckets["tail"]), lang
+        if "head" in buckets and "tail" in buckets:
+            assert min(buckets["head"]) > max(buckets["tail"]), lang
+
+
+def test_ccnet_buckets_deterministic_and_no_per_doc_sort_shuffle(
+    spark, sf_dir
+):
+    """Two runs hash-identical (no RNG), and the executed plan sorts
+    only the (lang, score) HISTOGRAM, never the per-document stream:
+    the document-side join is a broadcast of the per-lang cuts."""
+    from flight_events_flink_job_spark.operators.text import ccnet_lm_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, ccnet_lm_buckets(docs).collect()))
+    b = sorted(map(tuple, ccnet_lm_buckets(docs).collect()))
+    assert a == b
+    plan = (
+        ccnet_lm_buckets(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -97,6 +97,19 @@ TARGETS = [
     # the occupancy-bounded SemDedup scale path (added r7 after the
     # fixed-k registered semdedup measured quadratic-by-construction)
     "semdedup_scaled",
+    # round-9 additions: the duplicate-span strip (window-frequency
+    # join), the successor-pair calibration frame (linear by
+    # construction — the pair join is an equi-join on doc_id+1), the
+    # component-size rollup over the near-dup graph, the MIPS pair
+    # (broadcast-queries BNLJ exact + bucketed augmented-LSH), and the
+    # histogram-cut quality tiers (the whole point vs ntile: the
+    # per-document side must never sort-shuffle).
+    "exact_substring_strip",
+    "minhash_calibration",
+    "neardup_cluster_histogram",
+    "mips_topk",
+    "mips_topk_lsh",
+    "ccnet_lm_buckets",
 ]
 
 TABLES_NEEDED = [
