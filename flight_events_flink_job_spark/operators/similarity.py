@@ -202,6 +202,56 @@ def cosine_topk_lsh(
     )
 
 
+def ann_recall_eval(
+    embeddings: DataFrame,
+    k: int = 10,
+    num_queries: int = 16,
+) -> DataFrame:
+    """Per-query recall@k of the hyperplane-LSH tier against the exact
+    brute-force tier — the standing evaluation every ANN deployment
+    runs before trusting an approximate index (and re-runs as the
+    corpus drifts). Joins the two result sets on (q_id, n_id):
+    recall = |approx ∩ exact| / k' where k' = |exact| (k, except for
+    tiny corpora).
+
+    Both sides are the REGISTERED operators (:func:`cosine_topk`,
+    :func:`cosine_topk_lsh`), so this measures the production plans,
+    not a reimplementation; the join keys are two k-row-per-query
+    tables (bounded: num_queries * k rows each), so the comparison
+    itself costs nothing next to the searches. recall is an exact
+    binary fraction (small-int division), hence hash-portable without
+    rounding tricks.
+
+    Output: (q_id, n_exact, n_hit, recall), one row per query vector.
+    """
+    exact = cosine_topk(embeddings, k=k, num_queries=num_queries).select(
+        "q_id", "n_id"
+    )
+    approx = cosine_topk_lsh(
+        embeddings, k=k, num_queries=num_queries
+    ).select("q_id", F.col("n_id").alias("a_id"))
+    hit = F.when(F.col("a_id").isNotNull(), 1).otherwise(0)
+    return (
+        exact.join(
+            approx,
+            (exact.q_id == approx.q_id) & (F.col("n_id") == F.col("a_id")),
+            "left",
+        )
+        .drop(approx.q_id)
+        .groupBy("q_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(hit).alias("n_hit"),
+        )
+        .select(
+            "q_id",
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
 def mips_topk(
     embeddings: DataFrame,
     queries: DataFrame | None = None,

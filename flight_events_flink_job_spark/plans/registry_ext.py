@@ -3386,3 +3386,96 @@ def q_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import ccnet_lm_buckets
 
     return ccnet_lm_buckets(_docs(spark, sf_dir))
+
+
+def _ann_recall_oracle(
+    k: int = 10,
+    num_queries: int = 16,
+    num_tables: int = 16,
+    num_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of similarity.ann_recall_eval: the exact top-k CTE
+    and the FULL deterministic LSH replay (same fixed-seed planes as
+    _topk_lsh_oracle), left-joined per (q_id, n_id); recall is exact
+    small-int division (BIGINT/BIGINT -> DOUBLE in both engines)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables * num_planes, dim))
+    rows = ",\n        ".join(
+        "({}, [{}])".format(pid, ", ".join(repr(x) for x in plane))
+        for pid, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    planes(pid, p) AS (VALUES
+        {rows}),
+    bits AS (
+        SELECT e.vec_id, pid // {num_planes} AS tbl, pid % {num_planes} AS j,
+               CASE WHEN list_dot_product(e.v, planes.p) >= 0
+                    THEN 1 ELSE 0 END AS b
+        FROM e CROSS JOIN planes
+    ),
+    codes AS (
+        SELECT vec_id,
+               CAST(sum(b * (1 << ({num_planes} - 1 - j)))
+                    + tbl * {1 << num_planes} AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id, tbl
+    ),
+    cand AS (
+        SELECT DISTINCT qc.vec_id AS q_id, cc.vec_id AS n_id
+        FROM codes qc JOIN codes cc
+          ON qc.bucket = cc.bucket AND qc.vec_id <> cc.vec_id
+        WHERE qc.vec_id < {num_queries}
+    ),
+    lsh_scored AS (
+        SELECT c.q_id, c.n_id, list_cosine_similarity(eq.v, en.v) cos
+        FROM cand c
+        JOIN e eq ON eq.vec_id = c.q_id
+        JOIN e en ON en.vec_id = c.n_id
+    ),
+    approx AS (
+        SELECT q_id, n_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, n_id) rank
+            FROM lsh_scored
+        ) WHERE rank <= {k}
+    ),
+    exact_scored AS (
+        SELECT q.vec_id q_id, c.vec_id n_id,
+               list_cosine_similarity(q.v, c.v) cos
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {num_queries}
+    ),
+    exact AS (
+        SELECT q_id, n_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, n_id) rank
+            FROM exact_scored
+        ) WHERE rank <= {k}
+    )
+    SELECT ex.q_id,
+           count(*) AS n_exact,
+           CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) / count(*) AS recall
+    FROM exact ex
+    LEFT JOIN approx a ON a.q_id = ex.q_id AND a.n_id = ex.n_id
+    GROUP BY ex.q_id
+    """
+
+
+@register("ann_recall_eval", oracle=_ann_recall_oracle())
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the hyperplane-LSH tier vs the exact brute-force
+    tier, per query vector — the standing index-quality evaluation an
+    ANN deployment runs before trusting (and while operating) the
+    approximate path. Measures the PRODUCTION plans (the two
+    registered operators), join cost bounded by num_queries * k rows
+    (operators/similarity.ann_recall_eval)."""
+    from ..operators.similarity import ann_recall_eval
+
+    return ann_recall_eval(_embs(spark, sf_dir))

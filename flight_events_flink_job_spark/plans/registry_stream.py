@@ -55,6 +55,7 @@ BENCH_SKIP = {
     "airline_stats_compacted",
     "segment_revenue_bucketed",
     "orders_zordered",
+    "stream_similarity_radius",
 }
 
 
@@ -556,4 +557,25 @@ def q_orders_zordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_revenue"),
         )
+    )
+
+
+@register("stream_similarity_radius", oracle=ORACLES["similarity_radius"])
+def q_stream_similarity_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous vector retrieval: the cosine-radius standing query
+    over a real micro-batched embedding stream (stream-static broadcast
+    of the 16 probe vectors, stateless append mode, NO state store),
+    driver-checked against the SAME oracle as the batch
+    similarity_radius — batch/stream parity for vector search
+    (streaming/similarity.py)."""
+    import pyspark.sql.functions as F
+
+    from ..streaming.similarity import drain_radius_from_staged
+
+    base = tempfile.mkdtemp(prefix="stream_radius_")
+    staging, ckpt = f"{base}/in", f"{base}/ckpt"
+    embs = load_table(spark, sf_dir, "embeddings")
+    embs.repartition(4).write.mode("overwrite").parquet(staging)
+    return drain_radius_from_staged(
+        spark, staging, ckpt, embs.filter(F.col("vec_id") < 16)
     )

@@ -1,0 +1,88 @@
+"""Streaming vector retrieval: continuous cosine-radius alerting.
+
+The batch radius query (operators/similarity.cosine_radius) is
+stateless per corpus row — score against a bounded BROADCAST query set,
+threshold-filter, emit. That shape streams in APPEND mode with NO state
+store at all: each micro-batch's vectors are scored exactly once, the
+static query side re-broadcasts per batch (stream-static join), and the
+appended union over all micro-batches is definitionally equal to the
+batch result over the same rows — the batch/stream parity contract the
+driver checks with the SAME oracle as ``similarity_radius``.
+
+This is the standing-query deployment of vector search ("alert me when
+anything semantically close to these probes arrives"): at 100 TB/day the
+corpus never re-scans — only the day's increment flows through, and the
+per-batch cost is |batch| * |Q| Arrow-vectorized cosines with no
+shuffle of the stream (the only exchange is the broadcast of Q).
+
+The scoring expressions are shared with the batch operator by
+construction (same ``to_double`` prep, same Arrow dim-by-dim cosine
+fold, same NaN -> -1.0 zero-vector convention, same 4 dp round), so
+stream and batch can never drift apart semantically; the batch
+``spread()`` repartition gate is omitted because ``DataFrame.rdd`` is
+undefined on a stream and micro-batches already arrive as >=1 split per
+staged file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_arrow, to_double
+
+# Staged-parquet twin of the embeddings fixture (post ingest-contract).
+EMB_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+
+def radius_alert_stream(
+    stream: DataFrame, queries: DataFrame, threshold: float = 0.25
+) -> DataFrame:
+    """(q_id, n_id, cosine) alerts for every streamed vector within
+    ``threshold`` cosine of any query vector. Stateless: safe in append
+    mode with no watermark and no state store."""
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        to_double(F.col("embedding")).alias("q_vec"),
+    )
+    c = stream.select(
+        F.col("vec_id").alias("n_id"),
+        to_double(F.col("embedding")).alias("n_vec"),
+    )
+    cos = F.nanvl(cosine_arrow(F.col("q_vec"), F.col("n_vec")), F.lit(-1.0))
+    return (
+        c.join(F.broadcast(q))
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.round(cos, 4).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def drain_radius_from_staged(
+    spark: SparkSession,
+    staging_dir: str,
+    checkpoint_dir: str,
+    queries: DataFrame,
+    threshold: float = 0.25,
+    files_per_trigger: int = 2,
+) -> DataFrame:
+    """Drain staged embedding parts through the radius alert stream in
+    rate-limited micro-batches (append-mode parquet sink — the exactly-
+    once file-sink path) and return everything emitted."""
+    stream = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(staging_dir)
+    )
+    out_dir = f"{checkpoint_dir}_out"
+    q = (
+        radius_alert_stream(stream, queries, threshold)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -47,6 +47,10 @@ BNLJ_ALLOWED = {
     # same deliberate shape as similarity_topk: 16 broadcast query
     # vectors against one corpus scan, inner-product rank.
     "mips_topk",
+    # composes the exact tier (similarity_topk's broadcast-queries
+    # BNLJ) with the LSH tier; the recall join itself is two
+    # num_queries*k-row tables.
+    "ann_recall_eval",
     # 1-row corpus-totals broadcast onto the <=1024-row bucket model.
     "dsir_importance",
     # two 1-row broadcasts: the (k+1)-th-largest merge threshold onto

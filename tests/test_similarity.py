@@ -313,3 +313,30 @@ def test_mips_augmentation_lands_corpus_on_unit_sphere(spark):
         dot(F.col("n_aug"), F.col("n_aug")).alias("sq")
     ).collect():
         assert math.isclose(r.sq, 1.0, rel_tol=1e-9), r.sq
+
+
+def test_ann_recall_eval_matches_set_recall(spark, sf_dir):
+    """The eval operator's per-query recall must equal the recall
+    computed from the two operators' collected result sets."""
+    from flight_events_flink_job_spark.operators.similarity import (
+        ann_recall_eval,
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact: dict[int, set[int]] = {}
+    for r in cosine_topk(embs).collect():
+        exact.setdefault(r.q_id, set()).add(r.n_id)
+    approx: dict[int, set[int]] = {}
+    for r in cosine_topk_lsh(embs).collect():
+        approx.setdefault(r.q_id, set()).add(r.n_id)
+    rows = {r.q_id: r for r in ann_recall_eval(embs).collect()}
+    assert set(rows) == set(exact)
+    for q, ex in exact.items():
+        want = len(ex & approx.get(q, set())) / len(ex)
+        got = rows[q]
+        assert got.n_exact == len(ex)
+        assert got.n_hit == len(ex & approx.get(q, set()))
+        assert got.recall == want
+        assert 0.0 <= got.recall <= 1.0

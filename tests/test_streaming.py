@@ -831,3 +831,33 @@ def test_stream_state_soak_artifact_is_green():
             f"bytes_bounded={s['state_bytes_bounded']} "
             f"latency_stable={s['latency_stable']}"
         )
+
+
+def test_stream_radius_alerts_match_batch_exactly(spark, sf_dir, tmp_path):
+    """The stateless append-mode radius stream over micro-batched
+    embedding parts must emit EXACTLY the batch cosine_radius rows
+    (each corpus vector scored once, no state, no loss, no dupes)."""
+    from pyspark.sql import functions as F
+
+    from flight_events_flink_job_spark.operators.similarity import (
+        cosine_radius,
+    )
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+    from flight_events_flink_job_spark.streaming.similarity import (
+        drain_radius_from_staged,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    staging = str(tmp_path / "in")
+    embs.repartition(6).write.mode("overwrite").parquet(staging)
+    streamed = drain_radius_from_staged(
+        spark,
+        staging,
+        str(tmp_path / "ckpt"),
+        embs.filter(F.col("vec_id") < 16),
+        files_per_trigger=2,  # forces >= 3 micro-batches
+    )
+    batch = cosine_radius(embs)
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0

@@ -451,6 +451,13 @@ def main() -> None:
         "similarity_topk_ivf_hier": "embeddings",
         "ivf_pq_topk_hier": "embeddings",
         "ivf_pq_topk_residual": "embeddings",
+        # round-9 additions
+        "exact_substring_strip": "documents",
+        "minhash_calibration": "documents",
+        "neardup_cluster_histogram": "documents",
+        "mips_topk": "embeddings",
+        "mips_topk_lsh": "embeddings",
+        "ccnet_lm_buckets": "documents",
     }
     exps: dict = {"queries": {}, "candidates": {}}
     pairs = list(zip(sfs, sfs[1:]))
