@@ -182,15 +182,26 @@ def cosine_topk_lsh(
 
     qb = bucketed(queries, "q")
     cb = bucketed(embeddings, "n")
+    # Candidate dedup on IDS ONLY (24 B/row), vectors re-attached
+    # after: carrying the two 512 B vectors through the dedup shuffle
+    # multiplied its volume ~40x and OOM'd a 128 GB heap on the
+    # degenerate-bucket regime (clustered 800k vectors, 64 queries, 32
+    # tables — found by tools/mips_recall.py round 9). The corpus
+    # re-join is a plain equi-join on n_id; the query side re-attaches
+    # from the same broadcast.
     cands = (
-        cb.join(F.broadcast(qb), "bucket")
+        cb.select("n_id", "bucket")
+        .join(F.broadcast(qb.select("q_id", "bucket")), "bucket")
         .where(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", "q_vec", "n_vec")
+        .select("q_id", "n_id")
         .dropDuplicates(["q_id", "n_id"])
     )
+    scored = cands.join(
+        _prepared(embeddings, "n"), "n_id"
+    ).join(F.broadcast(_prepared(queries, "q")), "q_id")
     w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id"))
     return (
-        cands.withColumn("_cos", cosine_arrow(F.col("q_vec"), F.col("n_vec")))
+        scored.withColumn("_cos", cosine_arrow(F.col("q_vec"), F.col("n_vec")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -403,15 +414,22 @@ def mips_topk_lsh(
 
     qb = bucketed(queries, "q")
     cb = bucketed(embeddings, "n")
+    # ids-only candidate dedup + vector re-join — same scale fix as
+    # cosine_topk_lsh (the wide dedup shuffle OOM'd on degenerate
+    # buckets; see the comment there).
     cands = (
-        cb.join(F.broadcast(qb), "bucket")
+        cb.select("n_id", "bucket")
+        .join(F.broadcast(qb.select("q_id", "bucket")), "bucket")
         .where(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", "q_vec", "n_vec")
+        .select("q_id", "n_id")
         .dropDuplicates(["q_id", "n_id"])
     )
+    scored = cands.join(
+        _prepared(embeddings, "n"), "n_id"
+    ).join(F.broadcast(_prepared(queries, "q")), "q_id")
     w = Window.partitionBy("q_id").orderBy(F.col("_dp").desc(), F.col("n_id"))
     return (
-        cands.withColumn("_dp", dot_arrow(F.col("q_vec"), F.col("n_vec")))
+        scored.withColumn("_dp", dot_arrow(F.col("q_vec"), F.col("n_vec")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(

@@ -340,3 +340,22 @@ def test_ann_recall_eval_matches_set_recall(spark, sf_dir):
         assert got.n_hit == len(ex & approx.get(q, set()))
         assert got.recall == want
         assert 0.0 <= got.recall <= 1.0
+
+
+def test_mips_recall_artifact_floors():
+    """Committed MIPS-LSH recall evidence stays at its documented
+    floors (bench/mips_recall_r9.json, 64 queries, k=10): >= 0.85 at
+    8 tables and >= 0.99 at the registered 16 tables on the 800k
+    uniform fixture."""
+    import json
+    import pathlib
+
+    art = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "bench"
+        / "mips_recall_r9.json"
+    )
+    d = json.loads(art.read_text())
+    uni = d["regimes"]["uniform"]["by_num_tables"]
+    assert uni["8"]["recall_at_10"] >= 0.85
+    assert uni["16"]["recall_at_10"] >= 0.99
