@@ -343,6 +343,33 @@ def _augmented(df: DataFrame, prefix: str, max_norm) -> DataFrame:
     return df.withColumn(f"{prefix}_aug", aug).drop("_u")
 
 
+def lsh_planes_for_corpus(
+    n_rows: int,
+    target_bucket: int = 128,
+    min_planes: int = 4,
+    max_planes: int = 16,
+) -> int:
+    """Planes per table so the EXPECTED sign-LSH bucket population is
+    ~``target_bucket``: B = ceil(log2(n_rows / target_bucket)),
+    clamped. The corpus-scaling rule the round-9 planes sweep measured
+    (bench/mips_planes_sweep_r9.json): at fixed B the candidate
+    fraction a query admits is ~constant (1-(1-2^-B)^T), so bucket
+    population — and with it the LSH tier's whole cost advantage —
+    tracks the corpus unless B grows with log2(N). At 200k rows this
+    derives B=11 (vs the measured sweet spot 8-10 at recall 0.85-0.67;
+    pick target_bucket by the recall SLO), at the 2k-row driver
+    fixture it derives exactly the registered B=4. The sibling of
+    :func:`dedup.lsh_bands_for_threshold` — derive the config from the
+    data, never hard-code the fixture-scale constant.
+    """
+    import math
+
+    if n_rows <= target_bucket:
+        return min_planes
+    b = math.ceil(math.log2(n_rows / target_bucket))
+    return max(min_planes, min(max_planes, b))
+
+
 def mips_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame | None = None,

@@ -359,3 +359,24 @@ def test_mips_recall_artifact_floors():
     uni = d["regimes"]["uniform"]["by_num_tables"]
     assert uni["8"]["recall_at_10"] >= 0.85
     assert uni["16"]["recall_at_10"] >= 0.99
+
+
+def test_lsh_planes_for_corpus_scales_with_log_n():
+    """The corpus-scaling planes rule: registered driver-scale config
+    (B=4 at 2k rows) is exactly the adaptive choice, and B grows by
+    one per corpus doubling up to the clamp."""
+    from flight_events_flink_job_spark.operators.similarity import (
+        lsh_planes_for_corpus,
+    )
+
+    assert lsh_planes_for_corpus(2_000) == 4   # driver fixture
+    assert lsh_planes_for_corpus(200_000) == 11
+    assert lsh_planes_for_corpus(400_000) == 12
+    assert lsh_planes_for_corpus(100) == 4     # floor
+    assert lsh_planes_for_corpus(10**12) == 16  # clamp
+    # monotone non-decreasing in N
+    prev = 0
+    for n in (10**3, 10**4, 10**5, 10**6, 10**9):
+        b = lsh_planes_for_corpus(n)
+        assert b >= prev
+        prev = b
