@@ -181,6 +181,12 @@ def main() -> int:
                 "mad_total": round(sum(mads.values()), 3),
                 "core_sec": round(sum(core.values()), 3),
                 "queries": core,
+                # round-9 VERDICT item 9: per-query dispersion in the
+                # SURVIVING line too, so a round-over-round core delta
+                # can be gated on median±MAD (tools/bench_diff.py is
+                # the committed protocol for the full record) even when
+                # only the trailer makes it into BENCH_r{N}.json.
+                "query_mad": {k: mads[k] for k in core},
                 "note": "summary trailer; per-query detail on the previous line",
             }
         )

@@ -1159,7 +1159,10 @@ def neardup_components(
 
 
 def neardup_dedup_corpus(
-    docs: DataFrame, threshold: float = 0.7, n: int = 3
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """The end-to-end fuzzy-dedup step itself: the corpus AFTER
     keep-one-per-near-dup-cluster. :func:`neardup_components` labels
@@ -1175,8 +1178,18 @@ def neardup_dedup_corpus(
     ONE co-partitioned equi-join on doc_id (representatives back to
     attributes) — no new shuffle shape, no window beyond the component
     count the labeling already pays.
+
+    ``components`` (round-9 VERDICT item 3): pass a precomputed
+    :func:`neardup_components` frame to share the candidate-pair + CC
+    prelude across the family's consumers (the registry persists it
+    once per corpus — the PQ-codebook lifecycle); None recomputes,
+    keeping the operator self-contained.
     """
-    comp = neardup_components(docs, threshold, n)
+    comp = (
+        components
+        if components is not None
+        else neardup_components(docs, threshold, n)
+    )
     return (
         comp.filter(F.col("doc_id") == F.col("component"))
         .select("doc_id", "n_members")
@@ -1370,7 +1383,9 @@ def dedup_edit_distance(
     )
 
 
-def exact_substring_strip(docs: DataFrame, n: int = 8) -> DataFrame:
+def exact_substring_strip(
+    docs: DataFrame, n: int = 8, hash_key: bool = False
+) -> DataFrame:
     """(doc_id, n_spans, dup_tokens, clean_text): cross-document exact
     duplicate-SPAN removal — the strip/rewrite stage of Lee et al. 2022
     exact-substring dedup, completing the detection tier
@@ -1397,10 +1412,20 @@ def exact_substring_strip(docs: DataFrame, n: int = 8) -> DataFrame:
     maximal spans with the gaps-and-islands trick (cpos - row_number
     per doc is constant within a contiguous run); clean text is an
     anti-join of the token table against covered positions,
-    reassembled in position order. At 100 TB the window key becomes
-    ``xxhash64(gram)`` to cut shuffle width (kept as the raw string
-    here so the DuckDB oracle replays the key verbatim — same choice
-    as repeated_passages).
+    reassembled in position order.
+
+    ``hash_key`` (round-9 VERDICT item 6) is the 100 TB shuffle-width
+    mode: the duplicate-window distinct/df-count/join run on
+    ``xxhash64(gram)`` (8 bytes) instead of the raw ~n-token string
+    (~50-60 bytes at n=8) — the three gram-keyed exchanges shrink by
+    that factor while the plan shape is untouched. A 64-bit collision
+    would mark a non-duplicated window as duplicated with probability
+    ~G^2/2^65 for G distinct grams (~3e-7 at a billion grams) —
+    negligible, and FALSE POSITIVES only strip a spurious span; the
+    default stays the raw string so the DuckDB oracle replays the key
+    verbatim (same choice as repeated_passages), and the pytest pins
+    mode equivalence on fixture data. Curve:
+    bench/substrip_hashed_curve_r10.json.
     """
     toks = spread(docs).select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
@@ -1417,6 +1442,10 @@ def exact_substring_strip(docs: DataFrame, n: int = 8) -> DataFrame:
         .filter(F.col("_last").isNotNull())
         .select("doc_id", "pos", "gram")
     )
+    if hash_key:
+        grams = grams.select(
+            "doc_id", "pos", F.xxhash64(F.col("gram")).alias("gram")
+        )
     dup = (
         grams.select("doc_id", "gram")
         .distinct()
@@ -1546,7 +1575,10 @@ def minhash_calibration(
 
 
 def neardup_cluster_histogram(
-    docs: DataFrame, threshold: float = 0.7, n: int = 3
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """(cluster_size, n_clusters, n_docs): the duplication profile of
     the corpus — how many near-dup clusters exist at each size, and how
@@ -1558,8 +1590,14 @@ def neardup_cluster_histogram(
     Pure rollup over :func:`neardup_components` — two further hash
     aggregates on keys that only ever shrink (component -> size ->
     histogram), adding nothing corpus-sized to the CC plan's cost.
+    ``components``: precomputed labeling to share the prelude (see
+    :func:`neardup_dedup_corpus`).
     """
-    comps = neardup_components(docs, threshold, n)
+    comps = (
+        components
+        if components is not None
+        else neardup_components(docs, threshold, n)
+    )
     csz = comps.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return (
         csz.groupBy("cluster_size")

