@@ -308,6 +308,35 @@ _NEARDUP_CC_PRELUDE = f"""
 """
 
 
+# Near-dup components labeling cached per corpus as a PERSISTED frame
+# (round-9 VERDICT item 3): the candidate-pair + CC prelude dominates
+# the family's cost and was recomputed by each of its consumers
+# (components / dedup corpus / cluster histogram — ~25 s of the r9
+# bench sweep, 3x the same work). Same train-once-query-many lifecycle
+# as _HIER_MODELS/_COARSE_MODELS below, but the cached object is a
+# persisted DataFrame, so the key includes the Spark application id —
+# a frame from a stopped session must never be reused. Cache of one
+# corpus: a new (app, sf_dir) evicts and unpersists the previous entry,
+# so long-lived sessions hold at most one labeling in storage.
+_NEARDUP_COMPONENTS: dict[tuple[str, str], DataFrame] = {}
+
+
+def _neardup_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NEARDUP_COMPONENTS:
+        for old in list(_NEARDUP_COMPONENTS):
+            try:
+                _NEARDUP_COMPONENTS.pop(old).unpersist()
+            except Exception:
+                pass  # the old frame's session may be gone
+        _NEARDUP_COMPONENTS[key] = neardup_components(
+            _docs(spark, sf_dir)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _NEARDUP_COMPONENTS[key]
+
+
 @register(
     "neardup_components",
     oracle=f"""
@@ -326,8 +355,10 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster size). Oracle replays the labeling as a recursive-CTE
     reachability closure over the EXACT all-pairs edge set (component =
     min reachable doc_id) — parity holds iff the linear candidate union
-    captures every true edge, which the driver re-verifies per round."""
-    return neardup_components(_docs(spark, sf_dir))
+    captures every true edge, which the driver re-verifies per round.
+    Serves the family's shared persisted labeling
+    (_neardup_components_cached)."""
+    return _neardup_components_cached(spark, sf_dir)
 
 
 @register(
@@ -373,8 +404,12 @@ def q_neardup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying its absorbed-duplicate count. Rides the linear candidate
     union (LSH ∪ df-capped prefix) with exact verify; the oracle stays
     the exact all-pairs closure (operators/dedup.py
-    neardup_dedup_corpus)."""
-    return neardup_dedup_corpus(_docs(spark, sf_dir))
+    neardup_dedup_corpus). Consumes the shared persisted labeling —
+    the prelude is computed once per corpus, not per consumer."""
+    return neardup_dedup_corpus(
+        _docs(spark, sf_dir),
+        components=_neardup_components_cached(spark, sf_dir),
+    )
 
 
 @register(
@@ -3193,10 +3228,14 @@ def q_neardup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus duplication profile: near-dup connected components
     (trigram Jaccard >= 0.7) rolled up to (cluster_size, n_clusters,
     n_docs) — the summary a curator reads before a dedup pass
-    (operators/dedup.py neardup_cluster_histogram)."""
+    (operators/dedup.py neardup_cluster_histogram). Consumes the shared
+    persisted labeling — the prelude is computed once per corpus."""
     from ..operators.dedup import neardup_cluster_histogram
 
-    return neardup_cluster_histogram(_docs(spark, sf_dir))
+    return neardup_cluster_histogram(
+        _docs(spark, sf_dir),
+        components=_neardup_components_cached(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3479,3 +3518,75 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ann_recall_eval
 
     return ann_recall_eval(_embs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: real-PNG-decode dhash, hashed-key substring strip,
+# fully-derived MIPS LSH config (B from the corpus, T from the recall SLO).
+# ---------------------------------------------------------------------------
+
+@register("multimodal_png_dhash", oracle=_ORACLES["multimodal_image_dhash"])
+def q_multimodal_png_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash through a REAL image decode (round-9 VERDICT
+    item 5): the text-byte pixel grid is encoded as an actual baseline
+    grayscale PNG (mixed scanline filters, functions/png.py) and the
+    fingerprint is computed from decode_image's stdlib zlib decode —
+    the end-to-end decode -> downscale -> dHash path a production image
+    near-dup pipeline runs. The PNG round-trip is pixel-lossless, so
+    the byte-math oracle of multimodal_image_dhash covers this query
+    verbatim; the driver hash-equality IS the proof the decode is real
+    and correct (operators/multimodal.py png_media /
+    image_dhash_decoded)."""
+    from ..operators.multimodal import image_dhash_decoded, png_media
+
+    return image_dhash_decoded(png_media(_docs(spark, sf_dir)))
+
+
+@register(
+    "exact_substring_strip_hashed", oracle=_ORACLES["exact_substring_strip"]
+)
+def q_exact_substring_strip_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shuffle-width mode of exact_substring_strip (round-9
+    VERDICT item 6): the duplicate-window distinct / df-count / join
+    run on xxhash64(gram) — 8-byte keys instead of ~50-60-byte 8-token
+    strings, shrinking the three gram-keyed exchanges by that factor
+    with an identical plan shape. The output is bit-identical to the
+    string-key operator absent a 64-bit collision (~G^2/2^65; a
+    collision only strips a spurious span), so the string-key oracle
+    checks this variant value-exactly — the driver green certifies the
+    hashed key loses nothing at fixture scale, and
+    bench/substrip_hashed_curve_r10.json measures what it buys at
+    sf2+ (operators/dedup.py exact_substring_strip)."""
+    from ..operators.dedup import exact_substring_strip
+
+    return exact_substring_strip(_docs(spark, sf_dir), hash_key=True)
+
+
+@register(
+    "mips_topk_lsh_auto",
+    oracle=_mips_lsh_oracle(num_tables=8, num_planes=4),
+)
+def q_mips_topk_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS LSH with BOTH config knobs derived instead of hard-coded
+    (round-9 VERDICT item 4): B (planes/table) from the corpus size via
+    lsh_planes_for_corpus — expected bucket population ~target — and T
+    (tables) from the recall SLO via lsh_tables_for_recall's
+    1-(1-p^B)^T capture model. The oracle pins the driver-scale
+    derivation (corpus <= 2048 vectors -> B=4; R=0.95 at B=4 -> T=8),
+    the same fixture-scale-pinning convention as
+    dedup_embedding_cosine's num_planes=4; the rule itself is validated
+    at 800k vectors in bench/mips_rule_applied_r10.json
+    (operators/similarity.py lsh_planes_for_corpus /
+    lsh_tables_for_recall)."""
+    from ..operators.similarity import (
+        lsh_planes_for_corpus,
+        lsh_tables_for_recall,
+        mips_topk_lsh,
+    )
+
+    embs = _embs(spark, sf_dir)
+    # Bounded driver scalar (corpus row count) — the same sanctioned
+    # model-parameter collect class as the max-norm inside the operator.
+    b = lsh_planes_for_corpus(embs.count())
+    t = lsh_tables_for_recall(0.95, b)
+    return mips_topk_lsh(embs, num_tables=t, num_planes=b)

@@ -26,9 +26,9 @@ from flight_events_flink_job_spark.plans import (
 )
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
-# The window was designed against the driver state as of round 8;
-# later records (r09+) must not flip the assertions.
-DESIGN_ROUNDS = range(1, 9)
+# The window was designed against the driver state as of round 9;
+# later records (r10+) must not flip the assertions.
+DESIGN_ROUNDS = range(1, 10)
 
 
 def _last_green() -> dict[str, int]:

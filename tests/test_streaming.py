@@ -861,3 +861,95 @@ def test_stream_radius_alerts_match_batch_exactly(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, streamed.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b and len(a) > 0
+
+
+def test_stateful_v2_soak_parity_many_batches(spark, sf_dir, tmp_path):
+    """SOAK parity for the v2 stateful API (round-9 VERDICT item 7):
+    20 one-file micro-batches through BOTH arbitrary-state APIs — the
+    v2 transformWithStateInPandas drain must match the v1
+    applyInPandasWithState drain emission-for-emission across the whole
+    run (state carried through 20 RocksDB commits, not just the 2-batch
+    registry drain), and both final states must equal the batch
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+    from flight_events_flink_job_spark.streaming.stateful import (
+        EVENT_STREAM_SCHEMA,
+        HAS_TWS,
+        drain_user_activity,
+        drain_user_activity_v2,
+        final_user_state,
+    )
+
+    if not HAS_TWS:
+        pytest.skip("transformWithStateInPandas unavailable")
+
+    staging = str(tmp_path / "in")
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).repartition(20).write.parquet(staging)
+
+    def stream():
+        return (
+            spark.readStream.schema(EVENT_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+
+    v1 = drain_user_activity(stream(), str(tmp_path / "ckpt1"))
+    v2 = drain_user_activity_v2(stream(), str(tmp_path / "ckpt2"))
+    assert _rows(v1) == _rows(v2)
+    # every user emitted in >= 2 distinct micro-batches somewhere
+    assert v1.groupBy("user_id").count().agg(F.max("count")).collect()[0][0] > 1
+    batch = {
+        (r.user_id, r.n_events): r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    final_v2 = final_user_state(v2).collect()
+    assert len(final_v2) == len(batch) > 0
+    for r in final_v2:
+        b = batch[(r.user_id, r.n_events)]
+        assert r.sum_value == b.sum_value and r.last_ts == b.last_ts
+
+
+def test_provider_accounting_artifact_pins_both_providers():
+    """Round-9 VERDICT item 8 pin: the committed RocksDB-vs-HDFS
+    accounting comparison (tools/provider_accounting.py, identical
+    interval-join workload) must show the diagnosed Spark-4.1 artifact
+    — the RocksDB provider's memoryUsedBytes aggregate GROWING
+    (q4 > 1.5x q2) while its live bytes and rows stay flat, and the
+    HDFS provider's aggregate PLATEAUING on the same workload
+    (BASELINE.md §8b). If a Spark upgrade fixes the RocksDB
+    accounting, regenerating the artifact flips the growth assertion
+    and this pin fails — the detection signal the §8b note promises.
+    Soak gates themselves stay on live bytes only."""
+    import json
+    import pathlib
+
+    path = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "bench"
+        / "provider_accounting_r10.json"
+    )
+    runs = {
+        d["provider"]: d
+        for d in (json.loads(l) for l in path.read_text().splitlines() if l.strip())
+    }
+    rocks, hdfs = runs["rocksdb"], runs["hdfs"]
+    assert rocks["n_batches"] >= 50 and hdfs["n_batches"] >= 50
+    # identical workload: same live state on both providers
+    assert rocks["state_rows_q4"] == hdfs["state_rows_q4"]
+    # the artifact: RocksDB aggregate grows while live state is flat
+    assert rocks["aggregate_growth_ratio"] > 1.5, rocks
+    assert rocks["live_bytes_q4"] <= 1.5 * rocks["live_bytes_q2"], rocks
+    assert rocks["state_rows_q4"] <= 1.25 * rocks["state_rows_q2"], rocks
+    # the control: HDFS aggregate plateaus on the identical workload
+    assert hdfs["aggregate_growth_ratio"] <= 1.25, hdfs

@@ -149,9 +149,18 @@ def main() -> int:
             .option("maxFilesPerTrigger", 1)
             .parquet(staging)
         )
+        # Same retention shape as tools/stream_state_soak.py: 1-day
+        # watermark + 6-hour interval, one simulated day per batch —
+        # rows enter AND leave join state every micro-batch.
+        joined = signup_purchase_conversions(
+            stream.where(F.col("event_type") == "signup"),
+            stream.where(F.col("event_type") == "purchase"),
+            upper="6 HOURS",
+            watermark="1 DAY",
+        )
         q = (
-            signup_purchase_conversions(stream)
-            .writeStream.format("noop")
+            joined.writeStream.format("noop")
+            .outputMode("append")
             .option("checkpointLocation", ck)
             .trigger(availableNow=True)
             .start()
