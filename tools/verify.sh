@@ -3,10 +3,10 @@
 #
 # Runs every correctness and plan-shape gate the repo has, in the
 # order that fails fastest:
-#   1. full pytest suite (651 tests incl. plan gates, property tests,
-#      streaming batch/stream parity, adversarial regressions; ~10 min)
-#   2. full-registry (159-query) parity sweep vs the DuckDB oracles at
-#      sf0.01 — the same comparison the grading driver runs (~8 min)
+#   1. full pytest suite (820+ tests incl. plan gates, property tests,
+#      streaming batch/stream parity, adversarial regressions; ~15 min)
+#   2. full-registry (185-query) parity sweep vs the DuckDB oracles at
+#      sf0.01 — the same comparison the grading driver runs (~10 min)
 #   3. adversarial-fixture parity sweep (generates the slice under
 #      /tmp, then the same full-registry differential over it; ~8 min)
 #   4. bench smoke: one run of the reference-parity core at sf0.01 to
