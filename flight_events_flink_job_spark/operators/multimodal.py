@@ -330,10 +330,13 @@ def png_media(docs: DataFrame, width: int = 9) -> DataFrame:
     the byte math; the codec cancels out). Docs shorter than one pixel
     row are skipped (nothing to encode; they produce no dhash either
     way). Encode runs in the same Arrow-batched mapInPandas tier as
-    every other media op.
+    every other media op; the input is ``spread`` first — the codec is
+    the per-row-heaviest stage in the repo, and a single-split fixture
+    scan would serialize it (no-op on real many-split scans).
     """
     import numpy as np
 
+    from .util import spread
     from ..functions.png import png_encode
 
     schema = T.StructType(
@@ -377,7 +380,7 @@ def png_media(docs: DataFrame, width: int = 9) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
 
-    return with_binary_payload(docs).mapInPandas(batches, schema=schema)
+    return with_binary_payload(spread(docs)).mapInPandas(batches, schema=schema)
 
 
 def image_dhash_decoded(media: DataFrame, grid: int = 8) -> DataFrame:

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .aggregates import ROUND_DP
+from .util import spread
 
 
 def dec_sum(col: str = "value", dp: int = ROUND_DP):
@@ -722,6 +723,14 @@ def regional_supplier_volume(
     at real scale both legs are hash joins on their keys). The
     same-nation predicate (c_nationkey = s_nationkey) is applied as a
     join condition, never as a post-join filter over the blow-up.
+
+    The lineitem leg is ``spread`` BEFORE the revenue projection
+    (round-10 adjudication of the r9 watch item, BASELINE.md §9): the
+    regenerated driver fixtures are single-row-group parquet, so the
+    scan → decimal project → broadcast-probe pipeline ran as ONE task
+    until the first exchange — measured 1.53 → 1.05 s at sf0.1.
+    ``spread`` is gated on split count, so a real many-split scan pays
+    no extra exchange.
     """
     nations = nation.join(
         F.broadcast(region.filter(F.col("r_name") == region_name)),
@@ -739,7 +748,7 @@ def regional_supplier_volume(
         F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
     )
     fact = (
-        lineitem.select("l_orderkey", "l_suppkey", rev.alias("rev"))
+        spread(lineitem).select("l_orderkey", "l_suppkey", rev.alias("rev"))
         .join(orders.select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))

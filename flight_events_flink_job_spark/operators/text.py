@@ -584,13 +584,25 @@ def ccnet_lm_buckets(docs: DataFrame, cache_scores: bool = True) -> DataFrame:
     ).select("doc_id", "lang", "mean_log_prob")
     if cache_scores:
         global _CCNET_SCORE_CACHE
+        reused = False
         if _CCNET_SCORE_CACHE is not None:
             try:
-                _CCNET_SCORE_CACHE.unpersist()
+                if _CCNET_SCORE_CACHE.sameSemantics(j):
+                    # SAME corpus (identical canonical plan): reuse the
+                    # live persisted frame — evicting it here would
+                    # recompute the LM train+score on every repeat
+                    # query, the legitimate-reuse case the persist
+                    # exists for (caught by the r10 bench diff: 1.16 →
+                    # 2.09 s under always-evict).
+                    j = _CCNET_SCORE_CACHE
+                    reused = True
+                else:
+                    _CCNET_SCORE_CACHE.unpersist()
             except Exception:
                 pass  # session of the old frame may already be gone
-        j = j.persist(StorageLevel.MEMORY_AND_DISK)
-        _CCNET_SCORE_CACHE = j
+        if not reused:
+            j = j.persist(StorageLevel.MEMORY_AND_DISK)
+            _CCNET_SCORE_CACHE = j
     h = j.groupBy("lang", "mean_log_prob").agg(F.count("*").alias("c"))
     wcum = (
         Window.partitionBy("lang")

@@ -110,6 +110,13 @@ TARGETS = [
     "mips_topk",
     "mips_topk_lsh",
     "ccnet_lm_buckets",
+    # round-10 additions: the real-PNG-codec dhash (per-row-heaviest
+    # mapInPandas stage — must stay linear in docs), the hashed-key
+    # substring strip (same plan, narrower keys), and the
+    # fully-derived MIPS config (B and T re-derived per scale point).
+    "multimodal_png_dhash",
+    "exact_substring_strip_hashed",
+    "mips_topk_lsh_auto",
 ]
 
 TABLES_NEEDED = [
@@ -458,6 +465,10 @@ def main() -> None:
         "mips_topk": "embeddings",
         "mips_topk_lsh": "embeddings",
         "ccnet_lm_buckets": "documents",
+        # round-10 additions
+        "multimodal_png_dhash": "documents",
+        "exact_substring_strip_hashed": "documents",
+        "mips_topk_lsh_auto": "embeddings",
     }
     exps: dict = {"queries": {}, "candidates": {}}
     pairs = list(zip(sfs, sfs[1:]))
