@@ -500,14 +500,21 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     vocabulary count rides a broadcast. Per-token logs are rounded to
     6 dp then DECIMAL-summed (the :func:`doc_logfreq_score` pattern) so
     partial-aggregation order cannot move the mean. Docs with < 2
-    tokens have no bigrams and are absent from the output.
+    tokens have no bigrams and are absent from the output. The doc
+    scan is ``spread`` first: the tokenize → explode → map-side
+    partial count of ~300 bigrams/doc is the train's dominant CPU and
+    a single-split fixture scan would run it on one core (no-op on
+    real many-split scans — the round-10 layout finding, BASELINE §9).
     """
+    from .util import spread
+
     ts = tokens(F.col("text"))
     pairs = F.zip_with(
         F.slice(ts, 1, F.size(ts) - 1),
         F.slice(ts, 2, F.size(ts) - 1),
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
+    docs = spread(docs)
     bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
