@@ -44,6 +44,42 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _layout(sf_dir: str) -> dict:
+    """Parquet layout fingerprint of the fixture dir (round-10 VERDICT
+    item 2): rows / row groups / file count per table. Two rounds in a
+    row the driver regenerated fixtures with a different physical
+    layout (single-row-group files serialize first pipeline stages)
+    and the resulting bench movers cost real adjudication work —
+    recording the layout in the bench record lets tools/bench_diff.py
+    tag cross-record flags as layout-change instead of code-change."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    tables: dict[str, dict] = {}
+    for path in sorted(globmod.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.basename(path)[: -len(".parquet")]
+        try:
+            parts = (
+                sorted(globmod.glob(os.path.join(path, "*.parquet")))
+                if os.path.isdir(path)
+                else [path]
+            )
+            rows = groups = 0
+            for part in parts:
+                md = pq.ParquetFile(part).metadata
+                rows += md.num_rows
+                groups += md.num_row_groups
+            tables[name] = {
+                "rows": rows,
+                "row_groups": groups,
+                "files": len(parts),
+            }
+        except Exception as exc:  # unreadable table: record, don't die
+            tables[name] = {"error": str(exc)[:80]}
+    return tables
+
+
 def _time(df_fn) -> tuple[float, float]:
     """(median, MAD) over RUNS timed materializations.
 
@@ -146,6 +182,7 @@ def main() -> int:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    layout = _layout(sf_dir)
     out = {
         "metric": "sum_median_query_sec",
         "value": round(sum(timings.values()), 3),
@@ -154,6 +191,7 @@ def main() -> int:
         "sf": sf,
         "query_mad": mads,
         "mad_total": round(sum(mads.values()), 3),
+        "layout": layout,
         "materialized": mat,
         "config": {
             "master": spark.sparkContext.master,
@@ -181,6 +219,13 @@ def main() -> int:
                 "mad_total": round(sum(mads.values()), 3),
                 "core_sec": round(sum(core.values()), 3),
                 "queries": core,
+                # compact layout fingerprint (full per-table dict on
+                # the previous line): stable digest of rows/row-groups/
+                # files per table, so even the tail-surviving trailer
+                # shows whether the fixtures' physical layout moved
+                "layout_fp": __import__("hashlib").md5(
+                    json.dumps(layout, sort_keys=True).encode()
+                ).hexdigest()[:12],
                 # round-9 VERDICT item 9: per-query dispersion in the
                 # SURVIVING line too, so a round-over-round core delta
                 # can be gated on median±MAD (tools/bench_diff.py is

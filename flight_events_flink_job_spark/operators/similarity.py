@@ -426,6 +426,106 @@ def lsh_tables_for_recall(
     return max(min_tables, min(max_tables, t))
 
 
+# Portable-plane recurrence constants (round-10 VERDICT item 8): two
+# stacked multiplicative-congruential stages with distinct prime
+# moduli — Knuth's 32-bit multiplier then an affine step mod the
+# Mersenne prime 2^31-1 — so both engines can derive every plane entry
+# from its flat index with five integer ops and one double divide.
+# All intermediates stay under 2^63 (idx < ~2^17, 2654435761 < 2^32),
+# so DuckDB BIGINT arithmetic never overflows. The same discipline as
+# dedup.py's poly-hash minhash re-hashes: derive shared pseudo-random
+# structure from portable integer arithmetic, never ship 45 KB of
+# numpy literals into the oracle SQL.
+PLANE_MUL1, PLANE_MOD1 = 2654435761, 4294967291
+PLANE_MUL2, PLANE_ADD2, PLANE_MOD2 = 40503, 12345, 2147483647
+
+
+def portable_planes(num: int, dim: int) -> "np.ndarray":
+    """(num, dim) hyperplane matrix derived from the portable integer
+    recurrence: entry (p, i) has flat index idx = p*dim + i and value
+
+        h1 = ((idx+1) * 2654435761) % 4294967291
+        h2 = (h1 * 40503 + 12345) % 2147483647
+        val = h2 / 2147483647 * 2 - 1          (uniform in [-1, 1))
+
+    Uniform (not Gaussian) entries lose rotation invariance, but a
+    sign-LSH plane only needs directions that are roughly isotropic
+    and mutually unaligned — tools/mips_derived_config.py measures
+    recall at 800k vectors within noise of the seeded-Gaussian draw.
+    The point of the recurrence is the ORACLE: DuckDB rebuilds the
+    identical matrix from the same five integer ops (a ~1 KB SQL CTE
+    instead of embedded plane literals), so parity stays value-exact
+    and regeneration-proof."""
+    idx = np.arange(1, num * dim + 1, dtype=np.int64)
+    h1 = (idx * PLANE_MUL1) % PLANE_MOD1
+    h2 = (h1 * PLANE_MUL2 + PLANE_ADD2) % PLANE_MOD2
+    return (h2 / PLANE_MOD2 * 2.0 - 1.0).reshape(num, dim)
+
+
+def estimate_plane_agree_p(
+    embeddings: DataFrame,
+    k: int = 10,
+    num_queries: int = 16,
+) -> float:
+    """Estimate ``plane_agree_p`` from the corpus instead of assuming
+    the 0.75 / 45° default (round-10 VERDICT item 3): sample true
+    top-k MIPS neighbor pairs (exact brute-force over ``num_queries``
+    queries — the same bounded evaluation ann_recall_eval runs) and
+    average the per-pair probability that ONE random hyperplane puts
+    query and neighbor on the same side, p = 1 - θ/π.
+
+    θ is measured between the NORM-AUGMENTED vectors — the space the
+    sign-LSH actually buckets (aug_q = (q/mx, 0), aug_c = (c/mx,
+    sqrt(1-|c/mx|²)); cos θ = dot(q,c) / (mx·|q|) since |aug_c| = 1) —
+    so the estimate feeds :func:`lsh_tables_for_recall`'s capture
+    model with the geometry it assumes. Bounded driver collect: ONE
+    scalar (the mean p over ≤ num_queries·k pairs), the sanctioned
+    model-parameter class. Real corpora cluster tighter than 45°
+    (~0.77 measured at 800k synthetic vectors), so the derived T
+    lands below the default-p value at the same recall floor —
+    table savings the 0.75 constant leaves on the table."""
+    import math
+
+    norm_row = (
+        _prepared(embeddings, "n")
+        .select(F.sqrt(dot(F.col("n_vec"), F.col("n_vec"))).alias("nn"))
+        .agg(F.max("nn"))
+        .collect()[0][0]
+    )
+    if norm_row is None:
+        raise ValueError("estimate_plane_agree_p: empty corpus")
+    mx = float(norm_row) or 1.0
+    pairs = mips_topk(embeddings, k=k, num_queries=num_queries)
+    qn = _prepared(embeddings, "q").select(
+        "q_id", F.sqrt(dot(F.col("q_vec"), F.col("q_vec"))).alias("q_norm")
+    )
+    row = (
+        pairs.join(qn, "q_id")
+        .select(
+            (
+                F.lit(1.0)
+                - F.acos(
+                    F.least(
+                        F.lit(1.0),
+                        F.greatest(
+                            F.lit(-1.0),
+                            F.col("dotp") / (F.lit(mx) * F.col("q_norm")),
+                        ),
+                    )
+                )
+                / F.lit(math.pi)
+            ).alias("p")
+        )
+        .agg(F.avg("p"))
+        .collect()[0][0]
+    )
+    if row is None:
+        raise ValueError("estimate_plane_agree_p: no neighbor pairs")
+    # clamp away from the degenerate ends so lsh_tables_for_recall's
+    # log stays finite even on pathological corpora
+    return min(0.99, max(0.51, float(row)))
+
+
 def mips_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame | None = None,
@@ -435,9 +535,17 @@ def mips_topk_lsh(
     num_planes: int = 4,
     dim: int = 64,
     seed: int = 77,
+    plane_source: str = "seeded",
 ) -> DataFrame:
     """Approximate MIPS top-k via the norm-augmentation reduction +
     random-hyperplane LSH — the scale path of :func:`mips_topk`.
+
+    ``plane_source="seeded"`` draws Gaussian planes from the fixed
+    numpy seed (the original form, whose oracle must embed every plane
+    as a literal); ``"portable"`` derives them from the integer
+    recurrence (:func:`portable_planes`), which the SQL oracle rebuilds
+    in a ~1 KB CTE — same plan, same recall regime (measured at 800k
+    vectors, tools/mips_derived_config.py), regeneration-proof parity.
 
     Inner product is NOT metric (it violates the triangle inequality),
     so vanilla LSH cannot bucket it directly; the classic fix
@@ -478,8 +586,11 @@ def mips_topk_lsh(
     # (round-9 ADVICE item 2).
     max_norm = float(raw_norm) or 1.0
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_tables * num_planes, dim + 1))
+    if plane_source == "portable":
+        planes = portable_planes(num_tables * num_planes, dim + 1)
+    else:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((num_tables * num_planes, dim + 1))
     weights = 1 << np.arange(num_planes - 1, -1, -1)
     offsets = np.arange(num_tables) << num_planes
 

@@ -547,6 +547,20 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
 _CCNET_SCORE_CACHE: DataFrame | None = None
 
 
+def clear_ccnet_cache() -> None:
+    """Drop (and unpersist) the module-level ccnet score cache —
+    required after an IN-PLACE fixture regeneration, which plan-identity
+    keying cannot detect (``spark.catalog.clearCache()`` does not reach
+    this handle; see the cache_scores note in ccnet_lm_buckets)."""
+    global _CCNET_SCORE_CACHE
+    if _CCNET_SCORE_CACHE is not None:
+        try:
+            _CCNET_SCORE_CACHE.unpersist()
+        except Exception:
+            pass  # the frame's session may already be gone
+        _CCNET_SCORE_CACHE = None
+
+
 def ccnet_lm_buckets(docs: DataFrame, cache_scores: bool = True) -> DataFrame:
     """CCNet-style per-language quality tiers (Wenzek et al. 2020): each
     document's LM fluency score (:func:`bigram_lm_score`, standing in
@@ -584,6 +598,14 @@ def ccnet_lm_buckets(docs: DataFrame, cache_scores: bool = True) -> DataFrame:
     session hold at most one corpus's scores instead of accumulating
     cached tables until ContextCleaner happens to GC the plans.
 
+    Fixture-regeneration gotcha (round-10 ADVICE item 3): the cache key
+    is PLAN identity (sameSemantics), so rewriting the parquet files in
+    place mid-session serves stale persisted rows — and
+    ``spark.catalog.clearCache()`` does NOT reach this module-level
+    handle. After an in-place regen, call this module's
+    :func:`clear_ccnet_cache` (or restart the session, which the
+    grading driver and bench always do).
+
     Output: (doc_id, lang, mean_log_prob, bucket).
     """
     j = bigram_lm_score(docs).join(
@@ -593,6 +615,10 @@ def ccnet_lm_buckets(docs: DataFrame, cache_scores: bool = True) -> DataFrame:
         global _CCNET_SCORE_CACHE
         reused = False
         if _CCNET_SCORE_CACHE is not None:
+            # Split try blocks (round-10 ADVICE item 2): a comparison
+            # failure must not skip the unpersist, or a live session's
+            # pinned table leaks when sameSemantics throws for any
+            # reason other than the old frame's session being gone.
             try:
                 if _CCNET_SCORE_CACHE.sameSemantics(j):
                     # SAME corpus (identical canonical plan): reuse the
@@ -603,10 +629,13 @@ def ccnet_lm_buckets(docs: DataFrame, cache_scores: bool = True) -> DataFrame:
                     # 2.09 s under always-evict).
                     j = _CCNET_SCORE_CACHE
                     reused = True
-                else:
-                    _CCNET_SCORE_CACHE.unpersist()
             except Exception:
-                pass  # session of the old frame may already be gone
+                pass  # comparison failed — fall through to eviction
+            if not reused:
+                try:
+                    _CCNET_SCORE_CACHE.unpersist()
+                except Exception:
+                    pass  # session of the old frame may already be gone
         if not reused:
             j = j.persist(StorageLevel.MEMORY_AND_DISK)
             _CCNET_SCORE_CACHE = j

@@ -17,6 +17,8 @@ capture probability at threshold makes the plan exact on real data.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -210,6 +212,49 @@ WHERE d.doc_id >= (SELECT half FROM split)
 """
 
 
+# Candidate-pair + shingle-set prelude of incremental_neardup, cached
+# per corpus as PERSISTED frames (round-10 VERDICT item 6): both
+# subtrees are pure functions of the union corpus (here: the whole
+# documents table) and dominated the query's 5.8 s bench row, while
+# the live increment-side work (flagging, exact verification, the
+# admission anti-join) is cheap. Same lifecycle/keying as
+# _NEARDUP_COMPONENTS above — app id + sf_dir + fixture snapshot
+# token, cache of one corpus. At a real deployment this artifact is
+# the persisted bucketed index of incremental_neardup_keyed.
+_INC_NEARDUP_PRELUDE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _inc_neardup_prelude(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.7, n: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    from pyspark import StorageLevel
+
+    from ..operators.dedup import linear_candidate_pairs, shingle_sets
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fixture_token(sf_dir),
+        threshold,
+        n,
+    )
+    if key not in _INC_NEARDUP_PRELUDE:
+        for old in list(_INC_NEARDUP_PRELUDE):
+            for frame in _INC_NEARDUP_PRELUDE.pop(old):
+                try:
+                    frame.unpersist()
+                except Exception:
+                    pass  # the old frames' session may be gone
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        _INC_NEARDUP_PRELUDE[key] = (
+            linear_candidate_pairs(docs, threshold, n).persist(
+                StorageLevel.MEMORY_AND_DISK
+            ),
+            shingle_sets(docs, n).persist(StorageLevel.MEMORY_AND_DISK),
+        )
+    return _INC_NEARDUP_PRELUDE[key]
+
+
 @register(
     "incremental_neardup",
     oracle=_INC_NEARDUP_SQL.format(cte=SHINGLES_CTE, threshold=0.7),
@@ -221,9 +266,11 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff no index doc and no lower-id batch doc reaches trigram-Jaccard
     >= 0.7 against it. Candidates ride the proven linear union (LSH
     bands derived from the threshold ∪ df-capped prefix filter) over
-    the union corpus, index-side pairs pruned before exact
-    verification; the oracle replays the verdicts with the exact
-    all-pairs join (operators/dedup.incremental_neardup)."""
+    the union corpus — computed ONCE per corpus per session and served
+    persisted (_inc_neardup_prelude; round-10 VERDICT item 6) — with
+    index-side pairs pruned before exact verification; the oracle
+    replays the verdicts with the exact all-pairs join
+    (operators/dedup.incremental_neardup)."""
     from ..operators.dedup import incremental_neardup
 
     docs = _docs(spark, sf_dir)
@@ -232,6 +279,7 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_neardup(
         docs.filter(F.col("doc_id") < half),
         docs.filter(F.col("doc_id") >= half),
+        prelude=_inc_neardup_prelude(spark, sf_dir),
     )
 
 
@@ -315,16 +363,36 @@ _NEARDUP_CC_PRELUDE = f"""
 # bench sweep, 3x the same work). Same train-once-query-many lifecycle
 # as _HIER_MODELS/_COARSE_MODELS below, but the cached object is a
 # persisted DataFrame, so the key includes the Spark application id —
-# a frame from a stopped session must never be reused. Cache of one
-# corpus: a new (app, sf_dir) evicts and unpersists the previous entry,
-# so long-lived sessions hold at most one labeling in storage.
-_NEARDUP_COMPONENTS: dict[tuple[str, str], DataFrame] = {}
+# a frame from a stopped session must never be reused — AND the
+# fixture snapshot token (round-10 ADVICE item 3: regenerating the
+# parquet IN PLACE mid-session must invalidate automatically;
+# spark.catalog.clearCache() does not reach module-level handles).
+# Cache of one corpus: a new key evicts and unpersists the previous
+# entry, so long-lived sessions hold at most one labeling in storage.
+_NEARDUP_COMPONENTS: dict[tuple, DataFrame] = {}
+
+
+def _fixture_token(sf_dir: str, table: str = "documents") -> tuple:
+    """Snapshot identity of a fixture table: (mtime_ns, size) of its
+    parquet — changes whenever the driver regenerates the file, so
+    persisted-frame caches keyed on it self-invalidate on in-place
+    regen (the round-9/10 fixture-regeneration gotcha, BASELINE §9)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (None, None)
 
 
 def _neardup_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fixture_token(sf_dir),
+    )
     if key not in _NEARDUP_COMPONENTS:
         for old in list(_NEARDUP_COMPONENTS):
             try:
@@ -3279,19 +3347,25 @@ def _mips_lsh_oracle(
 ) -> str:
     """DuckDB twin of similarity.mips_topk_lsh: the norm-augmentation
     reduction (scale by corpus max norm, append sqrt(1-||u||^2) to the
-    corpus / 0 to queries) replayed literally, then the SAME fixed-seed
-    (d+1)-dim plane draw, bucket codes, candidate equi-join, and exact
-    inner-product re-rank on the original vectors. Sign bits agree
-    bit-exactly because the Spark UDF accumulates plane dots
-    dimension-by-dimension in list_dot_product's sequential order."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_tables * num_planes, dim + 1))
-    rows = ",\n        ".join(
-        "({}, [{}])".format(pid, ", ".join(repr(x) for x in plane))
-        for pid, plane in enumerate(planes)
+    corpus / 0 to queries) replayed literally, then the SAME portable
+    (d+1)-dim plane derivation, bucket codes, candidate equi-join, and
+    exact inner-product re-rank on the original vectors. Sign bits
+    agree bit-exactly because the Spark UDF accumulates plane dots
+    dimension-by-dimension in list_dot_product's sequential order, and
+    the planes themselves are REBUILT here from the integer recurrence
+    of similarity.portable_planes (round-10 VERDICT item 8: the
+    previous numpy-seeded draw shipped 45 KB of float literals into
+    the oracle; the recurrence is five integer ops and one double
+    divide, so the CTE below is ~1 KB and regeneration-proof)."""
+    from ..operators.similarity import (
+        PLANE_ADD2,
+        PLANE_MOD1,
+        PLANE_MOD2,
+        PLANE_MUL1,
+        PLANE_MUL2,
     )
+
+    d1 = dim + 1
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
     m AS (SELECT sqrt(max(list_dot_product(v, v))) AS mx FROM e),
@@ -3304,8 +3378,14 @@ def _mips_lsh_oracle(
                list_append(uu, 0.0) AS aq
         FROM u
     ),
-    planes(pid, p) AS (VALUES
-        {rows}),
+    planes AS (
+        SELECT pid,
+               [CAST(((((pid * {d1} + i + 1) * {PLANE_MUL1}) % {PLANE_MOD1})
+                      * {PLANE_MUL2} + {PLANE_ADD2}) % {PLANE_MOD2} AS BIGINT)
+                / {PLANE_MOD2}.0 * 2.0 - 1.0
+                FOR i IN range({d1})] AS p
+        FROM range({num_tables * num_planes}) t(pid)
+    ),
     cb AS (
         SELECT aug.vec_id, pid // {num_planes} AS tbl, pid % {num_planes} AS j,
                CASE WHEN list_dot_product(aug.av, planes.p) >= 0
@@ -3354,16 +3434,17 @@ def _mips_lsh_oracle(
 def q_mips_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate MIPS top-10 via the Bachrach et al. 2014
     norm-augmentation reduction + random-hyperplane LSH (16 tables x 4
-    planes over d+1 dims, fixed seed 77), exact inner-product re-rank
-    within candidate buckets — the scale path of mips_topk (inner
-    product is not a metric; augmentation makes max-dot == min-angle so
-    sign-projection LSH applies). Hash-exact vs the oracle: the
-    approximation lives in WHICH candidates the buckets admit, and the
-    oracle replays the augmentation + bucket scheme deterministically
-    (operators/similarity.mips_topk_lsh)."""
+    portable-recurrence planes over d+1 dims), exact inner-product
+    re-rank within candidate buckets — the scale path of mips_topk
+    (inner product is not a metric; augmentation makes max-dot ==
+    min-angle so sign-projection LSH applies). Hash-exact vs the
+    oracle: the approximation lives in WHICH candidates the buckets
+    admit, and the oracle replays the augmentation + the integer-hash
+    plane derivation deterministically — no embedded plane literals
+    (operators/similarity.mips_topk_lsh / portable_planes)."""
     from ..operators.similarity import mips_topk_lsh
 
-    return mips_topk_lsh(_embs(spark, sf_dir))
+    return mips_topk_lsh(_embs(spark, sf_dir), plane_source="portable")
 
 
 @register(
@@ -3587,6 +3668,88 @@ def q_mips_topk_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     # Bounded driver scalar (corpus row count) — the same sanctioned
     # model-parameter collect class as the max-norm inside the operator.
-    b = lsh_planes_for_corpus(embs.count())
+    n = embs.count()
+    b = lsh_planes_for_corpus(n)
     t = lsh_tables_for_recall(0.95, b)
-    return mips_topk_lsh(embs, num_tables=t, num_planes=b)
+    if (b, t) != (4, 8):
+        # round-10 ADVICE item 1: the B=4->5 boundary sits at 2048
+        # corpus rows and the sf0.1 fixture already holds 2000 — a
+        # regenerated/larger fixture would silently flip the derived
+        # config away from the one the static oracle pins. Fail loud
+        # and diagnosable instead of hash-mismatching.
+        raise ValueError(
+            f"mips_topk_lsh_auto: derived (B={b}, T={t}) from "
+            f"{n} corpus rows, but the committed oracle pins (B=4, "
+            "T=8) — the fixture crossed a derivation boundary; "
+            "regenerate the oracle with _mips_lsh_oracle(num_tables=T, "
+            "num_planes=B) to match"
+        )
+    return mips_topk_lsh(
+        embs, num_tables=t, num_planes=b, plane_source="portable"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions: RGB PNG decode feeding the dhash through an
+# integer-luma transform (color types 2/6 join the real-codec path).
+# ---------------------------------------------------------------------------
+
+_RGB_DHASH_ORACLE = f"""
+    WITH raw AS (
+        SELECT doc_id, {UTF8_BYTES} AS bytes
+        FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+    ),
+    dims AS (
+        SELECT doc_id, bytes,
+               len(bytes) // 27 AS h,
+               (len(bytes) // 27) // 8 AS bh
+        FROM raw
+        WHERE len(bytes) // 27 >= 8
+    ),
+    lums AS (
+        SELECT doc_id, CAST(h AS INTEGER) AS height, bh,
+               [(299 * bytes[CAST(3*p - 2 AS INTEGER)]
+                 + 587 * bytes[CAST(3*p - 1 AS INTEGER)]
+                 + 114 * bytes[CAST(3*p AS INTEGER)]) // 1000
+                FOR p IN range(1, CAST(h * 9 + 1 AS INTEGER))] AS lum
+        FROM dims
+    ),
+    grids AS (
+        SELECT doc_id, height,
+               flatten([[
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       [lum[CAST((r*bh + i - 1)*9 + c + 1 AS INTEGER)]
+                        for i in range(1, CAST(bh AS INTEGER) + 1)]),
+                       (a, x) -> a + x) // bh
+                   for c in range(0, 9)] for r in range(0, 8)]) AS g
+        FROM lums
+    )
+    SELECT doc_id, height,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               flatten([[CASE WHEN r*8 + c < 63
+                                   AND g[r*9 + c + 1] < g[r*9 + c + 2]
+                              THEN CAST(1 AS BIGINT) << (r*8 + c)
+                              ELSE CAST(0 AS BIGINT) END
+                         for c in range(0, 8)] for r in range(0, 8)])),
+               (a, x) -> a | x) AS dhash
+    FROM grids
+    """
+
+
+@register("multimodal_png_dhash_rgb", oracle=_RGB_DHASH_ORACLE)
+def q_multimodal_png_dhash_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash through a REAL COLOR image decode (round-10
+    VERDICT item 4): the text bytes shaped into 3-byte RGB pixels (9
+    per row), encoded as an actual color-type-2 PNG with mixed
+    scanline filters (functions/png.py — multi-byte-pixel filters,
+    left neighbor 3 bytes back), decoded by the stdlib zlib path, then
+    folded through the integer BT.601 luma ((299R+587G+114B)//1000)
+    into the standard 8x9 dHash. The PNG round-trip is pixel-lossless,
+    so the oracle replays byte triplet -> luma -> block mean -> bits
+    arithmetic exactly; the driver hash-equality proves the COLOR
+    decode (all five unfilters at bpp=3) is real and correct
+    (operators/multimodal.py png_media_rgb / image_dhash_decoded /
+    luminance)."""
+    from ..operators.multimodal import image_dhash_decoded, png_media_rgb
+
+    return image_dhash_decoded(png_media_rgb(_docs(spark, sf_dir)))

@@ -45,25 +45,82 @@ def test_bad_signature_and_truncation_raise():
         png_decode(good[:20])
 
 
-def test_non_grayscale_profile_is_declared_stub():
-    """A color-type-2 (truecolor) header must raise NotImplementedError
-    — the remaining, clearly-declared environment stub."""
+@pytest.mark.parametrize("channels", [3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4, "mixed"])
+def test_roundtrip_color(channels, filter_type):
+    """RGB (color type 2) and RGBA (type 6) round-trip through every
+    filter — the multi-byte-pixel filters' left neighbor is bpp bytes
+    back, which only a color round-trip exercises (round-10 VERDICT
+    item 4)."""
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1), (9, 9), (23, 5), (8, 40)]:
+        img = rng.integers(0, 256, size=(*shape, channels), dtype=np.uint8)
+        out = png_decode(png_encode(img, filter_type))
+        assert out.shape == img.shape
+        assert (out == img).all()
+
+
+def test_unimplemented_profile_is_declared_stub():
+    """Palette color (type 3) and 16-bit depth must still raise
+    NotImplementedError — the remaining, clearly-declared environment
+    stub (grayscale/RGB/RGBA-8 are now real)."""
     import struct
     from binascii import crc32
 
-    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0)
-    chunk = (
-        struct.pack(">I", len(ihdr))
-        + b"IHDR"
-        + ihdr
-        + struct.pack(">I", crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
-    )
-    with pytest.raises(NotImplementedError, match="color type 2"):
-        png_decode(b"\x89PNG\r\n\x1a\n" + chunk)
+    for depth, color, pat in [(8, 3, "color type 3"), (16, 0, "bit depth 16")]:
+        ihdr = struct.pack(">IIBBBBB", 3, 3, depth, color, 0, 0, 0)
+        chunk = (
+            struct.pack(">I", len(ihdr))
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        with pytest.raises(NotImplementedError, match=pat):
+            png_decode(b"\x89PNG\r\n\x1a\n" + chunk)
 
 
 def test_encoder_rejects_bad_shapes():
     with pytest.raises(ValueError):
-        png_encode(np.zeros((3, 3, 3), dtype=np.uint8))
+        png_encode(np.zeros((3, 3, 2), dtype=np.uint8))
     with pytest.raises(ValueError):
         png_encode(np.zeros((0, 5), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        png_encode(np.zeros((2, 0, 3), dtype=np.uint8))
+
+
+def test_corrupt_ihdr_and_idat_raise_valueerror():
+    """Round-10 ADVICE item 4: a 10-byte IHDR body or an
+    undecompressable IDAT must surface as the documented ValueError,
+    never a bare struct.error/zlib.error escaping the worker."""
+    import struct
+    from binascii import crc32
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    with pytest.raises(ValueError, match="IHDR"):
+        png_decode(sig + chunk(b"IHDR", b"\x00" * 10))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="inflate"):
+        png_decode(
+            sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"junk") + chunk(b"IEND", b"")
+        )
+
+
+def test_luminance_is_integer_bt601():
+    """The color->gray fold the RGB dhash oracle replays: exact integer
+    (299R+587G+114B)//1000, alpha ignored."""
+    from flight_events_flink_job_spark.operators.multimodal import luminance
+
+    rgb = np.array([[[255, 0, 0], [0, 255, 0]]], dtype=np.uint8)
+    assert luminance(rgb).tolist() == [[255 * 299 // 1000, 255 * 587 // 1000]]
+    rgba = np.dstack([rgb, np.full((1, 2, 1), 7, dtype=np.uint8)])
+    assert (luminance(rgba) == luminance(rgb)).all()
+    gray = np.arange(4, dtype=np.uint8).reshape(2, 2)
+    assert luminance(gray) is gray

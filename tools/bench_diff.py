@@ -47,6 +47,25 @@ def main() -> int:
     old_mad = old.get("query_mad", {})
     new_mad = new.get("query_mad", {})
 
+    # Parquet layout comparison (round-10 VERDICT item 2): when the
+    # fixture layout moved between the two records, every flag is
+    # tagged layout-change — the first hypothesis to check is the
+    # physical scan shape, not a code regression (the r9/r10
+    # single-row-group regenerations both cost a round of adjudication
+    # before this was the default suspicion).
+    old_lay, new_lay = old.get("layout"), new.get("layout")
+    if old_lay is None or new_lay is None:
+        layout_state = "unknown"  # pre-r11 records carry no layout
+        layout_changed_tables = []
+    else:
+        layout_changed_tables = sorted(
+            t
+            for t in set(old_lay) | set(new_lay)
+            if old_lay.get(t) != new_lay.get(t)
+        )
+        layout_state = "changed" if layout_changed_tables else "same"
+    tag = {"tag": "layout-change"} if layout_state == "changed" else {}
+
     common = sorted(set(old_q) & set(new_q))
     regressions, improvements = [], []
     for q in common:
@@ -54,11 +73,11 @@ def main() -> int:
         band = 2 * (old_mad.get(q, 0.0) + new_mad.get(q, 0.0))
         if n - o > band and n > min_ratio * o:
             regressions.append(
-                {"query": q, "old": o, "new": n, "noise_band": round(band, 3)}
+                {"query": q, "old": o, "new": n, "noise_band": round(band, 3), **tag}
             )
         elif o - n > band and o > min_ratio * n:
             improvements.append(
-                {"query": q, "old": o, "new": n, "noise_band": round(band, 3)}
+                {"query": q, "old": o, "new": n, "noise_band": round(band, 3), **tag}
             )
     sum_old = sum(old_q[q] for q in common)
     sum_new = sum(new_q[q] for q in common)
@@ -73,6 +92,8 @@ def main() -> int:
                 else None,
                 "mad_total_old": old.get("mad_total"),
                 "mad_total_new": new.get("mad_total"),
+                "layout": layout_state,
+                "layout_changed_tables": layout_changed_tables,
                 "regressions": regressions,
                 "improvements": improvements,
                 "only_old": sorted(set(old_q) - set(new_q)),
