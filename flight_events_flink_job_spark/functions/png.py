@@ -211,9 +211,31 @@ def png_decode(payload: bytes) -> np.ndarray:
             row = (
                 np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.int64) % 256
             ).reshape(-1).astype(np.int16)
-        elif ft in (3, 4):
+        elif ft in (3, 4) and bpp == 1:
             # Average/Paeth depend on the reconstructed left pixel —
-            # sequential per pixel, vectorized across the bpp lanes
+            # sequential per pixel. SCALAR arithmetic on purpose: the
+            # generalized length-1-array form costs ~2x the whole
+            # decode at bpp=1 (round-11 curve caught it — numpy call
+            # overhead per pixel dwarfs the byte math).
+            row = np.zeros(wb, dtype=np.int16)
+            for c in range(wb):
+                a = int(row[c - 1]) if c else 0
+                b = int(prev[c])
+                if ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    cc = int(prev[c - 1]) if c else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = (
+                        a
+                        if (pa <= pb and pa <= pc)
+                        else (b if pb <= pc else cc)
+                    )
+                row[c] = (int(line[c]) + pred) % 256
+        elif ft in (3, 4):
+            # multi-byte pixels: sequential per pixel, vectorized
+            # across the bpp lanes (3-4 byte slices per step)
             row = np.zeros(wb, dtype=np.int16)
             lanes = line.reshape(-1, bpp)
             prev_l = prev.reshape(-1, bpp)

@@ -446,20 +446,34 @@ def portable_planes(num: int, dim: int) -> "np.ndarray":
 
         h1 = ((idx+1) * 2654435761) % 4294967291
         h2 = (h1 * 40503 + 12345) % 2147483647
-        val = h2 / 2147483647 * 2 - 1          (uniform in [-1, 1))
+        h4 = ((h2*h2 % 2147483647) * 2654435761 % 2147483647 + h2)
+             % 2147483647
+        val = h4 / 2147483647 * 2 - 1          (uniform in [-1, 1))
+
+    The SQUARING stage is load-bearing: a purely affine chain over a
+    sequential index keeps a near-constant stride between consecutive
+    entries (an LCG lattice), which correlates plane coordinates and
+    UNBALANCES the sign-LSH buckets — measured at 100k unit vectors
+    (13 tables x 8 planes), affine-only planes admitted ~130k expected
+    candidates/query vs ~6.2k for a Gaussian draw; with the quadratic
+    mix the recurrence lands at ~6.1k, Gaussian-equivalent, and the
+    800k live run (bench/mips_rule_applied_r11.json) confirms recall
+    AND cost in the seeded draw's regime. All intermediates stay under
+    2^63 (h2 < 2^31 so h2^2 < 2^62; h3 * 2654435761 < 5.8e18), so
+    DuckDB BIGINT arithmetic never overflows.
 
     Uniform (not Gaussian) entries lose rotation invariance, but a
     sign-LSH plane only needs directions that are roughly isotropic
-    and mutually unaligned — tools/mips_derived_config.py measures
-    recall at 800k vectors within noise of the seeded-Gaussian draw.
-    The point of the recurrence is the ORACLE: DuckDB rebuilds the
-    identical matrix from the same five integer ops (a ~1 KB SQL CTE
-    instead of embedded plane literals), so parity stays value-exact
-    and regeneration-proof."""
+    and mutually unaligned. The point of the recurrence is the ORACLE:
+    DuckDB rebuilds the identical matrix from the same few integer ops
+    (a ~1 KB SQL CTE instead of embedded plane literals), so parity
+    stays value-exact and regeneration-proof — the same discipline as
+    dedup.py's poly-hash minhash re-hashes."""
     idx = np.arange(1, num * dim + 1, dtype=np.int64)
     h1 = (idx * PLANE_MUL1) % PLANE_MOD1
     h2 = (h1 * PLANE_MUL2 + PLANE_ADD2) % PLANE_MOD2
-    return (h2 / PLANE_MOD2 * 2.0 - 1.0).reshape(num, dim)
+    h4 = ((h2 * h2 % PLANE_MOD2) * PLANE_MUL1 % PLANE_MOD2 + h2) % PLANE_MOD2
+    return (h4 / PLANE_MOD2 * 2.0 - 1.0).reshape(num, dim)
 
 
 def estimate_plane_agree_p(
@@ -481,9 +495,35 @@ def estimate_plane_agree_p(
     model with the geometry it assumes. Bounded driver collect: ONE
     scalar (the mean p over ≤ num_queries·k pairs), the sanctioned
     model-parameter class. Real corpora cluster tighter than 45°
-    (~0.77 measured at 800k synthetic vectors), so the derived T
+    (~0.78 measured at 800k synthetic vectors), so the derived T
     lands below the default-p value at the same recall floor —
-    table savings the 0.75 constant leaves on the table."""
+    table savings the 0.75 constant leaves on the table.
+
+    NOTE: plugging the MEAN p into the closed-form rule overestimates
+    recall when the pair p's spread (capture probability is convex in
+    p near the operating point, so low-p pairs dominate the misses —
+    measured at 800k: mean-p T=13 delivered 0.823 against the 0.85
+    SLO). :func:`lsh_tables_for_recall_from_pairs` on the
+    :func:`plane_agree_p_sample` distribution is the honest form; this
+    scalar stays for diagnostics and rough sizing."""
+    row = (
+        _pair_agree_frame(embeddings, k, num_queries)
+        .agg(F.avg("p"))
+        .collect()[0][0]
+    )
+    if row is None:
+        raise ValueError("estimate_plane_agree_p: no neighbor pairs")
+    # clamp away from the degenerate ends so lsh_tables_for_recall's
+    # log stays finite even on pathological corpora
+    return min(0.99, max(0.51, float(row)))
+
+
+def _pair_agree_frame(
+    embeddings: DataFrame, k: int, num_queries: int
+) -> DataFrame:
+    """One column ``p``: per true-top-k-pair plane-agreement
+    probability 1 - θ/π in the augmented space (see
+    :func:`estimate_plane_agree_p` for the geometry)."""
     import math
 
     norm_row = (
@@ -499,31 +539,68 @@ def estimate_plane_agree_p(
     qn = _prepared(embeddings, "q").select(
         "q_id", F.sqrt(dot(F.col("q_vec"), F.col("q_vec"))).alias("q_norm")
     )
-    row = (
-        pairs.join(qn, "q_id")
-        .select(
-            (
-                F.lit(1.0)
-                - F.acos(
-                    F.least(
-                        F.lit(1.0),
-                        F.greatest(
-                            F.lit(-1.0),
-                            F.col("dotp") / (F.lit(mx) * F.col("q_norm")),
-                        ),
-                    )
+    return pairs.join(qn, "q_id").select(
+        (
+            F.lit(1.0)
+            - F.acos(
+                F.least(
+                    F.lit(1.0),
+                    F.greatest(
+                        F.lit(-1.0),
+                        F.col("dotp") / (F.lit(mx) * F.col("q_norm")),
+                    ),
                 )
-                / F.lit(math.pi)
-            ).alias("p")
-        )
-        .agg(F.avg("p"))
-        .collect()[0][0]
+            )
+            / F.lit(math.pi)
+        ).alias("p")
     )
-    if row is None:
-        raise ValueError("estimate_plane_agree_p: no neighbor pairs")
-    # clamp away from the degenerate ends so lsh_tables_for_recall's
-    # log stays finite even on pathological corpora
-    return min(0.99, max(0.51, float(row)))
+
+
+def plane_agree_p_sample(
+    embeddings: DataFrame, k: int = 10, num_queries: int = 16
+) -> list[float]:
+    """The per-pair plane-agreement probabilities behind
+    :func:`estimate_plane_agree_p`, as a bounded driver-side sample
+    (≤ num_queries·k floats — same sanctioned model-parameter collect
+    class as the IVF centroid train). Feed to
+    :func:`lsh_tables_for_recall_from_pairs`: deriving T from the
+    DISTRIBUTION instead of the mean corrects the Jensen-gap
+    over-promise the mean plug-in makes (measured at 800k: mean-p
+    derived T=13 → recall 0.823 < the 0.85 SLO; pair-level T=15 →
+    0.86-0.90 across plane sources, bench/mips_rule_applied_r11)."""
+    rows = _pair_agree_frame(embeddings, k, num_queries).collect()
+    if not rows:
+        raise ValueError("plane_agree_p_sample: no neighbor pairs")
+    return [min(0.99, max(0.01, float(r["p"]))) for r in rows]
+
+
+def lsh_tables_for_recall_from_pairs(
+    pair_ps: list[float],
+    target_recall: float,
+    num_planes: int,
+    min_tables: int = 4,
+    max_tables: int = 64,
+) -> int:
+    """Pair-distribution form of :func:`lsh_tables_for_recall`: the
+    smallest T whose MODEL-MEAN recall over the sampled pairs,
+    mean_i(1 - (1 - p_i^B)^T), reaches ``target_recall``. Because
+    capture probability is convex in p around the operating point, the
+    mean-p closed form overstates recall whenever the p_i spread;
+    averaging the per-pair capture curve instead makes the promise
+    hold pair-for-pair in expectation — the form a recall SLO actually
+    speaks about. Monotone in target_recall and num_planes exactly as
+    the scalar rule (pytest-pinned)."""
+    if not pair_ps:
+        raise ValueError("lsh_tables_for_recall_from_pairs: empty sample")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1), got {target_recall}"
+        )
+    hit = np.asarray(pair_ps, dtype=float) ** num_planes
+    for t in range(min_tables, max_tables + 1):
+        if float(np.mean(1.0 - (1.0 - hit) ** t)) >= target_recall:
+            return t
+    return max_tables
 
 
 def mips_topk_lsh(

@@ -3366,7 +3366,11 @@ def _mips_lsh_oracle(
     )
 
     d1 = dim + 1
-    return f"""
+    # collapse indentation: the whole point of the recurrence is an
+    # oracle that stays a compact, reviewable string (< 2 KB)
+    import re as _re
+
+    return _re.sub(r"\n +", "\n ", f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
     m AS (SELECT sqrt(max(list_dot_product(v, v))) AS mx FROM e),
     u AS (SELECT vec_id, v, [x / m.mx FOR x IN v] AS uu
@@ -3378,13 +3382,18 @@ def _mips_lsh_oracle(
                list_append(uu, 0.0) AS aq
         FROM u
     ),
+    h2s AS (
+        SELECT idx,
+               (((idx + 1) * {PLANE_MUL1}) % {PLANE_MOD1}
+                * {PLANE_MUL2} + {PLANE_ADD2}) % {PLANE_MOD2} AS h2
+        FROM range({num_tables * num_planes * d1}) t(idx)
+    ),
     planes AS (
-        SELECT pid,
-               [CAST(((((pid * {d1} + i + 1) * {PLANE_MUL1}) % {PLANE_MOD1})
-                      * {PLANE_MUL2} + {PLANE_ADD2}) % {PLANE_MOD2} AS BIGINT)
-                / {PLANE_MOD2}.0 * 2.0 - 1.0
-                FOR i IN range({d1})] AS p
-        FROM range({num_tables * num_planes}) t(pid)
+        SELECT idx // {d1} AS pid,
+               list(((h2 * h2 % {PLANE_MOD2}) * {PLANE_MUL1} % {PLANE_MOD2}
+                     + h2) % {PLANE_MOD2} / {PLANE_MOD2}.0 * 2.0 - 1.0
+                    ORDER BY idx) AS p
+        FROM h2s GROUP BY pid
     ),
     cb AS (
         SELECT aug.vec_id, pid // {num_planes} AS tbl, pid % {num_planes} AS j,
@@ -3427,7 +3436,7 @@ def _mips_lsh_oracle(
             PARTITION BY q_id ORDER BY dp DESC, n_id) rank
         FROM scored
     ) WHERE rank <= {k}
-    """
+    """)
 
 
 @register("mips_topk_lsh", oracle=_mips_lsh_oracle())

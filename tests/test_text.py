@@ -663,3 +663,35 @@ def test_ccnet_buckets_deterministic_and_no_per_doc_sort_shuffle(
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_ccnet_cache_lifecycle_reuse_evict_clear(spark, sf_dir):
+    """Round-10 ADVICE item 2 + fixture-regen escape hatch: the
+    cache-of-one must (a) REUSE the persisted frame on an identical
+    corpus plan, (b) EVICT-and-unpersist it when the corpus changes —
+    even though sameSemantics comparison and unpersist now live in
+    separate try blocks — and (c) drop it on clear_ccnet_cache()."""
+    from flight_events_flink_job_spark.operators import text as text_mod
+    from flight_events_flink_job_spark.operators.text import (
+        ccnet_lm_buckets,
+        clear_ccnet_cache,
+    )
+    from flight_events_flink_job_spark.sources.fixtures import load_table
+
+    clear_ccnet_cache()
+    docs = load_table(spark, sf_dir, "documents")
+    ccnet_lm_buckets(docs).count()
+    first = text_mod._CCNET_SCORE_CACHE
+    assert first is not None and first.storageLevel.useMemory
+    # (a) identical corpus: the SAME frame object is reused
+    ccnet_lm_buckets(docs).count()
+    assert text_mod._CCNET_SCORE_CACHE is first
+    # (b) different corpus: evicted AND unpersisted
+    ccnet_lm_buckets(docs.limit(50)).count()
+    second = text_mod._CCNET_SCORE_CACHE
+    assert second is not first
+    assert not first.storageLevel.useMemory, "evicted frame still pinned"
+    # (c) explicit clear (the in-place fixture-regen escape hatch)
+    clear_ccnet_cache()
+    assert text_mod._CCNET_SCORE_CACHE is None
+    assert not second.storageLevel.useMemory

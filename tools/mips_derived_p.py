@@ -5,12 +5,17 @@ done-criterion: recall >= SLO with T BELOW the 0.75-default value).
 Round 10 derived both (B, T) but fed the capture model the
 conservative 45-degree default p = 0.75; the measured over-delivery
 (recall 0.9062 vs the 0.85 SLO at T=18, bench/mips_rule_applied_r10)
-said real corpora cluster tighter. similarity.estimate_plane_agree_p
-now measures p from sampled true top-k neighbor pairs in the
-augmented space (the geometry the sign-LSH actually buckets); this
-tool derives T from the measured p, runs the LSH tier at the smaller
-derived config, and fails loudly if recall misses the SLO or if the
-derived T fails to undercut the default-p T.
+said real corpora cluster tighter. similarity.plane_agree_p_sample
+now measures the per-pair p distribution from sampled true top-k
+neighbor pairs in the augmented space (the geometry the sign-LSH
+actually buckets) and lsh_tables_for_recall_from_pairs derives T from
+the DISTRIBUTION — the first run of this tool plugged the MEAN p into
+the closed form and measured recall 0.823 < SLO at T=13 (the Jensen
+gap: capture is convex in p, low-p pairs dominate misses), which is
+why the pair-level rule exists. This tool derives T that way, runs
+the LSH tier at the smaller derived config, and fails loudly if
+recall misses the SLO or if the derived T fails to undercut the
+default-p T.
 
 Also validates the portable-plane recurrence at scale (round-10
 VERDICT item 8): the same derived config is run with
@@ -47,11 +52,12 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from flight_events_flink_job_spark.operators.similarity import (
-        estimate_plane_agree_p,
         lsh_planes_for_corpus,
         lsh_tables_for_recall,
+        lsh_tables_for_recall_from_pairs,
         mips_topk,
         mips_topk_lsh,
+        plane_agree_p_sample,
     )
     from flight_events_flink_job_spark.session import get_spark
 
@@ -63,8 +69,10 @@ def main() -> None:
 
     planes = lsh_planes_for_corpus(n, target_bucket=4096)
     t_default = lsh_tables_for_recall(TARGET_RECALL, planes)  # p = 0.75
-    p_hat = estimate_plane_agree_p(embs, k=10, num_queries=nq)
-    tables = lsh_tables_for_recall(TARGET_RECALL, planes, plane_agree_p=p_hat)
+    ps = plane_agree_p_sample(embs, k=10, num_queries=nq)
+    p_hat = sum(ps) / len(ps)
+    t_mean = lsh_tables_for_recall(TARGET_RECALL, planes, plane_agree_p=p_hat)
+    tables = lsh_tables_for_recall_from_pairs(ps, TARGET_RECALL, planes)
 
     def timed(fn) -> float:
         samples = []
@@ -120,7 +128,9 @@ def main() -> None:
         "target_recall": TARGET_RECALL,
         "derived_planes": planes,
         "estimated_p": round(p_hat, 4),
+        "pair_sample_size": len(ps),
         "tables_default_p": t_default,
+        "tables_mean_p": t_mean,
         "derived_tables": tables,
         "tables_saved": t_default - tables,
         "exact_sec": exact_sec,
