@@ -65,15 +65,21 @@ def _layout(sf_dir: str) -> dict:
                 if os.path.isdir(path)
                 else [path]
             )
-            rows = groups = 0
+            rows = groups = nbytes = 0
             for part in parts:
                 md = pq.ParquetFile(part).metadata
                 rows += md.num_rows
                 groups += md.num_row_groups
+                nbytes += os.path.getsize(part)
+            # bytes is the CONTENT proxy: the r10->r11 regeneration
+            # kept rows/row_groups/files identical while changing the
+            # data (different seed), which a layout-only fingerprint
+            # cannot see — compressed size does.
             tables[name] = {
                 "rows": rows,
                 "row_groups": groups,
                 "files": len(parts),
+                "bytes": nbytes,
             }
         except Exception as exc:  # unreadable table: record, don't die
             tables[name] = {"error": str(exc)[:80]}

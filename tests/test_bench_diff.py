@@ -66,5 +66,8 @@ def test_bench_layout_fingerprint_reads_fixture_dir():
     lay = bench._layout("/root/testdata/sf0.001")
     assert "documents" in lay and "lineitem" in lay
     for t, d in lay.items():
-        assert set(d) == {"rows", "row_groups", "files"}, (t, d)
+        assert set(d) == {"rows", "row_groups", "files", "bytes"}, (t, d)
         assert d["rows"] > 0 and d["row_groups"] >= 1 and d["files"] >= 1
+        # bytes is the content proxy: a same-layout regeneration with
+        # different data must still move the fingerprint
+        assert d["bytes"] > 0

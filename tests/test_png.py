@@ -61,13 +61,13 @@ def test_roundtrip_color(channels, filter_type):
 
 
 def test_unimplemented_profile_is_declared_stub():
-    """Palette color (type 3) and 16-bit depth must still raise
+    """Gray+alpha (type 4) and 16-bit depth must still raise
     NotImplementedError — the remaining, clearly-declared environment
-    stub (grayscale/RGB/RGBA-8 are now real)."""
+    stub (grayscale/palette/RGB/RGBA at depth 8 are now real)."""
     import struct
     from binascii import crc32
 
-    for depth, color, pat in [(8, 3, "color type 3"), (16, 0, "bit depth 16")]:
+    for depth, color, pat in [(8, 4, "color type 4"), (16, 0, "bit depth 16")]:
         ihdr = struct.pack(">IIBBBBB", 3, 3, depth, color, 0, 0, 0)
         chunk = (
             struct.pack(">I", len(ihdr))
@@ -124,3 +124,61 @@ def test_luminance_is_integer_bt601():
     assert (luminance(rgba) == luminance(rgb)).all()
     gray = np.arange(4, dtype=np.uint8).reshape(2, 2)
     assert luminance(gray) is gray
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4, "mixed"])
+def test_roundtrip_palette(filter_type):
+    """Indexed color (type 3): encode writes PLTE + index scanlines,
+    decode unfilters the indices and expands through the palette —
+    the result must equal palette[indices] exactly."""
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+    for shape in [(1, 1), (9, 9), (30, 7)]:
+        idx = rng.integers(0, 17, size=shape, dtype=np.uint8)
+        out = png_decode(png_encode(idx, filter_type, palette=pal))
+        assert out.shape == (*shape, 3)
+        assert (out == pal[idx]).all()
+
+
+def test_palette_error_surface():
+    import struct
+    from binascii import crc32
+
+    rng = np.random.default_rng(29)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    # encoder rejects out-of-palette indices and bad palette shapes
+    with pytest.raises(ValueError, match="outside"):
+        png_encode(np.full((2, 2), 9, dtype=np.uint8), 0, palette=pal)
+    with pytest.raises(ValueError, match="palette"):
+        png_encode(np.zeros((2, 2), dtype=np.uint8), 0, palette=pal[:, :2])
+    with pytest.raises(ValueError, match="2-D"):
+        png_encode(np.zeros((2, 2, 3), dtype=np.uint8), 0, palette=pal)
+    # decoder: type-3 stream whose PLTE was stripped must fail loud
+    good = bytearray(png_encode(np.zeros((3, 3), dtype=np.uint8), 0, palette=pal))
+    out = bytearray()
+    pos = 8
+    out += good[:8]
+    while pos < len(good):
+        (length,) = struct.unpack(">I", good[pos : pos + 4])
+        tag = bytes(good[pos + 4 : pos + 8])
+        if tag != b"PLTE":
+            out += good[pos : pos + 12 + length]
+        pos += 12 + length
+    with pytest.raises(ValueError, match="PLTE"):
+        png_decode(bytes(out))
+    # tRNS is the declared stub
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    with_trns = (
+        bytes(good[: len(good) - len(chunk(b"IEND", b""))])
+        + chunk(b"tRNS", b"\x80")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        png_decode(with_trns)
