@@ -1052,3 +1052,35 @@ print("OK", len(rows))
         env=env,
     )
     assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_expire_soak_artifact_state_bounded_and_apis_equal():
+    """ARTIFACT-CONSISTENCY CHECK (bench/stream_expire_soak_r11.json):
+    the 120-batch rotating-cohort soak must show BOTH timer APIs
+    (v1 applyInPandasWithState EventTimeTimeout, v2
+    transformWithStateInPandas registerTimer/handleExpiredTimer)
+    holding a state plateau far below the distinct-key count — i.e.
+    idle keys really tombstone out — and emitting IDENTICAL tombstone
+    multisets. Live equivalence at fixture scale is
+    test_event_time_timer_v2_matches_v1; regenerate via
+    tools/stream_expire_soak.py 120 2000."""
+    import json
+    import pathlib
+
+    art = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "bench"
+        / "stream_expire_soak_r11.json"
+    )
+    lines = [json.loads(l) for l in art.read_text().splitlines() if l.strip()]
+    soaks = [d for d in lines if d.get("soak")]
+    cmp_line = next(d for d in lines if d.get("comparison"))
+    assert len(soaks) == 2
+    for d in soaks:
+        assert d["pass"] and d["n_batches"] >= 100
+        assert d["state_bounded"] and d["n_tombstones"] > 0
+        # the plateau must sit far below the key universe — the
+        # whole point of event-time expiry at a 100 TB keyspace
+        assert d["state_rows_max_q4"] < 0.15 * d["distinct_keys_seen"]
+    assert cmp_line["multisets_equal"]
+    assert cmp_line["v1_tombstones"] == cmp_line["v2_tombstones"] > 0
