@@ -844,3 +844,32 @@ def test_incremental_neardup_prelude_cache_artifact():
     d = json.loads(art.read_text())
     assert d["query"] == "incremental_neardup" and d["reps"] >= 5
     assert d["median_sec"] < 0.5 * 5.77
+
+
+def test_fixture_token_invalidates_on_regen(tmp_path):
+    """Round-10 ADVICE item 3: the persisted-frame caches key on a
+    fixture snapshot token, so an IN-PLACE parquet regeneration (same
+    path, new bytes/mtime) must produce a different cache key — the
+    automatic invalidation clearCache() cannot provide for
+    module-level handles."""
+    import shutil
+    import time as _time
+
+    from flight_events_flink_job_spark.plans.registry_ext import _fixture_token
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    dst_dir = tmp_path / "sf"
+    dst_dir.mkdir()
+    dst = dst_dir / "documents.parquet"
+    shutil.copyfile(src, dst)
+    t1 = _fixture_token(str(dst_dir))
+    assert t1 != (None, None)
+    # same-size rewrite with a bumped mtime (the nastiest regen case:
+    # byte length unchanged)
+    _time.sleep(0.01)
+    data = dst.read_bytes()
+    dst.write_bytes(data)
+    t2 = _fixture_token(str(dst_dir))
+    assert t2 != t1, "same-size in-place regen must move the token"
+    # missing table degrades to a sentinel, never throws
+    assert _fixture_token(str(tmp_path / "nope")) == (None, None)
