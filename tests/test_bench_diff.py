@@ -71,3 +71,30 @@ def test_bench_layout_fingerprint_reads_fixture_dir():
         # bytes is the content proxy: a same-layout regeneration with
         # different data must still move the fingerprint
         assert d["bytes"] > 0
+
+
+def test_layout_schema_migration_compares_shared_keys(tmp_path):
+    """A record written before the `bytes` dimension existed must diff
+    as `same` against a post-migration record when every SHARED
+    dimension (rows/row_groups/files) is equal — the one-time schema
+    change is not a fixture change."""
+    pre = {"documents": {"rows": 100, "row_groups": 4, "files": 1}}
+    post = {
+        "documents": {"rows": 100, "row_groups": 4, "files": 1, "bytes": 999}
+    }
+    r = _run_diff(
+        tmp_path,
+        {"queries": {"a": 1.0}, "query_mad": {"a": 0.01}, "layout": pre},
+        {"queries": {"a": 3.0}, "query_mad": {"a": 0.01}, "layout": post},
+    )
+    assert r["layout"] == "same"
+    # but a shared-dimension move still flags
+    post2 = {
+        "documents": {"rows": 100, "row_groups": 1, "files": 1, "bytes": 999}
+    }
+    r2 = _run_diff(
+        tmp_path,
+        {"queries": {"a": 1.0}, "query_mad": {"a": 0.01}, "layout": pre},
+        {"queries": {"a": 3.0}, "query_mad": {"a": 0.01}, "layout": post2},
+    )
+    assert r2["layout"] == "changed"

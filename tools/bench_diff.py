@@ -58,10 +58,19 @@ def main() -> int:
         layout_state = "unknown"  # pre-r11 records carry no layout
         layout_changed_tables = []
     else:
+        # Compare only the fingerprint dimensions BOTH records carry:
+        # records straddling a fingerprint-schema change (e.g. the
+        # r11 addition of per-table `bytes`) must not read as a
+        # fixture change when every shared dimension is equal.
+        def _tbl_changed(t: str) -> bool:
+            a, b = old_lay.get(t), new_lay.get(t)
+            if a is None or b is None:
+                return True  # table appeared/disappeared
+            shared = set(a) & set(b)
+            return any(a[k] != b[k] for k in shared)
+
         layout_changed_tables = sorted(
-            t
-            for t in set(old_lay) | set(new_lay)
-            if old_lay.get(t) != new_lay.get(t)
+            t for t in set(old_lay) | set(new_lay) if _tbl_changed(t)
         )
         layout_state = "changed" if layout_changed_tables else "same"
     tag = {"tag": "layout-change"} if layout_state == "changed" else {}
