@@ -213,6 +213,18 @@ def png_decode(payload: bytes) -> np.ndarray:
             # indexed color: one index byte per pixel on the wire
             bpp = 1 if color == 3 else _BPP[color]
         elif tag == b"PLTE":
+            # spec-invalid placements fail loud like every other
+            # malformed-chunk path (round-11 ADVICE item 3): PLTE is
+            # required for type 3, optional (suggested palette) for
+            # 2/6, FORBIDDEN for grayscale, and never repeats
+            if color < 0:
+                raise ValueError("PNG PLTE: before IHDR")
+            if color == 0:
+                raise ValueError(
+                    "PNG PLTE: forbidden for grayscale (color type 0)"
+                )
+            if palette is not None:
+                raise ValueError("PNG PLTE: duplicate chunk")
             if length == 0 or length % 3 != 0 or length > 768:
                 raise ValueError(f"PNG PLTE: bad length {length}")
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)

@@ -514,6 +514,15 @@ def incremental_neardup(
         incoming.select("doc_id", "text")
     )
     if prelude is not None:
+        if candidates != "auto":
+            # the prelude BAKES IN its builder's candidate tier —
+            # honoring a conflicting request silently would hand back
+            # pairs from the wrong tier (round-11 ADVICE item 2)
+            raise ValueError(
+                "prelude and candidates are mutually exclusive: the "
+                "prelude already fixes the candidate tier it was built "
+                f"with (got candidates={candidates!r})"
+            )
         pairs, sets = prelude
     else:
         if candidates == "auto":
@@ -950,6 +959,7 @@ def embedding_neardup_cosine(
     max_bucket: int = 128,
     dim: int = 64,
     seed: int = 42,
+    plane_source: str = "seeded",
 ) -> DataFrame:
     """Near-dup vector pairs via multi-table random-hyperplane LSH
     buckets, exact-cosine verified.
@@ -984,7 +994,14 @@ def embedding_neardup_cosine(
     banded = e.select(
         "vec_id",
         F.explode(
-            hyperplane_buckets(F.col("vec"), num_tables, num_planes, dim, seed)
+            hyperplane_buckets(
+                F.col("vec"),
+                num_tables,
+                num_planes,
+                dim,
+                seed,
+                plane_source=plane_source,
+            )
         ).alias("bucket"),
     )
     kept = banded.withColumn(

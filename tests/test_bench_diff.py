@@ -98,3 +98,20 @@ def test_layout_schema_migration_compares_shared_keys(tmp_path):
         {"queries": {"a": 3.0}, "query_mad": {"a": 0.01}, "layout": post2},
     )
     assert r2["layout"] == "changed"
+
+
+def test_disjoint_fingerprint_schemas_read_as_changed(tmp_path):
+    """Round-11 ADVICE item 1: when one record holds an {"error": ...}
+    entry and the other full stats, the shared-key set is empty — the
+    table state is NOT comparable and must be reported as changed,
+    never as layout "same"."""
+    err = {"documents": {"error": "unreadable"}}
+    full = {"documents": {"rows": 100, "row_groups": 4, "files": 1}}
+    r = _run_diff(
+        tmp_path,
+        {"queries": {"a": 1.0}, "query_mad": {"a": 0.01}, "layout": err},
+        {"queries": {"a": 3.0}, "query_mad": {"a": 0.01}, "layout": full},
+    )
+    assert r["layout"] == "changed"
+    assert r["layout_changed_tables"] == ["documents"]
+    assert r["regressions"][0]["tag"] == "layout-change"

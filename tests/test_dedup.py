@@ -565,6 +565,8 @@ def test_incremental_neardup_admits_and_rejects_correctly(spark):
     doc are admitted; index docs never appear in the output."""
     from flight_events_flink_job_spark.operators.dedup import (
         incremental_neardup,
+        linear_candidate_pairs,
+        shingle_sets,
     )
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -601,6 +603,28 @@ def test_incremental_neardup_admits_and_rejects_correctly(spark):
         ).collect()
     }
     assert got_exact == got
+    # round-11 ADVICE item 2: a prelude bakes in its builder's
+    # candidate tier — a conflicting explicit request must fail loud,
+    # not silently hand back the prelude's pairs
+    docs = existing.select("doc_id", "text").unionByName(
+        incoming.select("doc_id", "text")
+    )
+    prelude = (
+        linear_candidate_pairs(docs, 0.7, 3),
+        shingle_sets(docs, 3),
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        incremental_neardup(
+            existing, incoming, candidates="exact", prelude=prelude
+        )
+    # the default tier selector with a prelude stays valid
+    got_pre = {
+        r.doc_id
+        for r in incremental_neardup(
+            existing, incoming, prelude=prelude
+        ).collect()
+    }
+    assert got_pre == got
 
 
 # ---------------------------------------------------------------------------

@@ -182,3 +182,39 @@ def test_palette_error_surface():
     )
     with pytest.raises(NotImplementedError, match="tRNS"):
         png_decode(with_trns)
+
+
+def test_plte_placement_error_surface():
+    """Round-11 ADVICE item 3: spec-invalid PLTE placements must fail
+    loud with the same ValueError surface as the other corrupt-chunk
+    paths — duplicate PLTE, PLTE on a grayscale stream, PLTE before
+    IHDR."""
+    import struct
+    from binascii import crc32
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    good = png_encode(np.zeros((3, 3), dtype=np.uint8), 0, palette=pal)
+    iend = chunk(b"IEND", b"")
+    plte = chunk(b"PLTE", pal.tobytes())
+    # duplicate PLTE (second one used to win silently)
+    dup = good[: len(good) - len(iend)] + plte + iend
+    with pytest.raises(ValueError, match="duplicate"):
+        png_decode(dup)
+    # PLTE on a grayscale (type 0) stream is forbidden by the spec
+    gray = png_encode(np.zeros((2, 2), dtype=np.uint8), 0)
+    gplte = gray[: len(gray) - len(iend)] + plte + iend
+    with pytest.raises(ValueError, match="grayscale"):
+        png_decode(gplte)
+    # PLTE before IHDR
+    sig = good[:8]
+    with pytest.raises(ValueError, match="before IHDR"):
+        png_decode(sig + plte + good[8:])

@@ -67,6 +67,11 @@ def main() -> int:
             if a is None or b is None:
                 return True  # table appeared/disappeared
             shared = set(a) & set(b)
+            if not shared:
+                # disjoint fingerprint schemas (e.g. an {"error": ...}
+                # entry vs full stats): the table state is not
+                # comparable — treat as changed, never as "same"
+                return True
             return any(a[k] != b[k] for k in shared)
 
         layout_changed_tables = sorted(
