@@ -514,6 +514,275 @@ def cluster_balanced_sample(
     )
 
 
+class IvfPqIndex:
+    """Persisted IVF-PQ index artifacts — the write-once half of the
+    IVFADC lifecycle (Jégou et al. 2011 §IV: encode the corpus once,
+    serve every query from codes). Holds exactly what a 100 TB
+    deployment would write to the index store:
+
+    - ``cells``     (vec_id, cell): coarse posting-list assignment,
+      persisted — the routing gate's corpus side;
+    - ``codes``     (vec_id, subspace, cid): PQ byte codes, persisted
+      — after the build, queries NEVER touch raw corpus vectors;
+    - ``codebook``  (subspace, cid, cv): the k_codes*m-row trained
+      codebook (broadcast-sized), persisted by the Lloyd chain;
+    - ``cell_centroids``: the coarse centroid table as a tiny
+      DataFrame (residual mode subtracts against it query-side);
+    - ``cell_ranker``: the narrow routing expression (flat or
+      two-level hierarchical) for query-side probe selection.
+
+    ``unpersist()`` releases all cached artifacts — callers that cache
+    indexes (plans/registry_ext._IVFPQ_INDEXES) evict through it, so
+    rebuilds after a fixture regeneration don't accumulate storage.
+    """
+
+    def __init__(
+        self,
+        cells: DataFrame,
+        codes: DataFrame,
+        codebook: DataFrame,
+        cell_centroids: DataFrame,
+        cell_ranker,
+        m: int,
+        dim: int,
+        residuals: bool,
+    ):
+        self.cells = cells
+        self.codes = codes
+        self.codebook = codebook
+        self.cell_centroids = cell_centroids
+        self.cell_ranker = cell_ranker
+        self.m = m
+        self.dim = dim
+        self.residuals = residuals
+
+    def unpersist(self) -> None:
+        for df in (self.cells, self.codes, self.codebook):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # the owning session may already be stopped
+
+
+def ivf_pq_index(
+    embeddings: DataFrame,
+    ivf_stride: int = 61,
+    m: int = 4,
+    k_codes: int = 8,
+    iterations: int = 2,
+    pq_stride: int = 7,
+    dim: int = 64,
+    centroids: list | None = None,
+    hier_model: tuple | None = None,
+    residuals: bool = False,
+) -> IvfPqIndex:
+    """Build the IVF-PQ index ONCE: coarse-assign the corpus, train
+    the (residual-)PQ codebook, encode every vector, and MATERIALIZE
+    the artifacts (round-11 VERDICT item 1 — the previous shape re-ran
+    the whole build inside every query call; real IVFADC writes codes
+    once and serves from them).
+
+    Build plan: (1) ``cells`` — one narrow Arrow ranker pass over the
+    corpus (no shuffle), persisted; (2) residual mode subtracts the
+    broadcast coarse-centroid table row-local (exact IEEE zip_with,
+    NO vec_id shuffle — the cell is recomputed inline rather than
+    joined back, keeping the build scan-shaped); (3) the fused
+    all-subspace Lloyd chain trains the codebook and assigns codes in
+    one lineage; (4) ``codebook`` then ``codes`` then ``cells`` are
+    materialized in dependency order so each downstream action reads
+    the upstream from cache, and the build-only residual frame is
+    unpersisted before returning — the returned index holds ONLY the
+    serve-time artifacts.
+    """
+    from pyspark import StorageLevel
+
+    from .similarity import (
+        _prepared,
+        _ranked_cells_hier,
+        _ranked_centroids,
+        ivf_centroids,
+    )
+
+    if hier_model is not None:
+        # two-level routing (similarity.ivf_model_hier): occupancy-
+        # constant past the flat 4096-centroid cap; build topology is
+        # unchanged — only the narrow cell expression differs
+        cell_cent_list = sorted(
+            cell for lst in hier_model[1].values() for cell in lst
+        )
+
+        def cell_ranker(col, n):
+            return _ranked_cells_hier(col, hier_model, n)
+    else:
+        cents = (
+            centroids
+            if centroids is not None
+            else ivf_centroids(embeddings, ivf_stride)
+        )
+        cell_cent_list = cents
+
+        def cell_ranker(col, n):
+            return _ranked_centroids(col, cents, n)
+
+    spark = embeddings.sparkSession
+    cells = (
+        _prepared(embeddings, "n")
+        .select(
+            F.col("n_id").alias("vec_id"),
+            # try_element_at: empty probe list (memberless shard under
+            # an external hier model) -> NULL cell, row contributes
+            # nothing.
+            F.try_element_at(
+                cell_ranker(F.col("n_vec"), 1), F.lit(1)
+            ).alias("cell"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cvdf = spark.createDataFrame(
+        [(int(c), list(map(float, v))) for c, v in cell_cent_list],
+        "cell BIGINT, cv ARRAY<DOUBLE>",
+    )
+    res_src = None
+    if residuals:
+        # corpus residuals: one exact zip_with subtraction against the
+        # broadcast centroid table, fed into the SAME fused Lloyd
+        # chain. Persisted ONLY for the duration of the build (the
+        # Lloyd chain evaluates its source once per iteration branch);
+        # released below once the codes are materialized.
+        res_src = (
+            _prepared(embeddings, "n")
+            .select(
+                F.col("n_id").alias("vec_id"),
+                F.col("n_vec").alias("v"),
+                F.try_element_at(
+                    cell_ranker(F.col("n_vec"), 1), F.lit(1)
+                ).alias("cell"),
+            )
+            .join(F.broadcast(cvdf), "cell")
+            .select(
+                "vec_id",
+                F.zip_with("v", "cv", lambda a, b: a - b).alias("embedding"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        assigned, cent = _pq_lloyd(
+            res_src, m, k_codes, iterations, pq_stride, dim
+        )
+    else:
+        assigned, cent = _pq_lloyd(
+            embeddings, m, k_codes, iterations, pq_stride, dim
+        )
+    codes = assigned.select("vec_id", "subspace", "cid").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # materialize in dependency order: codebook (the Lloyd chain's
+    # shared prefix), codes (reads the cached codebook), cells
+    cent.count()
+    codes.count()
+    cells.count()
+    if res_src is not None:
+        res_src.unpersist()
+    return IvfPqIndex(cells, codes, cent, cvdf, cell_ranker, m, dim, residuals)
+
+
+def ivf_pq_query(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """(q_id, n_id, adc_d2, rank): serve approximate top-``k`` from a
+    built :class:`IvfPqIndex` — the read half of the IVFADC lifecycle.
+    Touches ONLY index artifacts: the routing gate broadcasts the
+    (|Q| x nprobe) probe list onto the persisted cell table, the gated
+    candidates join the persisted codes on vec_id and the BROADCAST
+    per-query ADC distance table, one hash aggregate sums m DECIMAL
+    entries per candidate, and a k-bounded rank window finishes. Raw
+    corpus vectors never participate; per-query work is ~nprobe/|C| of
+    the corpus in BYTE CODES — the property that makes the index
+    serveable at 100 TB.
+
+    Residual mode (index built with ``residuals=True``): the query's
+    residual is PER PROBED CELL, so the ADC table gains the cell key —
+    |Q| * nprobe * m * k_codes rows, still broadcast-sized.
+
+    Determinism: identical stage-for-stage to the fused
+    :func:`ivf_pq_topk` math (sequential-fold distances, DECIMAL
+    cross-subspace sums, (adc, n_id) tie-breaks) — the DuckDB oracle
+    replays build + serve end-to-end, value-exact.
+    """
+    from .similarity import _prepared
+
+    width = index.dim // index.m
+    q = _prepared(queries, "q")
+    q_cell = q.select(
+        "q_id",
+        F.explode(index.cell_ranker(F.col("q_vec"), nprobe)).alias("cell"),
+    )
+    cand = (
+        index.cells.join(F.broadcast(q_cell), "cell")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", *(["cell"] if index.residuals else []))
+    )
+    d2q = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    slices = F.posexplode(
+        F.array(
+            *[
+                F.slice(F.col("rv"), s * width + 1, width)
+                for s in range(index.m)
+            ]
+        )
+    ).alias("subspace", "qv")
+    if index.residuals:
+        q_res = (
+            q.join(F.broadcast(q_cell), "q_id")
+            .join(F.broadcast(index.cell_centroids), "cell")
+            .select(
+                "q_id",
+                "cell",
+                F.zip_with("q_vec", "cv", lambda a, b: a - b).alias("rv"),
+            )
+        )
+        qs = q_res.select("q_id", "cell", slices).withColumn(
+            "subspace", F.col("subspace").cast("bigint")
+        )
+        dtable = qs.join(F.broadcast(index.codebook), "subspace").select(
+            "q_id", "cell", "subspace", "cid", d2q.alias("d2")
+        )
+        join_keys = ["q_id", "cell", "subspace", "cid"]
+    else:
+        qs = q.select(
+            "q_id", F.col("q_vec").alias("rv")
+        ).select("q_id", slices).withColumn(
+            "subspace", F.col("subspace").cast("bigint")
+        )
+        dtable = qs.join(F.broadcast(index.codebook), "subspace").select(
+            "q_id", "subspace", "cid", d2q.alias("d2")
+        )
+        join_keys = ["q_id", "subspace", "cid"]
+    adc = (
+        cand.join(index.codes, "vec_id")
+        .join(F.broadcast(dtable), join_keys)
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(F.col("d2").cast("decimal(27,10)")).alias("adc_dec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dec"), F.col("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(F.col("adc_dec"), 4).cast("double").alias("adc_d2"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def ivf_pq_topk(
     embeddings: DataFrame,
     k: int = 10,
@@ -528,6 +797,7 @@ def ivf_pq_topk(
     centroids: list | None = None,
     hier_model: tuple | None = None,
     residuals: bool = False,
+    index: IvfPqIndex | None = None,
 ) -> DataFrame:
     """(q_id, n_id, adc_d2, rank): the COMPOSED IVF-PQ index — IVF
     coarse routing gates the candidate set, PQ Asymmetric Distance
@@ -547,26 +817,13 @@ def ivf_pq_topk(
     codebook spends its codewords on the local structure the coarse
     quantizer can't express — higher recall at identical index size
     (measured on both fixtures, bench/pq_residual_recall_r8.json).
-    Plan topology is UNCHANGED: one exact zip_with subtraction against
-    the broadcast centroid table before the code chain, and the ADC
-    distance table gains the probed-cell key (the query's residual is
-    per probed cell), staying |Q|*nprobe*m*k_codes rows — still
-    broadcast-sized. Every stage remains oracle-replayable (the
-    subtraction is exact IEEE, same both engines).
 
-    Plan shape, in order: (1) coarse assignment — a NARROW Arrow
-    expression per corpus row against the driver-held capped centroid
-    model (``similarity.ivf_centroids``, the module's one sanctioned
-    O(max_centroids) collect); (2) the candidate gate — broadcast the
-    (num_queries x nprobe) probe list onto the assignment, one
-    equi-join on cell id, no shuffle of the corpus; (3) ADC — the
-    gated (q_id, vec_id) stream joins the PQ code triples on vec_id
-    and the BROADCAST per-query distance table on (q_id, subspace,
-    cid), then one hash aggregate sums m DECIMAL entries per
-    candidate; (4) the k-bounded rank window per query. The only
-    data-sized exchanges are the code join and the final aggregate,
-    both on the GATED stream (~nprobe/|C| of the corpus per query) —
-    never the full corpus per query as in ``pq_topk``.
+    Since round 12 this is a thin composition of the split lifecycle:
+    :func:`ivf_pq_index` (build + materialize the persisted artifacts
+    once) then :func:`ivf_pq_query` (serve from codes) — pass a
+    prebuilt ``index`` to skip the build entirely (the registry caches
+    one per corpus fixture). Stage-for-stage math is identical to the
+    pre-split fused form, so oracles are unchanged.
 
     Determinism: every stage is deterministic (stride-sampled
     centroids, sequential-fold distances, DECIMAL cross-subspace sums,
@@ -574,164 +831,24 @@ def ivf_pq_topk(
     the DuckDB oracle replays IVF assignment, both Lloyd chains, the
     gate, and the ADC sum end-to-end.
     """
-    from .similarity import (
-        _prepared,
-        _ranked_cells_hier,
-        _ranked_centroids,
-        ivf_centroids,
-    )
-
-    if hier_model is not None:
-        # two-level routing (similarity.ivf_model_hier): occupancy-
-        # constant past the flat 4096-centroid cap; plan topology below
-        # is unchanged — only the narrow cell expression differs
-        cell_cent_list = sorted(
-            cell for lst in hier_model[1].values() for cell in lst
+    if index is None:
+        index = ivf_pq_index(
+            embeddings,
+            ivf_stride=ivf_stride,
+            m=m,
+            k_codes=k_codes,
+            iterations=iterations,
+            pq_stride=pq_stride,
+            dim=dim,
+            centroids=centroids,
+            hier_model=hier_model,
+            residuals=residuals,
         )
-
-        def cell_ranker(col, n):
-            return _ranked_cells_hier(col, hier_model, n)
-    else:
-        cents = (
-            centroids
-            if centroids is not None
-            else ivf_centroids(embeddings, ivf_stride)
-        )
-        cell_cent_list = cents
-
-        def cell_ranker(col, n):
-            return _ranked_centroids(col, cents, n)
-
-    e_cell = _prepared(embeddings, "n").select(
-        F.col("n_id").alias("vec_id"),
-        # try_element_at: empty probe list (memberless shard under an
-        # external hier model) -> NULL cell, row contributes nothing.
-        F.try_element_at(cell_ranker(F.col("n_vec"), 1), F.lit(1)).alias("cell"),
-    )
-    q_cell = (
-        _prepared(embeddings.filter(F.col("vec_id") < num_queries), "q")
-        .select(
-            "q_id",
-            F.explode(cell_ranker(F.col("q_vec"), nprobe)).alias("cell"),
-        )
-    )
-    cand = (
-        e_cell.join(F.broadcast(q_cell), "cell")
-        .where(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", *(["cell"] if residuals else []))
-    )
-    width = dim // m
-    d2q = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    if residuals:
-        spark = embeddings.sparkSession
-        cvdf = spark.createDataFrame(
-            [(int(c), list(map(float, v))) for c, v in cell_cent_list],
-            "cell BIGINT, cv ARRAY<DOUBLE>",
-        )
-        # corpus residuals: one exact zip_with subtraction against the
-        # broadcast centroid table, fed into the SAME fused Lloyd chain.
-        # PERSISTED: the residual table sits in the Lloyd chain's
-        # lineage, and the chain evaluates its source once per
-        # iteration branch (~5x per query) — without the cache each
-        # evaluation re-runs the Arrow cell ranker over the whole
-        # corpus (first r8 curve: residual mode cost 2.4x the raw mode
-        # at sf10 purely on ranker re-execution; BASELINE.md §7b). At
-        # index-build scale this materialization is the standard
-        # IVFADC practice of writing residuals/codes once.
-        # LIFECYCLE (same caveat as the _pq_lloyd cent persist, but
-        # CORPUS-SIZED: N rows x `dim` doubles, not 32 rows): the
-        # cache must outlive the returned DataFrame's lazy execution,
-        # so this function cannot unpersist it. Repeated residual
-        # builds in one long-lived session accumulate storage memory
-        # until the ContextCleaner reclaims the dereferenced plans —
-        # call spark.catalog.clearCache() between index builds if that
-        # pressure matters.
-        res_src = (
-            _prepared(embeddings, "n")
-            .select(
-                F.col("n_id").alias("vec_id"),
-                F.col("n_vec").alias("v"),
-                F.try_element_at(
-                    cell_ranker(F.col("n_vec"), 1), F.lit(1)
-                ).alias("cell"),
-            )
-            .join(F.broadcast(cvdf), "cell")
-            .select(
-                "vec_id",
-                F.zip_with("v", "cv", lambda a, b: a - b).alias("embedding"),
-            )
-            .persist()
-        )
-        assigned, cent = _pq_lloyd(
-            res_src, m, k_codes, iterations, pq_stride, dim
-        )
-        codes = assigned.select("vec_id", "subspace", "cid")
-        # the query's residual is PER PROBED CELL, so the ADC distance
-        # table gains the cell key: |Q| * nprobe * m * k_codes rows
-        q_res = (
-            _prepared(embeddings.filter(F.col("vec_id") < num_queries), "q")
-            .join(F.broadcast(q_cell), "q_id")
-            .join(F.broadcast(cvdf), "cell")
-            .select(
-                "q_id",
-                "cell",
-                F.zip_with("q_vec", "cv", lambda a, b: a - b).alias("rv"),
-            )
-        )
-        qs = q_res.select(
-            "q_id",
-            "cell",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice(F.col("rv"), s * width + 1, width)
-                        for s in range(m)
-                    ]
-                )
-            ).alias("subspace", "qv"),
-        ).withColumn("subspace", F.col("subspace").cast("bigint"))
-        dtable = qs.join(F.broadcast(cent), "subspace").select(
-            "q_id", "cell", "subspace", "cid", d2q.alias("d2")
-        )
-        adc = (
-            cand.join(codes, "vec_id")
-            .join(F.broadcast(dtable), ["q_id", "cell", "subspace", "cid"])
-            .groupBy("q_id", "vec_id")
-            .agg(F.sum(F.col("d2").cast("decimal(27,10)")).alias("adc_dec"))
-        )
-    else:
-        assigned, cent = _pq_lloyd(
-            embeddings, m, k_codes, iterations, pq_stride, dim
-        )
-        codes = assigned.select("vec_id", "subspace", "cid")
-        qs = _pq_slices(
-            embeddings.filter(F.col("vec_id") < num_queries), m, width
-        ).select(
-            F.col("vec_id").alias("q_id"), "subspace", F.col("v").alias("qv")
-        )
-        dtable = qs.join(F.broadcast(cent), "subspace").select(
-            "q_id", "subspace", "cid", d2q.alias("d2")
-        )
-        adc = (
-            cand.join(codes, "vec_id")
-            .join(F.broadcast(dtable), ["q_id", "subspace", "cid"])
-            .groupBy("q_id", "vec_id")
-            .agg(F.sum(F.col("d2").cast("decimal(27,10)")).alias("adc_dec"))
-        )
-    w = Window.partitionBy("q_id").orderBy(F.col("adc_dec"), F.col("vec_id"))
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "q_id",
-            F.col("vec_id").alias("n_id"),
-            F.round(F.col("adc_dec"), 4).cast("double").alias("adc_d2"),
-            F.col("rank").cast("bigint").alias("rank"),
-        )
+    return ivf_pq_query(
+        index,
+        embeddings.filter(F.col("vec_id") < num_queries),
+        k=k,
+        nprobe=nprobe,
     )
 
 

@@ -373,16 +373,13 @@ _NEARDUP_COMPONENTS: dict[tuple, DataFrame] = {}
 
 
 def _fixture_token(sf_dir: str, table: str = "documents") -> tuple:
-    """Snapshot identity of a fixture table: (mtime_ns, size) of its
-    parquet — changes whenever the driver regenerates the file, so
-    persisted-frame caches keyed on it self-invalidate on in-place
-    regen (the round-9/10 fixture-regeneration gotcha, BASELINE §9)."""
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        st = os.stat(path)
-        return (st.st_mtime_ns, st.st_size)
-    except OSError:
-        return (None, None)
+    """Snapshot identity of a fixture table — canonical implementation
+    moved to sources.fixtures.fixture_token in round 12 (so non-plans
+    modules can key on it without a circular import); this alias keeps
+    the established registry-side name."""
+    from ..sources.fixtures import fixture_token
+
+    return fixture_token(sf_dir, table)
 
 
 def _neardup_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,32 +635,54 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_docs(spark, sf_dir))
 
 
+def _portable_planes_ctes(num_total: int, dim: int) -> str:
+    """The ``h2s``/``planes`` CTE pair rebuilding
+    similarity.portable_planes from its integer recurrence — five
+    integer ops and one double divide per entry, so every plane-based
+    oracle stays a compact reviewable string instead of embedding tens
+    of KB of float literals (round-10 VERDICT item 8, extended to the
+    whole plane-oracle family in round 12). All intermediates stay
+    under 2^63, so DuckDB BIGINT arithmetic never overflows."""
+    from ..operators.similarity import (
+        PLANE_ADD2,
+        PLANE_MOD1,
+        PLANE_MOD2,
+        PLANE_MUL1,
+        PLANE_MUL2,
+    )
+
+    return f"""h2s AS (
+        SELECT idx,
+               (((idx + 1) * {PLANE_MUL1}) % {PLANE_MOD1}
+                * {PLANE_MUL2} + {PLANE_ADD2}) % {PLANE_MOD2} AS h2
+        FROM range({num_total * dim}) t(idx)
+    ),
+    planes AS (
+        SELECT idx // {dim} AS pid,
+               list(((h2 * h2 % {PLANE_MOD2}) * {PLANE_MUL1} % {PLANE_MOD2}
+                     + h2) % {PLANE_MOD2} / {PLANE_MOD2}.0 * 2.0 - 1.0
+                    ORDER BY idx) AS p
+        FROM h2s GROUP BY pid
+    )"""
+
+
 def _embedding_lsh_oracle(
     threshold: float = 0.4,
     num_tables: int = 8,
     num_planes: int = 4,
     max_bucket: int = 128,
     dim: int = 64,
-    seed: int = 42,
 ) -> str:
     """DuckDB twin of the multi-table hyperplane-LSH near-dup: the SAME
-    fixed-seed plane draw as similarity.hyperplane_buckets, embedded as
-    literal DOUBLE[] rows (repr round-trips bit-exact), bucket codes,
-    occupancy cap, candidate join, and exact-cosine verify. num_planes=4
-    here pins the operator's adaptive_planes(N=500) value at the
-    driver's correctness scale (sf0.01)."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_tables * num_planes, dim))
-    rows = ",\n        ".join(
-        "({}, [{}])".format(pid, ", ".join(repr(x) for x in plane))
-        for pid, plane in enumerate(planes)
-    )
+    portable-recurrence plane matrix as similarity.hyperplane_buckets
+    (plane_source="portable"), rebuilt from the integer CTE instead of
+    44 KB of float literals (round-11 VERDICT item 4), then bucket
+    codes, occupancy cap, candidate join, and exact-cosine verify.
+    num_planes=4 here pins the operator's adaptive_planes(N=500) value
+    at the driver's correctness scale (sf0.01)."""
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-    planes(pid, p) AS (VALUES
-        {rows}),
+    {_portable_planes_ctes(num_tables * num_planes, dim)},
     bits AS (
         SELECT e.vec_id, pid // {num_planes} AS tbl, pid % {num_planes} AS j,
                CASE WHEN list_dot_product(e.v, planes.p) >= 0
@@ -702,10 +721,12 @@ def _embedding_lsh_oracle(
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via multi-table random-hyperplane LSH (8
     tables, adaptive planes-per-table, occupancy-capped buckets) +
-    exact cosine >= 0.4 verify. The oracle replays the seeded planes,
-    bucket codes, occupancy cap, and cosine verify literally, so the
-    check is value-exact despite the LSH candidate generation."""
-    return embedding_neardup_cosine(_embs(spark, sf_dir))
+    exact cosine >= 0.4 verify. The oracle replays the
+    portable-recurrence planes (a ~0.5 KB integer CTE, no literals),
+    bucket codes, occupancy cap, and cosine verify, so the check is
+    value-exact despite the LSH candidate generation; bucket balance
+    vs the Gaussian draw audited in bench/plane_audit_r12.json."""
+    return embedding_neardup_cosine(_embs(spark, sf_dir), plane_source="portable")
 
 
 # ---------------------------------------------------------------------------
@@ -793,26 +814,18 @@ def _topk_lsh_oracle(
     num_tables: int = 16,
     num_planes: int = 4,
     dim: int = 64,
-    seed: int = 42,
 ) -> str:
-    """DuckDB twin of similarity.cosine_topk_lsh: the SAME fixed-seed
-    plane draw as hyperplane_buckets embedded as literal DOUBLE[] rows,
-    the same bucket codes, candidate equi-join, and exact cosine
-    re-rank. The ANN output is therefore hash-exact, not merely
-    recall-bounded: approximation lives in WHICH candidates the buckets
-    admit, and the oracle replays that choice deterministically."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_tables * num_planes, dim))
-    rows = ",\n        ".join(
-        "({}, [{}])".format(pid, ", ".join(repr(x) for x in plane))
-        for pid, plane in enumerate(planes)
-    )
+    """DuckDB twin of similarity.cosine_topk_lsh: the SAME
+    portable-recurrence plane matrix as hyperplane_buckets
+    (plane_source="portable"), rebuilt from the integer CTE instead of
+    87 KB of literals (round-11 VERDICT item 4), the same bucket
+    codes, candidate equi-join, and exact cosine re-rank. The ANN
+    output is therefore hash-exact, not merely recall-bounded:
+    approximation lives in WHICH candidates the buckets admit, and the
+    oracle replays that choice deterministically."""
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-    planes(pid, p) AS (VALUES
-        {rows}),
+    {_portable_planes_ctes(num_tables * num_planes, dim)},
     bits AS (
         SELECT e.vec_id, pid // {num_planes} AS tbl, pid % {num_planes} AS j,
                CASE WHEN list_dot_product(e.v, planes.p) >= 0
@@ -1783,14 +1796,17 @@ def _semdedup_hier_oracle(
 
 
 # Trained two-level quantizer models cached per corpus (train once,
-# query many — same lifecycle as _COARSE_MODELS below).
-_HIER_MODELS: dict[tuple[str, int], tuple] = {}
+# query many — same lifecycle as _COARSE_MODELS below). Keyed on the
+# fixture snapshot token so an in-place parquet regeneration retrains
+# (round-11 VERDICT item 8 — the driver regenerates /root/testdata
+# between rounds, and a driver-held centroid list is data-derived).
+_HIER_MODELS: dict[tuple, tuple] = {}
 
 
 def _hier_model(spark: SparkSession, sf_dir: str, target: int) -> tuple:
     from ..operators.similarity import ivf_model_hier
 
-    key = (sf_dir, target)
+    key = (sf_dir, target, _fixture_token(sf_dir, "embeddings"))
     if key not in _HIER_MODELS:
         _HIER_MODELS[key] = ivf_model_hier(
             _embs(spark, sf_dir), target_occupancy=target
@@ -1822,12 +1838,13 @@ def q_ivf_pq_topk_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer: same broadcast probe gate / broadcast ADC table /
     decimal-exact sum plan as ivf_pq_topk, but the routing keeps cell
     occupancy ~constant past the flat 4096-centroid cap — the shape
-    that makes the 100 TB posting lists stay bounded
-    (operators/clustering.ivf_pq_topk with hier_model)."""
+    that makes the 100 TB posting lists stay bounded. Served from the
+    per-corpus cached index build (operators/clustering.ivf_pq_index
+    with hier_model → ivf_pq_query)."""
     from ..operators.clustering import ivf_pq_topk
 
     return ivf_pq_topk(
-        _embs(spark, sf_dir), hier_model=_hier_model(spark, sf_dir, 16)
+        _embs(spark, sf_dir), index=_ivfpq_index_cached(spark, sf_dir, "hier")
     )
 
 
@@ -1849,11 +1866,12 @@ def q_semdedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("similarity_topk_lsh", oracle=_topk_lsh_oracle())
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH (16 tables x 4
-    planes, fixed-seed literals), exact re-rank within candidate
-    buckets. pytest measures recall vs similarity_topk (~0.87 at
-    sf0.01); the driver check is a FULL deterministic replay of the
-    bucket scheme in DuckDB (was rows-only in round 3)."""
-    return cosine_topk_lsh(_embs(spark, sf_dir))
+    portable-recurrence planes), exact re-rank within candidate
+    buckets. pytest measures recall vs similarity_topk (~0.89 at
+    sf0.01, bench/plane_audit_r12.json); the driver check is a FULL
+    deterministic replay of the bucket scheme in DuckDB — since round
+    12 from the integer-recurrence CTE, no embedded plane literals."""
+    return cosine_topk_lsh(_embs(spark, sf_dir), plane_source="portable")
 
 
 # ---------------------------------------------------------------------------
@@ -3002,16 +3020,61 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Without the cache the bench re-trains per repetition and times the
 # train step instead of the query (round-7: semdedup_scaled read 20.5 s
 # at sf10 of which ~half was 4 retrains + cold assignment).
-_COARSE_MODELS: dict[tuple[str, int], list] = {}
+_COARSE_MODELS: dict[tuple, list] = {}
 
 
 def _coarse_model(spark: SparkSession, sf_dir: str, stride: int) -> list:
     from ..operators.similarity import ivf_centroids
 
-    key = (sf_dir, stride)
+    # fixture token in the key: in-place parquet regeneration retrains
+    # (round-11 VERDICT item 8 — driver-held centroids are data-derived)
+    key = (sf_dir, stride, _fixture_token(sf_dir, "embeddings"))
     if key not in _COARSE_MODELS:
         _COARSE_MODELS[key] = ivf_centroids(_embs(spark, sf_dir), stride=stride)
     return _COARSE_MODELS[key]
+
+
+# Built IVF-PQ indexes cached per corpus (round-11 VERDICT item 1:
+# real IVFADC writes codes once and serves queries from them — the
+# fused form re-ran the whole index build inside every query call,
+# ~2.4 s of the 5.74 s residual reading). Same lifecycle as
+# _NEARDUP_COMPONENTS: the cached object holds PERSISTED frames, so
+# the key carries the application id (a frame from a stopped session
+# must never be reused) AND the fixture snapshot token (in-place
+# parquet regeneration rebuilds). The three index variants (raw /
+# residual / hier-routed) of ONE corpus coexist; entries for a
+# different (app, corpus, token) prefix are evicted and unpersisted.
+_IVFPQ_INDEXES: dict[tuple, object] = {}
+
+
+def _ivfpq_index_cached(spark: SparkSession, sf_dir: str, variant: str):
+    from ..operators.clustering import ivf_pq_index
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fixture_token(sf_dir, "embeddings"),
+        variant,
+    )
+    if key not in _IVFPQ_INDEXES:
+        for old in list(_IVFPQ_INDEXES):
+            if old[:3] != key[:3]:
+                try:
+                    _IVFPQ_INDEXES.pop(old).unpersist()
+                except Exception:
+                    pass  # the old index's session may be gone
+        if variant == "hier":
+            idx = ivf_pq_index(
+                _embs(spark, sf_dir), hier_model=_hier_model(spark, sf_dir, 16)
+            )
+        else:
+            idx = ivf_pq_index(
+                _embs(spark, sf_dir),
+                centroids=_coarse_model(spark, sf_dir, 61),
+                residuals=(variant == "residual"),
+            )
+        _IVFPQ_INDEXES[key] = idx
+    return _IVFPQ_INDEXES[key]
 
 
 @register("ivf_pq_topk", oracle=_ivf_pq_topk_oracle())
@@ -3020,12 +3083,13 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF coarse routing gates each query to ~nprobe/|C| of the corpus,
     PQ Asymmetric Distance Computation scores the gated candidates
     from broadcast distance tables — the serveable-at-100TB ANN path
-    the separate IVF and PQ tiers build toward
-    (operators/clustering.ivf_pq_topk)."""
+    the separate IVF and PQ tiers build toward. Served from the
+    per-corpus cached index build (operators/clustering.ivf_pq_index
+    → ivf_pq_query via ivf_pq_topk)."""
     from ..operators.clustering import ivf_pq_topk
 
     return ivf_pq_topk(
-        _embs(spark, sf_dir), centroids=_coarse_model(spark, sf_dir, 61)
+        _embs(spark, sf_dir), index=_ivfpq_index_cached(spark, sf_dir, "raw")
     )
 
 
@@ -3036,16 +3100,15 @@ def q_ivf_pq_topk_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     residuals concentrate near the origin, so the shared codebook
     resolves local structure and recall rises at identical index size
     (recall@10 vs exact measured on both fixtures,
-    bench/pq_residual_recall_r8.json). Same plan topology as
-    ivf_pq_topk: one broadcast zip_with subtraction before the code
-    chain; the ADC table gains the probed-cell key and stays
-    broadcast-sized (operators/clustering.ivf_pq_topk residuals=True)."""
+    bench/pq_residual_recall_r8.json). Since round 12 the index is
+    built ONCE per corpus and queries serve from the persisted codes
+    (operators/clustering.ivf_pq_index residuals=True → ivf_pq_query)
+    — round-11 VERDICT item 1's index/query split."""
     from ..operators.clustering import ivf_pq_topk
 
     return ivf_pq_topk(
         _embs(spark, sf_dir),
-        centroids=_coarse_model(spark, sf_dir, 61),
-        residuals=True,
+        index=_ivfpq_index_cached(spark, sf_dir, "residual"),
     )
 
 
@@ -3523,24 +3586,19 @@ def _ann_recall_oracle(
     num_tables: int = 16,
     num_planes: int = 4,
     dim: int = 64,
-    seed: int = 42,
 ) -> str:
     """DuckDB twin of similarity.ann_recall_eval: the exact top-k CTE
-    and the FULL deterministic LSH replay (same fixed-seed planes as
-    _topk_lsh_oracle), left-joined per (q_id, n_id); recall is exact
-    small-int division (BIGINT/BIGINT -> DOUBLE in both engines)."""
-    import numpy as np
+    and the FULL deterministic LSH replay (same portable-recurrence
+    planes as _topk_lsh_oracle — integer CTE, no literals, round-11
+    VERDICT item 4), left-joined per (q_id, n_id); recall is exact
+    small-int division (BIGINT/BIGINT -> DOUBLE in both engines).
+    Indentation collapsed like _mips_lsh_oracle: the point of the
+    recurrence is an oracle that stays a compact string (< 2 KB)."""
+    import re as _re
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_tables * num_planes, dim))
-    rows = ",\n        ".join(
-        "({}, [{}])".format(pid, ", ".join(repr(x) for x in plane))
-        for pid, plane in enumerate(planes)
-    )
-    return f"""
+    return _re.sub(r"\n +", "\n ", f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-    planes(pid, p) AS (VALUES
-        {rows}),
+    {_portable_planes_ctes(num_tables * num_planes, dim)},
     bits AS (
         SELECT e.vec_id, pid // {num_planes} AS tbl, pid % {num_planes} AS j,
                CASE WHEN list_dot_product(e.v, planes.p) >= 0
@@ -3594,7 +3652,7 @@ def _ann_recall_oracle(
     FROM exact ex
     LEFT JOIN approx a ON a.q_id = ex.q_id AND a.n_id = ex.n_id
     GROUP BY ex.q_id
-    """
+    """)
 
 
 @register("ann_recall_eval", oracle=_ann_recall_oracle())
@@ -3604,10 +3662,11 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN deployment runs before trusting (and while operating) the
     approximate path. Measures the PRODUCTION plans (the two
     registered operators), join cost bounded by num_queries * k rows
-    (operators/similarity.ann_recall_eval)."""
+    (operators/similarity.ann_recall_eval, LSH side on the
+    portable-recurrence planes since round 12)."""
     from ..operators.similarity import ann_recall_eval
 
-    return ann_recall_eval(_embs(spark, sf_dir))
+    return ann_recall_eval(_embs(spark, sf_dir), plane_source="portable")
 
 
 # ---------------------------------------------------------------------------
@@ -3652,22 +3711,141 @@ def q_exact_substring_strip_hashed(spark: SparkSession, sf_dir: str) -> DataFram
     return exact_substring_strip(_docs(spark, sf_dir), hash_key=True)
 
 
+def _mips_lsh_oracle_derived(
+    k: int = 10,
+    num_queries: int = 16,
+    dim: int = 64,
+    target_bucket: int = 128,
+    recall: float = 0.95,
+    agree_p: float = 0.75,
+) -> str:
+    """DuckDB twin of q_mips_topk_lsh_auto with the (B, T) derivation
+    REPLAYED from COUNT(*) instead of pinned at the fixture-scale
+    (4, 8) constants (round-11 VERDICT item 5 — the pinned oracle
+    needed a fail-loud guard that still broke on the next
+    fixture-scale change; both rules are integer closed forms DuckDB
+    replays exactly, boundary values 2048/2049 included):
+
+        B = n <= 128 ? 4 : clamp(ceil(log2(n / 128)), 4, 16)
+        T = clamp(ceil(ln(1 - 0.95) / ln(1 - 0.75^B)), 4, 64)
+
+    0.75^B and its complement are exact binary fractions, so the only
+    transcendental steps are ln/log2 of exact doubles — correctly
+    rounded the same on both engines, and every derived value sits far
+    from a ceil boundary except at exact powers of two, where log2 is
+    exact. The plane pool is generated at the CLAMP MAXIMUM (64 tables
+    x 16 planes) and filtered to nt*nb because DuckDB's range() takes
+    only constants; 66k generator rows cost nothing. Everything
+    downstream (augmentation, recurrence planes, codes, candidate
+    join, exact re-rank) matches _mips_lsh_oracle."""
+    from ..operators.similarity import (
+        PLANE_ADD2,
+        PLANE_MOD1,
+        PLANE_MOD2,
+        PLANE_MUL1,
+        PLANE_MUL2,
+    )
+
+    d1 = dim + 1
+    import re as _re
+
+    return _re.sub(r"\n +", "\n ", f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    params AS (
+        SELECT nb, GREATEST(4, LEAST(64, CAST(ceil(
+                   ln(1.0 - {recall}) / ln(1.0 - pow({agree_p}, nb)))
+                   AS BIGINT))) AS nt
+        FROM (
+            SELECT CASE WHEN n <= {target_bucket} THEN 4
+                   ELSE GREATEST(4, LEAST(16, CAST(ceil(
+                        log2(n / {target_bucket}.0)) AS BIGINT))) END AS nb
+            FROM (SELECT count(*) AS n FROM e)
+        )
+    ),
+    m AS (SELECT sqrt(max(list_dot_product(v, v))) AS mx FROM e),
+    u AS (SELECT vec_id, v, [x / m.mx FOR x IN v] AS uu
+          FROM e CROSS JOIN m),
+    aug AS (
+        SELECT vec_id, v,
+               list_append(uu, sqrt(greatest(0.0,
+                   1.0 - list_dot_product(uu, uu)))) AS av,
+               list_append(uu, 0.0) AS aq
+        FROM u
+    ),
+    h2s AS (
+        SELECT idx,
+               (((idx + 1) * {PLANE_MUL1}) % {PLANE_MOD1}
+                * {PLANE_MUL2} + {PLANE_ADD2}) % {PLANE_MOD2} AS h2
+        FROM range({64 * 16 * d1}) t(idx)
+        WHERE idx < (SELECT nt * nb * {d1} FROM params)
+    ),
+    planes AS (
+        SELECT idx // {d1} AS pid,
+               list(((h2 * h2 % {PLANE_MOD2}) * {PLANE_MUL1} % {PLANE_MOD2}
+                     + h2) % {PLANE_MOD2} / {PLANE_MOD2}.0 * 2.0 - 1.0
+                    ORDER BY idx) AS p
+        FROM h2s GROUP BY pid
+    ),
+    cb AS (
+        SELECT aug.vec_id, pid // nb AS tbl, pid % nb AS j,
+               CASE WHEN list_dot_product(aug.av, planes.p) >= 0
+                    THEN 1 ELSE 0 END AS b
+        FROM aug CROSS JOIN planes CROSS JOIN params
+    ),
+    qb AS (
+        SELECT aug.vec_id, pid // nb AS tbl, pid % nb AS j,
+               CASE WHEN list_dot_product(aug.aq, planes.p) >= 0
+                    THEN 1 ELSE 0 END AS b
+        FROM aug CROSS JOIN planes CROSS JOIN params
+        WHERE aug.vec_id < {num_queries}
+    ),
+    ccodes AS (
+        SELECT vec_id,
+               CAST(sum(b * (1 << (nb - 1 - j)))
+                    + tbl * (1 << nb) AS BIGINT) AS bucket
+        FROM cb CROSS JOIN params GROUP BY vec_id, tbl, nb
+    ),
+    qcodes AS (
+        SELECT vec_id,
+               CAST(sum(b * (1 << (nb - 1 - j)))
+                    + tbl * (1 << nb) AS BIGINT) AS bucket
+        FROM qb CROSS JOIN params GROUP BY vec_id, tbl, nb
+    ),
+    cand AS (
+        SELECT DISTINCT qc.vec_id AS q_id, cc.vec_id AS n_id
+        FROM qcodes qc JOIN ccodes cc
+          ON qc.bucket = cc.bucket AND qc.vec_id <> cc.vec_id
+    ),
+    scored AS (
+        SELECT c.q_id, c.n_id, list_dot_product(eq.v, en.v) dp
+        FROM cand c
+        JOIN e eq ON eq.vec_id = c.q_id
+        JOIN e en ON en.vec_id = c.n_id
+    )
+    SELECT q_id, n_id, round(dp, 4) AS dotp, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY dp DESC, n_id) rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """)
+
+
 @register(
     "mips_topk_lsh_auto",
-    oracle=_mips_lsh_oracle(num_tables=8, num_planes=4),
+    oracle=_mips_lsh_oracle_derived(),
 )
 def q_mips_topk_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIPS LSH with BOTH config knobs derived instead of hard-coded
     (round-9 VERDICT item 4): B (planes/table) from the corpus size via
     lsh_planes_for_corpus — expected bucket population ~target — and T
     (tables) from the recall SLO via lsh_tables_for_recall's
-    1-(1-p^B)^T capture model. The oracle pins the driver-scale
-    derivation (corpus <= 2048 vectors -> B=4; R=0.95 at B=4 -> T=8),
-    the same fixture-scale-pinning convention as
-    dedup_embedding_cosine's num_planes=4; the rule itself is validated
-    at 800k vectors in bench/mips_rule_applied_r10.json
-    (operators/similarity.py lsh_planes_for_corpus /
-    lsh_tables_for_recall)."""
+    1-(1-p^B)^T capture model. Since round 12 the ORACLE derives
+    (B, T) from COUNT(*) too (_mips_lsh_oracle_derived), so a fixture
+    crossing a derivation boundary moves both engines in lockstep —
+    the round-10 fail-loud guard is gone because the failure mode it
+    guarded is gone. The rule itself is validated at 800k vectors in
+    bench/mips_rule_applied_r10.json (operators/similarity.py
+    lsh_planes_for_corpus / lsh_tables_for_recall)."""
     from ..operators.similarity import (
         lsh_planes_for_corpus,
         lsh_tables_for_recall,
@@ -3680,19 +3858,182 @@ def q_mips_topk_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = embs.count()
     b = lsh_planes_for_corpus(n)
     t = lsh_tables_for_recall(0.95, b)
-    if (b, t) != (4, 8):
-        # round-10 ADVICE item 1: the B=4->5 boundary sits at 2048
-        # corpus rows and the sf0.1 fixture already holds 2000 — a
-        # regenerated/larger fixture would silently flip the derived
-        # config away from the one the static oracle pins. Fail loud
-        # and diagnosable instead of hash-mismatching.
-        raise ValueError(
-            f"mips_topk_lsh_auto: derived (B={b}, T={t}) from "
-            f"{n} corpus rows, but the committed oracle pins (B=4, "
-            "T=8) — the fixture crossed a derivation boundary; "
-            "regenerate the oracle with _mips_lsh_oracle(num_tables=T, "
-            "num_planes=B) to match"
-        )
+    return mips_topk_lsh(
+        embs, num_tables=t, num_planes=b, plane_source="portable"
+    )
+
+
+def _mips_lsh_oracle_paired(
+    k: int = 10,
+    num_queries: int = 16,
+    dim: int = 64,
+    target_bucket: int = 128,
+    recall: float = 0.85,
+) -> str:
+    """DuckDB twin of q_mips_topk_lsh_paired: B from COUNT(*) exactly
+    as _mips_lsh_oracle_derived, T from the PAIR-DISTRIBUTION rule
+    (similarity.lsh_tables_for_recall_from_pairs) replayed end-to-end:
+    exact MIPS top-k pairs (ranked by unrounded dot, p computed from
+    the 4dp-rounded output column — the exact frame
+    _pair_agree_frame reads), per-pair augmented-space agreement
+    p = 1 - acos(dotp / (mx*|q|)) / pi clamped to [0.01, 0.99], then
+    the smallest T in [4, 64] whose model-mean capture
+    avg(1 - (1 - p^B)^T) reaches the 0.85 SLO. Engine-portability of
+    the derivation: the T-step margins at both fixtures are >= 5e-4
+    (numpy dry run, bench/plane_audit_r12.json round) while acos/avg
+    cross-engine noise is ~1e-15, so the scan cannot flip; everything
+    downstream matches _mips_lsh_oracle_derived."""
+    from ..operators.similarity import (
+        PLANE_ADD2,
+        PLANE_MOD1,
+        PLANE_MOD2,
+        PLANE_MUL1,
+        PLANE_MUL2,
+    )
+
+    d1 = dim + 1
+    import re as _re
+
+    return _re.sub(r"\n +", "\n ", f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    pb AS (
+        SELECT CASE WHEN n <= {target_bucket} THEN 4
+               ELSE GREATEST(4, LEAST(16, CAST(ceil(
+                    log2(n / {target_bucket}.0)) AS BIGINT))) END AS nb
+        FROM (SELECT count(*) AS n FROM e)
+    ),
+    m AS (SELECT sqrt(max(list_dot_product(v, v))) AS mx FROM e),
+    xs AS (
+        SELECT q.vec_id q_id, c.vec_id n_id, list_dot_product(q.v, c.v) dp
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {num_queries}
+    ),
+    tp AS (
+        SELECT q_id, round(dp, 4) AS dotp FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY dp DESC, n_id) rk
+            FROM xs
+        ) WHERE rk <= {k}
+    ),
+    pairp AS (
+        SELECT least(0.99, greatest(0.01,
+                   1.0 - acos(least(1.0, greatest(-1.0,
+                       tp.dotp / (m.mx * qn.qnorm)))) / pi())) AS p
+        FROM tp
+        JOIN (SELECT vec_id, sqrt(list_dot_product(v, v)) qnorm
+              FROM e WHERE vec_id < {num_queries}) qn
+          ON qn.vec_id = tp.q_id
+        CROSS JOIN m
+    ),
+    ts AS (
+        SELECT tt.t AS cand_t,
+               avg(1.0 - pow(1.0 - pow(p, nb), tt.t)) AS rec
+        FROM pairp CROSS JOIN range(4, 65) tt(t) CROSS JOIN pb
+        GROUP BY tt.t
+    ),
+    params AS (
+        SELECT nb, COALESCE(
+            (SELECT min(cand_t) FROM ts WHERE rec >= {recall}),
+            64) AS nt
+        FROM pb
+    ),
+    u AS (SELECT vec_id, v, [x / m.mx FOR x IN v] AS uu
+          FROM e CROSS JOIN m),
+    aug AS (
+        SELECT vec_id, v,
+               list_append(uu, sqrt(greatest(0.0,
+                   1.0 - list_dot_product(uu, uu)))) AS av,
+               list_append(uu, 0.0) AS aq
+        FROM u
+    ),
+    h2s AS (
+        SELECT idx,
+               (((idx + 1) * {PLANE_MUL1}) % {PLANE_MOD1}
+                * {PLANE_MUL2} + {PLANE_ADD2}) % {PLANE_MOD2} AS h2
+        FROM range({64 * 16 * d1}) t(idx)
+        WHERE idx < (SELECT nt * nb * {d1} FROM params)
+    ),
+    planes AS (
+        SELECT idx // {d1} AS pid,
+               list(((h2 * h2 % {PLANE_MOD2}) * {PLANE_MUL1} % {PLANE_MOD2}
+                     + h2) % {PLANE_MOD2} / {PLANE_MOD2}.0 * 2.0 - 1.0
+                    ORDER BY idx) AS p
+        FROM h2s GROUP BY pid
+    ),
+    cb AS (
+        SELECT aug.vec_id, pid // nb AS tbl, pid % nb AS j,
+               CASE WHEN list_dot_product(aug.av, planes.p) >= 0
+                    THEN 1 ELSE 0 END AS b
+        FROM aug CROSS JOIN planes CROSS JOIN params
+    ),
+    qb AS (
+        SELECT aug.vec_id, pid // nb AS tbl, pid % nb AS j,
+               CASE WHEN list_dot_product(aug.aq, planes.p) >= 0
+                    THEN 1 ELSE 0 END AS b
+        FROM aug CROSS JOIN planes CROSS JOIN params
+        WHERE aug.vec_id < {num_queries}
+    ),
+    ccodes AS (
+        SELECT vec_id,
+               CAST(sum(b * (1 << (nb - 1 - j)))
+                    + tbl * (1 << nb) AS BIGINT) AS bucket
+        FROM cb CROSS JOIN params GROUP BY vec_id, tbl, nb
+    ),
+    qcodes AS (
+        SELECT vec_id,
+               CAST(sum(b * (1 << (nb - 1 - j)))
+                    + tbl * (1 << nb) AS BIGINT) AS bucket
+        FROM qb CROSS JOIN params GROUP BY vec_id, tbl, nb
+    ),
+    cand AS (
+        SELECT DISTINCT qc.vec_id AS q_id, cc.vec_id AS n_id
+        FROM qcodes qc JOIN ccodes cc
+          ON qc.bucket = cc.bucket AND qc.vec_id <> cc.vec_id
+    ),
+    scored AS (
+        SELECT c.q_id, c.n_id, list_dot_product(eq.v, en.v) dp
+        FROM cand c
+        JOIN e eq ON eq.vec_id = c.q_id
+        JOIN e en ON en.vec_id = c.n_id
+    )
+    SELECT q_id, n_id, round(dp, 4) AS dotp, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY dp DESC, n_id) rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """)
+
+
+@register("mips_topk_lsh_paired", oracle=_mips_lsh_oracle_paired())
+def q_mips_topk_lsh_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS LSH with T derived from the PAIR DISTRIBUTION (round-11
+    VERDICT item 6 — promoting the rule the round-11 bench artifacts
+    validated at 800k vectors into a driver-checked query, the same
+    path mips_topk_lsh_auto took for the B rule): B from
+    lsh_planes_for_corpus as before; the plane-agreement sample
+    p_i = 1 - θ_i/π over the true top-k MIPS pairs
+    (plane_agree_p_sample — a bounded ≤ num_queries·k driver collect),
+    then lsh_tables_for_recall_from_pairs picks the smallest T whose
+    model-mean capture meets the 0.85 SLO. Deriving from the
+    distribution, not the mean, closes the Jensen-gap over-promise
+    (mean-p T=13 → recall 0.823 < SLO at 800k;
+    bench/mips_rule_applied_r11.json). The oracle replays the whole
+    derivation from COUNT(*) and the exact-pair CTE — no pinned
+    constants, no embedded plane literals."""
+    from ..operators.similarity import (
+        lsh_planes_for_corpus,
+        lsh_tables_for_recall_from_pairs,
+        mips_topk_lsh,
+        plane_agree_p_sample,
+    )
+
+    embs = _embs(spark, sf_dir)
+    # Bounded driver scalars: corpus row count + the ≤ 160-float pair
+    # sample — both in the sanctioned model-parameter collect class.
+    n = embs.count()
+    b = lsh_planes_for_corpus(n)
+    ps = plane_agree_p_sample(embs)
+    t = lsh_tables_for_recall_from_pairs(ps, 0.85, b)
     return mips_topk_lsh(
         embs, num_tables=t, num_planes=b, plane_source="portable"
     )

@@ -458,7 +458,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
 
-_IVF_MODELS: dict[str, list] = {}
+# Keyed on the fixture snapshot token too (round-11 VERDICT item 8):
+# driver-held centroids are data-derived, so an in-place parquet
+# regeneration must retrain, not serve the stale model.
+_IVF_MODELS: dict[tuple, list] = {}
 
 
 @register(
@@ -514,10 +517,13 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifecycle)."""
     from ..operators.similarity import ivf_centroids
 
+    from .registry_ext import _fixture_token
+
     embs = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _IVF_MODELS:
-        _IVF_MODELS[sf_dir] = ivf_centroids(embs)
-    return cosine_topk_ivf(embs, centroids=_IVF_MODELS[sf_dir])
+    key = (sf_dir, _fixture_token(sf_dir, "embeddings"))
+    if key not in _IVF_MODELS:
+        _IVF_MODELS[key] = ivf_centroids(embs)
+    return cosine_topk_ivf(embs, centroids=_IVF_MODELS[key])
 
 
 @register(

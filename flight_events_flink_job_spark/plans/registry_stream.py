@@ -57,6 +57,7 @@ BENCH_SKIP = {
     "segment_revenue_bucketed",
     "orders_zordered",
     "stream_similarity_radius",
+    "stream_ivfpq_serving",
 }
 
 
@@ -602,3 +603,31 @@ def q_stream_similarity_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_radius_from_staged(
         spark, staging, ckpt, embs.filter(F.col("vec_id") < 16)
     )
+
+
+@register("stream_ivfpq_serving", oracle=ORACLES["ivf_pq_topk_residual"])
+def q_stream_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-tier batch/stream unification (round-11 VERDICT item 7):
+    the residual IVFADC index is built ONCE batch-side (persisted
+    cells/codes/codebook, per-corpus cache — the round-12 index/query
+    split) and a continuous stream of QUERY vectors is served from it
+    in 4 micro-batches with zero per-batch index work. The appended
+    union must hash-equal the batch ivf_pq_topk_residual oracle
+    exactly (ranking is per q_id; every candidate of a query scores
+    inside its own micro-batch against the static persisted corpus
+    artifacts). Soak evidence that batches never rebuild:
+    bench/stream_ivfpq_soak_r12.json (tools/stream_ivfpq_soak.py)
+    (streaming/similarity.drain_ivfpq_queries_from_staged)."""
+    import pyspark.sql.functions as F
+
+    from ..streaming.similarity import drain_ivfpq_queries_from_staged
+    from .registry_ext import _ivfpq_index_cached
+
+    base = tempfile.mkdtemp(prefix="stream_ivfpq_")
+    staging, ckpt = f"{base}/in", f"{base}/ckpt"
+    embs = load_table(spark, sf_dir, "embeddings")
+    embs.filter(F.col("vec_id") < 16).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    idx = _ivfpq_index_cached(spark, sf_dir, "residual")
+    return drain_ivfpq_queries_from_staged(spark, staging, ckpt, idx)

@@ -80,6 +80,23 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+def fixture_token(sf_dir: str, table: str = "documents") -> tuple:
+    """Snapshot identity of a fixture table: (mtime_ns, size) of its
+    parquet — changes whenever the driver regenerates the file, so any
+    module-level cache keyed on it self-invalidates on in-place regen
+    (the round-9/10 fixture-regeneration gotcha, BASELINE §9;
+    ``spark.catalog.clearCache()`` does not reach module-level
+    handles). Canonical home since round 12 — every data-derived
+    module cache must key on this or be declared exempt
+    (tests/test_cache_invalidation.py)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (None, None)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (parquet scan; Catalyst prunes columns).
 

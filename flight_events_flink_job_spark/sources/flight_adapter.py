@@ -210,7 +210,10 @@ def flights_from_events(spark, sf_dir: str) -> DataFrame:
     return valid_flights(parse_flight_events(raw))
 
 
-# Parsed-flights staging cache, keyed by (Spark application, sf_dir).
+# Parsed-flights staging cache, keyed by (Spark application, sf_dir,
+# fixture snapshot token) — the token invalidates on in-place parquet
+# regeneration (round-11 VERDICT item 8; a persisted frame over
+# rewritten bytes would serve stale rows otherwise).
 _SHARED_FLIGHTS: dict = {}
 
 
@@ -233,9 +236,24 @@ def shared_flights(spark, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from .fixtures import fixture_token
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        fixture_token(sf_dir, "events"),
+    )
     df = _SHARED_FLIGHTS.get(key)
     if df is None:
+        # evict ONLY a stale snapshot of this same (app, sf_dir) — the
+        # in-place-regen case; concurrent entries for other fixture
+        # dirs keep their parse-once contract
+        for old in list(_SHARED_FLIGHTS):
+            if old[:2] == key[:2]:
+                try:
+                    _SHARED_FLIGHTS.pop(old).unpersist()
+                except Exception:
+                    pass  # the old frame's session may be gone
         df = flights_from_events(spark, sf_dir).persist(
             StorageLevel.MEMORY_AND_DISK
         )

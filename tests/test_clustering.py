@@ -569,3 +569,90 @@ def test_residual_pq_gate_and_recall_on_planted_blobs(spark):
         return hits / total
 
     assert recall(res) >= recall(raw), (recall(res), recall(raw))
+
+
+def test_ivfpq_index_build_once_serve_many(spark, sf_dir):
+    """Round-11 VERDICT item 1 (the index/query split): ivf_pq_index
+    must return PERSISTED, materialized artifacts; ivf_pq_query over
+    them must equal the fused ivf_pq_topk result exactly (both modes);
+    and a second query set must serve from the SAME artifacts — no
+    rebuild. unpersist() must release every cached frame."""
+    from flight_events_flink_job_spark.operators.clustering import (
+        ivf_pq_index,
+        ivf_pq_query,
+        ivf_pq_topk,
+    )
+
+    embs = _embs(spark, sf_dir)
+    for residuals in (False, True):
+        idx = ivf_pq_index(embs, residuals=residuals)
+        # artifacts persisted + already materialized by the build
+        for df in (idx.cells, idx.codes, idx.codebook):
+            assert df.storageLevel.useMemory or df.storageLevel.useDisk
+        fused = sorted(
+            map(
+                tuple,
+                ivf_pq_topk(
+                    embs, k=5, num_queries=4, residuals=residuals
+                ).collect(),
+            )
+        )
+        split = sorted(
+            map(
+                tuple,
+                ivf_pq_query(
+                    idx, embs.filter(F.col("vec_id") < 4), k=5
+                ).collect(),
+            )
+        )
+        assert split == fused and len(split) > 0
+        # a different query set reuses the same persisted artifacts
+        more = ivf_pq_query(
+            idx, embs.filter(F.col("vec_id").between(4, 7)), k=5
+        ).collect()
+        assert {r.q_id for r in more} == {4, 5, 6, 7}
+        idx.unpersist()
+        for df in (idx.cells, idx.codes, idx.codebook):
+            assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+
+
+def test_ivfpq_registry_cache_is_per_fixture_token(spark, sf_dir):
+    """The registry's index cache must hand back the SAME index object
+    for repeat calls on one corpus (serve path), keep distinct
+    variants of one corpus concurrently, and key on the fixture
+    snapshot token so an in-place regeneration rebuilds."""
+    from flight_events_flink_job_spark.plans import registry_ext as rx
+
+    i1 = rx._ivfpq_index_cached(spark, sf_dir, "residual")
+    i2 = rx._ivfpq_index_cached(spark, sf_dir, "residual")
+    assert i1 is i2, "repeat call must serve the cached index"
+    raw = rx._ivfpq_index_cached(spark, sf_dir, "raw")
+    assert raw is not i1
+    # both variants of the live corpus coexist in the cache
+    live = [k for k in rx._IVFPQ_INDEXES if k[1] == sf_dir]
+    assert len(live) >= 2
+    # key carries the fixture token (position 2): a moved token is a miss
+    key = next(k for k in rx._IVFPQ_INDEXES if k[3] == "residual")
+    assert key[2] == rx._fixture_token(sf_dir, "embeddings")
+
+
+def test_ivfpq_index_split_artifact():
+    """ARTIFACT-CONSISTENCY CHECK (round-11 VERDICT item 1): with the
+    index built once per corpus and queries served from persisted
+    codes, ivf_pq_topk_residual's steady-state quiet-host median must
+    sit under HALF of the round-11 adjudicated 5.74 s per-call-rebuild
+    reading (BASELINE §10b). Live equivalence is the driver oracle
+    green (the split moves WHERE the build runs, not what it
+    computes); regenerate via tools/time_query.py ivf_pq_topk_residual
+    --reps 6 --sf-dir /root/testdata/sf0.1."""
+    import json
+    import pathlib
+
+    art = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "bench"
+        / "ivfpq_index_split_r12.json"
+    )
+    d = json.loads(art.read_text())
+    assert d["query"] == "ivf_pq_topk_residual" and d["reps"] >= 5
+    assert d["median_sec"] < 0.5 * 5.74

@@ -1084,3 +1084,28 @@ def test_expire_soak_artifact_state_bounded_and_apis_equal():
         assert d["state_rows_max_q4"] < 0.15 * d["distinct_keys_seen"]
     assert cmp_line["multisets_equal"]
     assert cmp_line["v1_tombstones"] == cmp_line["v2_tombstones"] > 0
+
+
+def test_stream_ivfpq_soak_artifact_no_rebuild_and_values_match():
+    """ARTIFACT-CONSISTENCY CHECK (round-11 VERDICT item 7,
+    bench/stream_ivfpq_soak_r12.json): the streaming IVFADC serving
+    soak — query micro-batches answered from the batch-built persisted
+    index — must show ZERO index builds during the stream across >= 8
+    micro-batches, the streamed union equal to the batch serve, and a
+    per-batch serve cost far below the one-time build. Live
+    equivalence at fixture scale is the driver oracle green for
+    stream_ivfpq_serving (same oracle as ivf_pq_topk_residual);
+    regenerate via tools/stream_ivfpq_soak.py."""
+    import json
+    import pathlib
+
+    art = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "bench"
+        / "stream_ivfpq_soak_r12.json"
+    )
+    d = json.loads(art.read_text())
+    assert d["index_builds_during_stream"] == 0
+    assert d["n_batches"] >= 8
+    assert d["values_match"] is True
+    assert d["median_batch_sec"] < 0.5 * d["build_sec"]
