@@ -52,7 +52,7 @@ AUDIT = [
     ("similarity_topk_ivf_hier", "two-level Arrow routing, same posting-list gate + exact re-rank"),
     ("ivf_pq_topk_hier", "hier cell gate -> code join -> broadcast ADC table -> k-window"),
     ("semdedup_hier", "hier assignment, broadcast cell-centroid d2, one applyInPandas pass"),
-    ("ivf_pq_topk_residual", "residual subtraction vs broadcast centroids -> residual Lloyd -> per-cell ADC"),
+    ("ivf_pq_topk_residual", "r12 SERVE plan: InMemoryTableScans over persisted cells/codes + broadcast per-cell ADC — no Lloyd, no ranker in the query path"),
     # round-9 session additions:
     ("mips_topk", "broadcast 16 queries, ONE corpus scan, inner-product BNLJ + bounded top-k"),
     ("mips_topk_lsh", "norm-augmented sign-LSH bucket equi-join, exact dot re-rank, no corpus cross"),
@@ -65,6 +65,9 @@ AUDIT = [
     # round-11 additions:
     ("multimodal_png_dhash_rgb", "RGB PNG encode/decode + integer luma -> dhash; same no-shuffle Arrow tier"),
     ("incremental_neardup", "persisted prelude (pairs + shingle sets) feeding live verify + anti-join"),
+    # round-12 additions (index/query split + paired-T promotion):
+    ("mips_topk_lsh_paired", "pair-derived T sign-LSH: same bucket equi-join shape, T from the pair sample"),
+    ("similarity_topk_lsh", "portable-recurrence planes: plan identical to the seeded draw (UDF closure swap)"),
 ]
 
 
