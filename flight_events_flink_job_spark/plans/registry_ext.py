@@ -4004,6 +4004,39 @@ def _mips_lsh_oracle_paired(
     """)
 
 
+# Pair-derived (B, T) configs cached per corpus: the exact-pair
+# sample behind the T rule is the family's train step (one brute-force
+# scan over num_queries queries), a pure function of (corpus, SLO) —
+# recomputing it on every query call is the same per-call-rebuild
+# shape the round-12 IVFADC split removed (bench: 2.93 s/call at
+# sf0.1, ~1 s of it the sample). Keyed on the fixture token like the
+# other driver-held models.
+_MIPS_PAIR_CONFIGS: dict[tuple, tuple[int, int]] = {}
+
+
+def _mips_paired_config(
+    spark: SparkSession, sf_dir: str, recall: float = 0.85
+) -> tuple[int, int]:
+    from ..operators.similarity import (
+        lsh_planes_for_corpus,
+        lsh_tables_for_recall_from_pairs,
+        plane_agree_p_sample,
+    )
+
+    key = (sf_dir, _fixture_token(sf_dir, "embeddings"), recall)
+    if key not in _MIPS_PAIR_CONFIGS:
+        embs = _embs(spark, sf_dir)
+        # Bounded driver scalars: corpus row count + the ≤ 160-float
+        # pair sample — the sanctioned model-parameter collect class.
+        b = lsh_planes_for_corpus(embs.count())
+        ps = plane_agree_p_sample(embs)
+        _MIPS_PAIR_CONFIGS[key] = (
+            b,
+            lsh_tables_for_recall_from_pairs(ps, recall, b),
+        )
+    return _MIPS_PAIR_CONFIGS[key]
+
+
 @register("mips_topk_lsh_paired", oracle=_mips_lsh_oracle_paired())
 def q_mips_topk_lsh_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIPS LSH with T derived from the PAIR DISTRIBUTION (round-11
@@ -4019,23 +4052,18 @@ def q_mips_topk_lsh_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mean-p T=13 → recall 0.823 < SLO at 800k;
     bench/mips_rule_applied_r11.json). The oracle replays the whole
     derivation from COUNT(*) and the exact-pair CTE — no pinned
-    constants, no embedded plane literals."""
-    from ..operators.similarity import (
-        lsh_planes_for_corpus,
-        lsh_tables_for_recall_from_pairs,
-        mips_topk_lsh,
-        plane_agree_p_sample,
-    )
+    constants, no embedded plane literals. The derived (B, T) is
+    cached per corpus fixture token (_mips_paired_config): the pair
+    sample is the rule's train step and runs once per corpus, not per
+    query call."""
+    from ..operators.similarity import mips_topk_lsh
 
-    embs = _embs(spark, sf_dir)
-    # Bounded driver scalars: corpus row count + the ≤ 160-float pair
-    # sample — both in the sanctioned model-parameter collect class.
-    n = embs.count()
-    b = lsh_planes_for_corpus(n)
-    ps = plane_agree_p_sample(embs)
-    t = lsh_tables_for_recall_from_pairs(ps, 0.85, b)
+    b, t = _mips_paired_config(spark, sf_dir)
     return mips_topk_lsh(
-        embs, num_tables=t, num_planes=b, plane_source="portable"
+        _embs(spark, sf_dir),
+        num_tables=t,
+        num_planes=b,
+        plane_source="portable",
     )
 
 

@@ -37,6 +37,7 @@ TOKEN_KEYED = [
     ("plans.registry_ext", "_HIER_MODELS", "embeddings"),
     ("plans.registry_ext", "_COARSE_MODELS", "embeddings"),
     ("plans.registry_ext", "_IVFPQ_INDEXES", "embeddings"),
+    ("plans.registry_ext", "_MIPS_PAIR_CONFIGS", "embeddings"),
     ("plans.registry_rel", "_IVF_MODELS", "embeddings"),
     ("sources.flight_adapter", "_SHARED_FLIGHTS", "events"),
 ]
@@ -98,6 +99,12 @@ def _populate(module: str, attr: str, spark, sf_dir: str) -> None:
         )
 
         _ivfpq_index_cached(spark, sf_dir, "raw")
+    elif attr == "_MIPS_PAIR_CONFIGS":
+        from flight_events_flink_job_spark.plans.registry_ext import (
+            _mips_paired_config,
+        )
+
+        _mips_paired_config(spark, sf_dir)
     elif attr == "_IVF_MODELS":
         # populated by the registered query itself (its builder is
         # inline in q_similarity_topk_ivf)
