@@ -546,6 +546,7 @@ class IvfPqIndex:
         m: int,
         dim: int,
         residuals: bool,
+        routing: tuple | None = None,
     ):
         self.cells = cells
         self.codes = codes
@@ -555,6 +556,10 @@ class IvfPqIndex:
         self.m = m
         self.dim = dim
         self.residuals = residuals
+        # ("flat", [(cid, vec), ...]) or ("hier", (l1, l2)) — the
+        # driver-held routing model behind cell_ranker, kept so
+        # write_ivf_pq_index can serialize what the closure can't
+        self.routing = routing
 
     def unpersist(self) -> None:
         for df in (self.cells, self.codes, self.codebook):
@@ -610,6 +615,7 @@ def ivf_pq_index(
         cell_cent_list = sorted(
             cell for lst in hier_model[1].values() for cell in lst
         )
+        routing = ("hier", hier_model)
 
         def cell_ranker(col, n):
             return _ranked_cells_hier(col, hier_model, n)
@@ -620,6 +626,7 @@ def ivf_pq_index(
             else ivf_centroids(embeddings, ivf_stride)
         )
         cell_cent_list = cents
+        routing = ("flat", cents)
 
         def cell_ranker(col, n):
             return _ranked_centroids(col, cents, n)
@@ -682,7 +689,9 @@ def ivf_pq_index(
     cells.count()
     if res_src is not None:
         res_src.unpersist()
-    return IvfPqIndex(cells, codes, cent, cvdf, cell_ranker, m, dim, residuals)
+    return IvfPqIndex(
+        cells, codes, cent, cvdf, cell_ranker, m, dim, residuals, routing
+    )
 
 
 def ivf_pq_query(
@@ -780,6 +789,125 @@ def ivf_pq_query(
             F.round(F.col("adc_dec"), 4).cast("double").alias("adc_d2"),
             F.col("rank").cast("bigint").alias("rank"),
         )
+    )
+
+
+def write_ivf_pq_index(index: IvfPqIndex, path: str) -> None:
+    """Persist a built :class:`IvfPqIndex` to ``path`` — the LITERAL
+    "write codes once" half of the IVFADC lifecycle, durable across
+    Spark sessions (the in-session persisted-frame cache of
+    plans/registry_ext._IVFPQ_INDEXES dies with the application).
+
+    Layout: ``cells/``, ``codes/``, ``codebook/`` as parquet (the
+    corpus-sized artifacts go through Spark writers, so any
+    Hadoop-supported filesystem works at fleet scale) plus
+    ``meta.json`` carrying (m, dim, residuals) and the driver-held
+    routing model — flat centroid list or two-level hier model — which
+    the closure-based ``cell_ranker`` can't serialize itself. Floats
+    round-trip exactly (json uses shortest-round-trip repr), so a
+    reloaded index routes queries bit-identically. The metadata write
+    uses a local file handle; on an object store swap it for the
+    FileSystem API alongside the parquet dirs.
+    """
+    import json as _json
+    import os as _os
+
+    index.cells.write.mode("overwrite").parquet(f"{path}/cells")
+    index.codes.write.mode("overwrite").parquet(f"{path}/codes")
+    index.codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+    if index.routing is None:
+        raise ValueError(
+            "write_ivf_pq_index: index carries no routing model "
+            "(built outside ivf_pq_index?) — cannot serialize the "
+            "cell ranker"
+        )
+    kind, model = index.routing
+    if kind == "hier":
+        ser = {
+            "l1": [[int(s), list(map(float, v))] for s, v in model[0]],
+            "l2": {
+                str(s): [[int(c), list(map(float, v))] for c, v in cells]
+                for s, cells in model[1].items()
+            },
+        }
+    else:
+        ser = [[int(c), list(map(float, v))] for c, v in model]
+    meta = {
+        "m": index.m,
+        "dim": index.dim,
+        "residuals": index.residuals,
+        "routing": kind,
+        "model": ser,
+    }
+    _os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as f:
+        _json.dump(meta, f)
+
+
+def read_ivf_pq_index(spark, path: str) -> IvfPqIndex:
+    """Load an index written by :func:`write_ivf_pq_index`: rebuild
+    the routing expression from the serialized model, re-persist and
+    materialize the artifact frames, and hand back an
+    :class:`IvfPqIndex` that serves via :func:`ivf_pq_query`
+    bit-identically to the index that was written (pinned by
+    tests/test_clustering.py::test_ivfpq_index_disk_roundtrip) —
+    without re-running any train or encode work."""
+    import json as _json
+
+    from pyspark import StorageLevel
+
+    from .similarity import _ranked_cells_hier, _ranked_centroids
+
+    with open(f"{path}/meta.json") as f:
+        meta = _json.load(f)
+    if meta["routing"] == "hier":
+        l1 = [(int(s), list(map(float, v))) for s, v in meta["model"]["l1"]]
+        l2 = {
+            int(s): [(int(c), list(map(float, v))) for c, v in cells]
+            for s, cells in meta["model"]["l2"].items()
+        }
+        hier = (l1, l2)
+        cell_cent_list = sorted(
+            cell for lst in l2.values() for cell in lst
+        )
+        routing: tuple = ("hier", hier)
+
+        def cell_ranker(col, n):
+            return _ranked_cells_hier(col, hier, n)
+    else:
+        cents = [(int(c), list(map(float, v))) for c, v in meta["model"]]
+        cell_cent_list = cents
+        routing = ("flat", cents)
+
+        def cell_ranker(col, n):
+            return _ranked_centroids(col, cents, n)
+
+    cells = spark.read.parquet(f"{path}/cells").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    codes = spark.read.parquet(f"{path}/codes").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    codebook = spark.read.parquet(f"{path}/codebook").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cvdf = spark.createDataFrame(
+        [(int(c), list(map(float, v))) for c, v in cell_cent_list],
+        "cell BIGINT, cv ARRAY<DOUBLE>",
+    )
+    codebook.count()
+    codes.count()
+    cells.count()
+    return IvfPqIndex(
+        cells,
+        codes,
+        codebook,
+        cvdf,
+        cell_ranker,
+        int(meta["m"]),
+        int(meta["dim"]),
+        bool(meta["residuals"]),
+        routing,
     )
 
 

@@ -685,3 +685,42 @@ def test_ivfpq_scale_artifact_build_once_serve_flat():
     # serve does not grow with the corpus (the codes-only property):
     by_n = sorted(rows, key=lambda r: r["n_vectors"])
     assert by_n[-1]["serve_median_sec"] <= 2 * by_n[0]["serve_median_sec"]
+
+
+def test_ivfpq_index_disk_roundtrip(spark, sf_dir, tmp_path):
+    """write_ivf_pq_index / read_ivf_pq_index: the on-disk form of the
+    round-12 split. A reloaded index must serve bit-identically to the
+    index it was written from, in every routing/encoding mode (flat
+    raw, flat residual, hierarchical), without re-running train or
+    encode work — the literal cross-session 'write codes once'."""
+    from flight_events_flink_job_spark.operators.clustering import (
+        ivf_pq_index,
+        ivf_pq_query,
+        read_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+    from flight_events_flink_job_spark.operators.similarity import (
+        ivf_model_hier,
+    )
+
+    embs = _embs(spark, sf_dir)
+    q = embs.filter(F.col("vec_id") < 8)
+    cases = [
+        ("flat_raw", dict(residuals=False)),
+        ("flat_res", dict(residuals=True)),
+        ("hier", dict(hier_model=ivf_model_hier(embs, target_occupancy=16))),
+    ]
+    for name, kw in cases:
+        idx = ivf_pq_index(embs, **kw)
+        want = sorted(map(tuple, ivf_pq_query(idx, q).collect()))
+        path = str(tmp_path / name)
+        write_ivf_pq_index(idx, path)
+        idx.unpersist()
+        loaded = read_ivf_pq_index(spark, path)
+        got = sorted(map(tuple, ivf_pq_query(loaded, q).collect()))
+        assert got == want and len(got) > 0, name
+        # artifacts come back persisted + materialized — serving needs
+        # no rebuild
+        for df in (loaded.cells, loaded.codes, loaded.codebook):
+            assert df.storageLevel.useMemory or df.storageLevel.useDisk
+        loaded.unpersist()
