@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textual import jaccard, token_set_key
 from ..functions.vectors import cosine_arrow, to_double
-from .util import spread
+from .util import spread, spread_by
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -95,8 +95,13 @@ def exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     alternative (functions/textual.py word_shingles) evaluates its
     higher-order ``transform`` interpreted and re-evaluates ``split``
     per element — measured ~8s vs ~1s at sf0.1 for the same output.
+    r12: the input spread is KEYED on doc_id (:func:`spread_by`) so the
+    window consumes the pinned exchange directly — one shuffle instead
+    of round-robin + an AQE-coalescible ENSURE_REQUIREMENTS exchange
+    that serialized the whole shingle-assembly stage (1.0-1.3 s →
+    0.5 s at sf0.1, and this primitive feeds every dedup-tier query).
     """
-    toks = spread(docs).select(
+    toks = spread_by(docs, "doc_id").select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -114,17 +119,27 @@ def exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+def shingle_sets(
+    docs: DataFrame, n: int = 3, exploded: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, shingles ARRAY<STRING>) with distinct word n-gram
-    shingles (array order unspecified — consumers are set-algebraic)."""
-    return (
-        exploded_shingles(docs, n)
-        .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("shingles"))
+    shingles (array order unspecified — consumers are set-algebraic).
+    ``exploded``: reuse a precomputed :func:`exploded_shingles` frame
+    (r12: multi-consumer operators checkpoint the shingle prelude once
+    instead of re-deriving it per branch)."""
+    if exploded is None:
+        exploded = exploded_shingles(docs, n)
+    return exploded.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shingles")
     )
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    exploded: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>[num_hashes]) MinHash signatures.
 
     sig[i] = min over shingles of xxhash64(shingle, i) (Spark's
@@ -137,7 +152,9 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3) -> Dat
     is partial-min-aggregated before the exchange, so it moves one
     64-long row per doc per partition, not the exploded shingles.
     """
-    exploded = exploded_shingles(docs, n).withColumnRenamed("shingle", "s")
+    if exploded is None:
+        exploded = exploded_shingles(docs, n)
+    exploded = exploded.withColumnRenamed("shingle", "s")
     mins = [
         F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -222,8 +239,16 @@ def dedup_near_minhash(
     exact on the fixture distribution (near-dups cluster at j>=0.85,
     background mass at j~0).
     """
-    sh = shingle_sets(docs, n)
-    cands = lsh_candidate_pairs(minhash_signatures(docs, num_hashes, n), bands)
+    # r12: the signature path and the verify path each re-derived the
+    # shingle prelude (scan + tokenize + window + distinct) — one
+    # eager localCheckpoint computes it once and both branches read
+    # the materialized rows (guide §5; same intra-query pattern as
+    # connected_components).
+    exploded = exploded_shingles(docs, n).localCheckpoint(eager=True)
+    sh = shingle_sets(docs, n, exploded=exploded)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(docs, num_hashes, n, exploded=exploded), bands
+    )
     return verify_jaccard(cands, sh, threshold)
 
 
@@ -393,11 +418,17 @@ def dedup_ngram_jaccard(
         candidates = (
             "linear" if lsh_bands_for_threshold(threshold) is not None else "exact"
         )
+    # r12: candidate generation (both LSH and prefix legs) and the
+    # verify tier each re-derived the shingle prelude — up to three
+    # scans+windows per call. One eager localCheckpoint shares it.
+    exploded = exploded_shingles(docs, n).localCheckpoint(eager=True)
     if candidates == "exact":
-        pairs = prefix_filter_pairs(exploded_shingles(docs, n), threshold)
+        pairs = prefix_filter_pairs(exploded, threshold)
     else:
-        pairs = linear_candidate_pairs(docs, threshold, n)
-    return verify_jaccard(pairs, shingle_sets(docs, n), threshold)
+        pairs = linear_candidate_pairs(docs, threshold, n, exploded=exploded)
+    return verify_jaccard(
+        pairs, shingle_sets(docs, n, exploded=exploded), threshold
+    )
 
 
 def linear_candidate_pairs(
@@ -407,6 +438,7 @@ def linear_candidate_pairs(
     num_hashes: int | None = None,
     bands: int | None = None,
     df_cap: int = 64,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate stream for the cluster-dedup pipeline:
     the UNION of two independent, individually-linear generators —
@@ -450,8 +482,12 @@ def linear_candidate_pairs(
             )
     if num_hashes is None:
         num_hashes = 4 * bands
-    lsh = lsh_candidate_pairs(minhash_signatures(docs, num_hashes, n), bands)
-    capped = prefix_filter_pairs(exploded_shingles(docs, n), threshold, df_cap)
+    if exploded is None:
+        exploded = exploded_shingles(docs, n)
+    lsh = lsh_candidate_pairs(
+        minhash_signatures(docs, num_hashes, n, exploded=exploded), bands
+    )
+    capped = prefix_filter_pairs(exploded, threshold, df_cap)
     return lsh.unionByName(capped).distinct()
 
 
@@ -1265,11 +1301,16 @@ def source_overlap_minhash(
     """
     from ..functions.textual import POLY_MOD, poly_hash_arrow
 
+    # r12: four consumers (signatures, sizes, both sides of the exact
+    # intersection self-join) re-derived this frame per branch — one
+    # eager localCheckpoint materializes it once (measured ~4.4 s →
+    # ~2.9 s at sf0.1).
     src_shingles = (
         exploded_shingles(docs, n)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "shingle")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     hashed = src_shingles.select(
         "source", poly_hash_arrow(F.col("shingle")).alias("h")
@@ -1462,7 +1503,9 @@ def exact_substring_strip(
     mode equivalence on fixture data. Curve:
     bench/substrip_hashed_curve_r10.json.
     """
-    toks = spread(docs).select(
+    # keyed spread: one pinned exchange feeds the position window
+    # (see exploded_shingles — same r12 rationale).
+    toks = spread_by(docs, "doc_id").select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1561,7 +1604,9 @@ def minhash_calibration(
     """
     from ..functions.textual import POLY_MOD, poly_hash_arrow
 
-    sh = exploded_shingles(docs, n)
+    # r12: the estimator tier and the exact tier each re-derived the
+    # shingle prelude — one eager localCheckpoint shares it.
+    sh = exploded_shingles(docs, n).localCheckpoint(eager=True)
     hashed = sh.select(
         "doc_id", poly_hash_arrow(F.col("shingle")).alias("h")
     )
@@ -1586,7 +1631,7 @@ def minhash_calibration(
             agree.cast("bigint").alias("n_agree"),
         )
     )
-    ss = shingle_sets(docs, n)
+    ss = shingle_sets(docs, n, exploded=sh)
     exact = (
         ss.alias("x")
         .join(ss.alias("y"), F.col("x.doc_id") + 1 == F.col("y.doc_id"))

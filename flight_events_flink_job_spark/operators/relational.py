@@ -2259,6 +2259,28 @@ def user_triangles(
             .filter(F.col("rk") <= bucket_cap)
             .select("user_id", "event_type", "day")
         )
+    # Output-sized parallelism for the quadratic pair expansion (r12
+    # optimization, guide §2.5/§2.2): the join's INPUT is a few MB of
+    # (user, bucket) rows, so AQE sizes the exchanges feeding it by
+    # input bytes and coalesces them to ~1 partition — serializing the
+    # O(occupancy²) probe+partial-agg work that dominates this operator
+    # (measured at sf0.1: exact tier 12.6 s single-task vs 2.0 s
+    # spread; capped tier 3.1 s vs 1.4 s). An explicit join-key
+    # repartition pins the expansion's parallelism (user-specified
+    # shuffles are exempt from AQE coalescing) while staying
+    # co-partitioned on the equi-join key. Two subtleties:
+    # - 2x defaultParallelism (scale-adaptive, not a constant): finer
+    #   tasks smooth the per-bucket occupancy² skew;
+    # - the count must differ from spark.sql.shuffle.partitions, or
+    #   the capped path's window exchange already carries the exact
+    #   same HashPartitioning and Catalyst elides this repartition as
+    #   redundant — handing the expansion back to the AQE-coalesced
+    #   (single-partition) window stage.
+    sess = pairs.sparkSession
+    par = 2 * sess.sparkContext.defaultParallelism
+    if par == int(sess.conf.get("spark.sql.shuffle.partitions")):
+        par += 1
+    pairs = pairs.repartition(par, "event_type", "day")
     co = (
         pairs.alias("x")
         .join(
@@ -2277,6 +2299,17 @@ def user_triangles(
         .limit(top_edges)
         .select("ua", "ub")
     )
+    # The wedge/closing stage consumes `edges` through THREE join
+    # branches (e1 probe, e2 broadcast, closing broadcast) whose plans
+    # differ past the co-occurrence exchange, so only the exchange is
+    # deduplicated — the expensive top-k over the co-occurrence
+    # aggregate would run once per branch (r12 optimization, guide
+    # §2.4/§5: measured 5.2 s → 3.1 s on the exact tier at sf0.1).
+    # localCheckpoint materializes the <= top_edges rows once (same
+    # intra-query pattern as connected_components' _persist_round);
+    # the checkpointed frame is a few KB at ANY corpus scale because
+    # the top-k gate precedes it.
+    edges = edges.localCheckpoint(eager=True)
     e1 = edges.select(F.col("ua").alias("a"), F.col("ub").alias("b"))
     e2 = edges.select(F.col("ua").alias("a"), F.col("ub").alias("c"))
     wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))

@@ -38,6 +38,47 @@ def salted_join(
     return salted_facts.join(salted_dim, [key, "_salt"]).drop("_salt")
 
 
+def spread_by(df: DataFrame, *cols: str, factor: int = 2) -> DataFrame:
+    """Keyed twin of :func:`spread` for stages that need hash
+    clustering on ``cols`` anyway (windows / aggregates keyed on them):
+    one explicit hash repartition at ``factor * defaultParallelism``
+    partitions (never below the input's existing split count).
+
+    Why not ``spread()`` + let the window add its own exchange (the
+    pre-r12 shape): that costs TWO shuffles (round-robin + the window's
+    ENSURE_REQUIREMENTS hash exchange), and AQE sizes the second by
+    INPUT bytes — for the expression-heavy small-bytes stages this
+    module feeds (shingle assembly, signature folds, pair expansion)
+    that coalesces the compute to ~1 task. A user-specified repartition
+    is exempt from AQE coalescing and satisfies the downstream
+    clustering requirement, so the plan keeps ONE exchange with pinned
+    parallelism (measured at sf0.1: exploded_shingles 1.0-1.3 s →
+    0.5 s). Scale-adaptive: grows with the cluster (defaultParallelism)
+    and never shrinks a big scan's natural split count; at 100 TB,
+    factor*cores is the canonical shuffle-partition rule of thumb and
+    within ~2x of what byte-based AQE coalescing would pick anyway.
+    """
+    sess = df.sparkSession
+    base = factor * sess.sparkContext.defaultParallelism
+    # Same cheap stats-based split estimate as spread() (see below) for
+    # the never-shrink floor; RDD-conversion fallback if unavailable.
+    splits = None
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        max_pb = int(
+            sess._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+        # Long.MaxValue-ish stats mean "unknown" (non-file-backed
+        # plans default to spark.sql.defaultSizeInBytes) — fall back.
+        if 0 <= size < (1 << 50):
+            splits = -(-size // max_pb)
+    except Exception:
+        pass
+    if splits is None:
+        splits = df.rdd.getNumPartitions()
+    return df.repartition(max(base, splits), *cols)
+
+
 def spread(df: DataFrame, by: Column | None = None) -> DataFrame:
     """Ensure at least ``defaultParallelism`` partitions before an
     expression-heavy narrow stage (signature folds, per-row hashing).
@@ -48,7 +89,31 @@ def spread(df: DataFrame, by: Column | None = None) -> DataFrame:
     the scan already has enough splits — every real 100 TB scan — this
     is a NO-OP and adds no shuffle.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    # r12: the gate used df.rdd.getNumPartitions(), which converts the
+    # whole plan to an RDD (full physical planning + a Python->JVM
+    # round trip) — measured 0.25-0.44 s PER CALL, paid by every
+    # spread() site on every query invocation. The optimizer's size
+    # estimate answers the same question (can this input fill the
+    # cluster?) from file statistics in ~0.16 s: a scan splits into
+    # ~sizeInBytes / maxPartitionBytes tasks, so fewer-splits-than-
+    # cores is equivalent to sizeInBytes < maxPartitionBytes * cores.
+    # Estimate-too-big merely skips the repartition (the old no-op
+    # path); estimate-unavailable falls back to the RDD gate.
+    known = False
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        max_pb = int(
+            sess._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+        # Long.MaxValue-ish stats mean "unknown" (non-file-backed
+        # plans default to spark.sql.defaultSizeInBytes) — fall back.
+        known = 0 <= size < (1 << 50)
+        if known and size >= max_pb * target:
+            return df
+    except Exception:
+        pass
+    if not known and df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, by) if by is not None else df.repartition(target)
