@@ -948,6 +948,16 @@ def simhash_near_pairs(
             F.posexplode(block_vals).alias("block", "block_val"),
         )
 
+    # r12: pin the self-join's partitioning on the block keys (same
+    # rationale as user_triangles — the collision-floor pair expansion
+    # is output-heavy while its INPUT is a few MB, so AQE's byte-based
+    # coalescing would run it in ~1 task). Identical subtrees on both
+    # sides mean the pinned exchange is computed once and reused.
+    sess = banded.sparkSession
+    par = 2 * sess.sparkContext.defaultParallelism
+    if par == int(sess.conf.get("spark.sql.shuffle.partitions")):
+        par += 1
+    banded = banded.repartition(par, "block", "block_val")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["block", "block_val"])
@@ -1614,7 +1624,12 @@ def minhash_calibration(
         F.min((F.col("h") * (2 * i + 3) + (7 * i + 1)) % POLY_MOD).alias(f"m{i}")
         for i in range(num_hashes)
     ]
-    sigs = hashed.groupBy("doc_id").agg(*mins)
+    # r12: sigs and the shingle sets below each feed an id-successor
+    # SELF-join whose two sides re-shuffle on different keys (doc_id+1
+    # vs doc_id), so exchange reuse cannot deduplicate them and each
+    # subtree would compute twice. Both frames are doc-count-sized
+    # (one row per doc) — checkpoint once, join the materialized rows.
+    sigs = hashed.groupBy("doc_id").agg(*mins).localCheckpoint(eager=True)
     agree = sum(
         (
             F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
@@ -1631,7 +1646,7 @@ def minhash_calibration(
             agree.cast("bigint").alias("n_agree"),
         )
     )
-    ss = shingle_sets(docs, n, exploded=sh)
+    ss = shingle_sets(docs, n, exploded=sh).localCheckpoint(eager=True)
     exact = (
         ss.alias("x")
         .join(ss.alias("y"), F.col("x.doc_id") + 1 == F.col("y.doc_id"))

@@ -192,12 +192,19 @@ def cosine_topk_lsh(
     against the exact operator). At scale the bucket join replaces the
     full corpus scan per query with the matching buckets only.
     """
+    # r12: prepared corpus checkpointed once for its four consumers
+    # (bucket stage, re-rank join, and the query side's two uses) —
+    # see mips_topk_lsh for the rationale.
+    prep_n = _prepared(embeddings, "n").localCheckpoint(eager=True)
     if queries is None:
-        queries = embeddings.filter(F.col("vec_id") < num_queries)
+        q_prep = prep_n.filter(F.col("n_id") < num_queries).select(
+            F.col("n_id").alias("q_id"), F.col("n_vec").alias("q_vec")
+        )
+    else:
+        q_prep = _prepared(queries, "q")
 
-    def bucketed(df: DataFrame, prefix: str) -> DataFrame:
-        p = _prepared(df, prefix)
-        return p.select(
+    def bucketed(prepared: DataFrame, prefix: str) -> DataFrame:
+        return prepared.select(
             f"{prefix}_id",
             f"{prefix}_vec",
             F.explode(
@@ -210,8 +217,8 @@ def cosine_topk_lsh(
             ).alias("bucket"),
         )
 
-    qb = bucketed(queries, "q")
-    cb = bucketed(embeddings, "n")
+    qb = bucketed(q_prep, "q")
+    cb = bucketed(prep_n, "n")
     # Candidate dedup on IDS ONLY (24 B/row), vectors re-attached
     # after: carrying the two 512 B vectors through the dedup shuffle
     # multiplied its volume ~40x and OOM'd a 128 GB heap on the
@@ -226,9 +233,7 @@ def cosine_topk_lsh(
         .select("q_id", "n_id")
         .dropDuplicates(["q_id", "n_id"])
     )
-    scored = cands.join(
-        _prepared(embeddings, "n"), "n_id"
-    ).join(F.broadcast(_prepared(queries, "q")), "q_id")
+    scored = cands.join(prep_n, "n_id").join(F.broadcast(q_prep), "q_id")
     w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id"))
     return (
         scored.withColumn("_cos", cosine_arrow(F.col("q_vec"), F.col("n_vec")))
@@ -661,13 +666,25 @@ def mips_topk_lsh(
     replayable value-exactly by the SQL oracle (the similarity_topk_lsh
     precedent, plus the augmentation).
     """
+    # r12: the prepared corpus (id + double vector) feeds FOUR
+    # consumers per call — the max-norm aggregate, the corpus bucket
+    # stage, the exact re-rank join, and (by default) the query side —
+    # and each would otherwise re-run the scan + sanitize + to_double
+    # chain. One eager localCheckpoint materializes it once; at scale
+    # this is the standard cache-the-prepared-corpus move for a
+    # multi-pass index build (guide §5).
+    prep_n = _prepared(embeddings, "n").localCheckpoint(eager=True)
     if queries is None:
-        queries = embeddings.filter(F.col("vec_id") < num_queries)
+        q_prep = prep_n.filter(F.col("n_id") < num_queries).select(
+            F.col("n_id").alias("q_id"), F.col("n_vec").alias("q_vec")
+        )
+    else:
+        q_prep = _prepared(queries, "q")
 
     # Bounded driver collect: ONE scalar (the corpus max norm) — the
     # same sanctioned model-parameter class as the IVF centroid train.
     raw_norm = (
-        _prepared(embeddings, "n")
+        prep_n
         .select(F.sqrt(dot(F.col("n_vec"), F.col("n_vec"))).alias("nn"))
         .agg(F.max("nn"))
         .collect()[0][0]
@@ -701,16 +718,16 @@ def mips_topk_lsh(
         codes = (bits * weights).sum(axis=2) + offsets
         return pd.Series(codes.tolist())
 
-    def bucketed(df: DataFrame, prefix: str) -> DataFrame:
-        p = _augmented(_prepared(df, prefix), prefix, F.lit(max_norm))
+    def bucketed(prepared: DataFrame, prefix: str) -> DataFrame:
+        p = _augmented(prepared, prefix, F.lit(max_norm))
         return p.select(
             f"{prefix}_id",
             f"{prefix}_vec",
             F.explode(buckets(F.col(f"{prefix}_aug"))).alias("bucket"),
         )
 
-    qb = bucketed(queries, "q")
-    cb = bucketed(embeddings, "n")
+    qb = bucketed(q_prep, "q")
+    cb = bucketed(prep_n, "n")
     # ids-only candidate dedup + vector re-join — same scale fix as
     # cosine_topk_lsh (the wide dedup shuffle OOM'd on degenerate
     # buckets; see the comment there).
@@ -721,9 +738,7 @@ def mips_topk_lsh(
         .select("q_id", "n_id")
         .dropDuplicates(["q_id", "n_id"])
     )
-    scored = cands.join(
-        _prepared(embeddings, "n"), "n_id"
-    ).join(F.broadcast(_prepared(queries, "q")), "q_id")
+    scored = cands.join(prep_n, "n_id").join(F.broadcast(q_prep), "q_id")
     w = Window.partitionBy("q_id").orderBy(F.col("_dp").desc(), F.col("n_id"))
     return (
         scored.withColumn("_dp", dot_arrow(F.col("q_vec"), F.col("n_vec")))
