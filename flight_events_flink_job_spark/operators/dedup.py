@@ -186,7 +186,9 @@ def banded_signatures(sigs: DataFrame, bands: int = 16) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, dedup: bool = True
+) -> DataFrame:
     """Banded LSH: signature split into ``bands`` bands, docs sharing any
     band hash become a candidate pair.
 
@@ -196,14 +198,18 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
     """
     banded = banded_signatures(sigs, bands)
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    out = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
     )
+    # dedup=False: callers that union this stream with another generator
+    # and dedup ONCE there skip this exchange (r12 — the set is
+    # identical either way; distinct(union(raw)) == distinct(union(
+    # distinct(raw)))).
+    return out.distinct() if dedup else out
 
 
 def verify_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
@@ -257,7 +263,10 @@ def dedup_near_minhash(
 # ---------------------------------------------------------------------------
 
 def prefix_filter_pairs(
-    exploded: DataFrame, threshold: float, df_cap: int | None = None
+    exploded: DataFrame,
+    threshold: float,
+    df_cap: int | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """COMPLETE candidate pairs for Jaccard >= threshold via prefix
     filtering (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity
@@ -322,7 +331,7 @@ def prefix_filter_pairs(
     achievable = F.lit(1) + F.least(
         sz_a - F.col("a.pos"), sz_b - F.col("b.pos")
     )
-    return (
+    out = (
         a.join(b, "shingle")
         .where(
             (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -331,8 +340,9 @@ def prefix_filter_pairs(
             & (achievable >= needed)
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    # dedup=False: see lsh_candidate_pairs — union-site dedups once.
+    return out.distinct() if dedup else out
 
 
 def lsh_bands_for_threshold(
@@ -484,10 +494,16 @@ def linear_candidate_pairs(
         num_hashes = 4 * bands
     if exploded is None:
         exploded = exploded_shingles(docs, n)
+    # r12: both legs used to dedup their own raw match streams and the
+    # union deduped AGAIN — three (doc_a, doc_b) exchanges for one set.
+    # The raw streams union into ONE distinct (identical result set,
+    # verified value-equal on the fixtures).
     lsh = lsh_candidate_pairs(
-        minhash_signatures(docs, num_hashes, n, exploded=exploded), bands
+        minhash_signatures(docs, num_hashes, n, exploded=exploded),
+        bands,
+        dedup=False,
     )
-    capped = prefix_filter_pairs(exploded, threshold, df_cap)
+    capped = prefix_filter_pairs(exploded, threshold, df_cap, dedup=False)
     return lsh.unionByName(capped).distinct()
 
 
