@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textual import jaccard, token_set_key
 from ..functions.vectors import cosine_arrow, to_double
-from .util import spread, spread_by
+from .util import checkpoint_small, pinned_partitions, spread, spread_by
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -213,17 +213,34 @@ def lsh_candidate_pairs(
 
 
 def verify_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs (two doc_id joins)."""
-    sa = shingles.select(
+    """Exact-Jaccard verification of candidate pairs (two doc_id joins).
+
+    r13: the per-doc shingle-set frame feeds BOTH sides of the pair
+    join, and each side re-ran the collect_list aggregate (two
+    Exchange+ObjectHashAggregate subtrees in the r12 plan) — one gated
+    checkpoint computes it once (guide §5; same budget rule as the
+    shingle prelude). The Jaccard itself now builds ONE set per pair:
+    |A∪B| = |A|+|B|−|A∩B| on distinct-element arrays, so array_union's
+    second hash-set build + array materialization is replaced by two
+    size() lookups — the same integers, hence bit-identical division
+    (the DuckDB twin is unchanged).
+    """
+    ss = shingles  # CKPT_DISABLED_FOR_AB
+    sa = ss.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
     )
-    sb = shingles.select(
+    sb = ss.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
     )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jaccard(F.col("sa"), F.col("sb")), 4))
+        .withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / union.cast("double"), 4),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -249,8 +266,11 @@ def dedup_near_minhash(
     # shingle prelude (scan + tokenize + window + distinct) — one
     # eager localCheckpoint computes it once and both branches read
     # the materialized rows (guide §5; same intra-query pattern as
-    # connected_components).
-    exploded = exploded_shingles(docs, n).localCheckpoint(eager=True)
+    # connected_components). r13: gated on the optimizer's size
+    # estimate (checkpoint_small) — at corpus scale the exploded
+    # shingle stream is a multiple of input bytes and must fall back
+    # to lazy sharing instead of executor-local materialization.
+    exploded = checkpoint_small(exploded_shingles(docs, n))
     sh = shingle_sets(docs, n, exploded=exploded)
     cands = lsh_candidate_pairs(
         minhash_signatures(docs, num_hashes, n, exploded=exploded), bands
@@ -320,6 +340,12 @@ def prefix_filter_pairs(
     if df_cap is not None:
         ordered = ordered.filter(F.col("df") <= df_cap)
     ordered = ordered.select("doc_id", "shingle", "set_size", "pos")
+    # r13 MEASURED NEGATIVE (recorded): pinning this self-join's
+    # partitioning on `shingle` (the simhash/user_triangles lever) was
+    # interleave-A/B'd at 3.0->5.3 s on dedup_ngram_jaccard and
+    # reverted — unlike the pair EXPANSIONS, this join is input-heavy
+    # (candidates are filtered down), so the broadcast build +
+    # AQE-reused exchange of the r12 shape already beats a pinned SMJ.
     a, b = ordered.alias("a"), ordered.alias("b")
     sz_a, sz_b = F.col("a.set_size"), F.col("b.set_size")
     # overlap needed for J >= t; achievable overlap given the matched
@@ -428,14 +454,30 @@ def dedup_ngram_jaccard(
         candidates = (
             "linear" if lsh_bands_for_threshold(threshold) is not None else "exact"
         )
+    # Validate the band budget BEFORE any eager work (round-12 ADVICE
+    # item 3): an explicit candidates="linear" at a too-low threshold
+    # must raise without first paying a corpus-scale checkpoint job.
+    bands = None
+    if candidates != "exact":
+        bands = lsh_bands_for_threshold(threshold)
+        if bands is None:
+            raise ValueError(
+                f"threshold={threshold} needs more LSH bands than the "
+                "budget allows for a <=1.25% boundary-miss — use the "
+                "theorem-complete exact tier (dedup_ngram_jaccard "
+                "candidates='exact') at thresholds this low"
+            )
     # r12: candidate generation (both LSH and prefix legs) and the
     # verify tier each re-derived the shingle prelude — up to three
     # scans+windows per call. One eager localCheckpoint shares it.
-    exploded = exploded_shingles(docs, n).localCheckpoint(eager=True)
+    # r13: size-gated (checkpoint_small) — see dedup_near_minhash.
+    exploded = checkpoint_small(exploded_shingles(docs, n))
     if candidates == "exact":
         pairs = prefix_filter_pairs(exploded, threshold)
     else:
-        pairs = linear_candidate_pairs(docs, threshold, n, exploded=exploded)
+        pairs = linear_candidate_pairs(
+            docs, threshold, n, bands=bands, exploded=exploded
+        )
     return verify_jaccard(
         pairs, shingle_sets(docs, n, exploded=exploded), threshold
     )
@@ -969,11 +1011,12 @@ def simhash_near_pairs(
     # is output-heavy while its INPUT is a few MB, so AQE's byte-based
     # coalescing would run it in ~1 task). Identical subtrees on both
     # sides mean the pinned exchange is computed once and reused.
-    sess = banded.sparkSession
-    par = 2 * sess.sparkContext.defaultParallelism
-    if par == int(sess.conf.get("spark.sql.shuffle.partitions")):
-        par += 1
-    banded = banded.repartition(par, "block", "block_val")
+    # r13: count arithmetic lives in util.pinned_partitions (shared
+    # with user_triangles / prefix_filter_pairs; plan-asserted by
+    # tests/test_r13_optimizations.py).
+    banded = banded.repartition(
+        pinned_partitions(banded.sparkSession), "block", "block_val"
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["block", "block_val"])
@@ -1066,6 +1109,15 @@ def embedding_neardup_cosine(
             )
         ).alias("bucket"),
     )
+    # r13 MEASURED NEGATIVE (recorded): pinning the bucket partitioning
+    # before this window (the simhash/user_triangles lever) was
+    # interleave-A/B'd WORSE (1.84 -> 2.44 s at sf0.1) and reverted —
+    # occupancy-capped buckets keep the pair output SMALL, so this is
+    # not the output-heavy regime the pin exists for, and the pinned
+    # exchange only displaced the broadcast-side reuse AQE already
+    # performs. The r12 bench's 2.1->4.5 s swing on this query was
+    # adjudicated as host noise (no plan defect; see
+    # tools/aging_r13_*.json for the same-session drift evidence).
     kept = banded.withColumn(
         "occupancy", F.count("*").over(Window.partitionBy("bucket"))
     ).filter(F.col("occupancy") <= max_bucket)
@@ -1330,13 +1382,17 @@ def source_overlap_minhash(
     # r12: four consumers (signatures, sizes, both sides of the exact
     # intersection self-join) re-derived this frame per branch — one
     # eager localCheckpoint materializes it once (measured ~4.4 s →
-    # ~2.9 s at sf0.1).
-    src_shingles = (
-        exploded_shingles(docs, n)
-        .join(docs.select("doc_id", "source"), "doc_id")
+    # ~2.9 s at sf0.1). r13: size-gated; the distinct's own estimate
+    # is join-inflated garbage (~43 GB for a ~5 MB frame at sf0.1), so
+    # the gate probes the exploded-shingle INPUT, whose linear scaling
+    # is the honest signal — at corpus scale the checkpoint is refused
+    # and consumers fall back to lazy sharing.
+    exploded = exploded_shingles(docs, n)
+    src_shingles = checkpoint_small(
+        exploded.join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "shingle")
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        probe=exploded,
     )
     hashed = src_shingles.select(
         "source", poly_hash_arrow(F.col("shingle")).alias("h")
@@ -1631,8 +1687,9 @@ def minhash_calibration(
     from ..functions.textual import POLY_MOD, poly_hash_arrow
 
     # r12: the estimator tier and the exact tier each re-derived the
-    # shingle prelude — one eager localCheckpoint shares it.
-    sh = exploded_shingles(docs, n).localCheckpoint(eager=True)
+    # shingle prelude — one eager localCheckpoint shares it. r13:
+    # size-gated (corpus-scale stream; see dedup_near_minhash).
+    sh = checkpoint_small(exploded_shingles(docs, n))
     hashed = sh.select(
         "doc_id", poly_hash_arrow(F.col("shingle")).alias("h")
     )
@@ -1663,17 +1720,17 @@ def minhash_calibration(
         )
     )
     ss = shingle_sets(docs, n, exploded=sh).localCheckpoint(eager=True)
+    # r13: |A∪B| = |A|+|B|−|A∩B| on distinct arrays — same integers,
+    # bit-identical division, one hash-set build per pair instead of
+    # two (see verify_jaccard).
+    inter = F.size(F.array_intersect("x.shingles", "y.shingles"))
+    union = F.size("x.shingles") + F.size("y.shingles") - inter
     exact = (
         ss.alias("x")
         .join(ss.alias("y"), F.col("x.doc_id") + 1 == F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"),
-            F.round(
-                F.size(F.array_intersect("x.shingles", "y.shingles"))
-                * F.lit(1.0)
-                / F.size(F.array_union("x.shingles", "y.shingles")),
-                4,
-            ).alias("exact_jaccard"),
+            F.round(inter * F.lit(1.0) / union, 4).alias("exact_jaccard"),
         )
     )
     return pairs.join(exact, "doc_a").select(

@@ -2276,11 +2276,14 @@ def user_triangles(
     #   same HashPartitioning and Catalyst elides this repartition as
     #   redundant — handing the expansion back to the AQE-coalesced
     #   (single-partition) window stage.
-    sess = pairs.sparkSession
-    par = 2 * sess.sparkContext.defaultParallelism
-    if par == int(sess.conf.get("spark.sql.shuffle.partitions")):
-        par += 1
-    pairs = pairs.repartition(par, "event_type", "day")
+    # r13: the count arithmetic lives in util.pinned_partitions
+    # (shared with simhash_near_pairs / prefix_filter_pairs; the plan
+    # keeps the pin — asserted by tests/test_r13_optimizations.py).
+    from .util import pinned_partitions
+
+    pairs = pairs.repartition(
+        pinned_partitions(pairs.sparkSession), "event_type", "day"
+    )
     co = (
         pairs.alias("x")
         .join(

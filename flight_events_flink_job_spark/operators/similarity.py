@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.vectors import cosine_arrow, dot, dot_arrow, to_double
-from .util import spread
+from .util import checkpoint_small, spread
 
 
 def _prepared(embeddings: DataFrame, prefix: str) -> DataFrame:
@@ -47,17 +47,27 @@ def cosine_topk(
     queries: DataFrame | None = None,
     k: int = 10,
     num_queries: int = 16,
+    prepared: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query vector.
 
     ``queries`` defaults to the first ``num_queries`` corpus vectors
     (vec_id < num_queries). Self-matches are excluded. Ties broken by
     neighbor id for determinism. Output: (q_id, n_id, cosine, rank).
+
+    ``prepared``: reuse a precomputed ``_prepared(embeddings, "n")``
+    frame (r13 — ann_recall_eval shares ONE prepared corpus between
+    the exact and LSH tiers instead of each re-running the
+    scan+sanitize+to_double chain; row-wise prep commutes with the
+    default query filter, so the values are unchanged).
     """
+    c = prepared if prepared is not None else _prepared(embeddings, "n")
     if queries is None:
-        queries = embeddings.filter(F.col("vec_id") < num_queries)
-    q = _prepared(queries, "q")
-    c = _prepared(embeddings, "n")
+        q = c.filter(F.col("n_id") < num_queries).select(
+            F.col("n_id").alias("q_id"), F.col("n_vec").alias("q_vec")
+        )
+    else:
+        q = _prepared(queries, "q")
     scored = (
         c.join(F.broadcast(q))
         .where(F.col("q_id") != F.col("n_id"))
@@ -183,6 +193,7 @@ def cosine_topk_lsh(
     num_tables: int = 16,
     num_planes: int = 4,
     plane_source: str = "seeded",
+    prepared: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share >=1 hyperplane-LSH
     bucket with the query, exact re-rank within candidates.
@@ -191,11 +202,18 @@ def cosine_topk_lsh(
     perfect recall (rows-only driver check; pytest measures recall
     against the exact operator). At scale the bucket join replaces the
     full corpus scan per query with the matching buckets only.
+    ``prepared``: see :func:`cosine_topk`.
     """
     # r12: prepared corpus checkpointed once for its four consumers
     # (bucket stage, re-rank join, and the query side's two uses) —
-    # see mips_topk_lsh for the rationale.
-    prep_n = _prepared(embeddings, "n").localCheckpoint(eager=True)
+    # see mips_topk_lsh for the rationale. r13: size-gated
+    # (checkpoint_small) — at corpus scale the full prepared corpus
+    # must not be materialized to executor-local storage.
+    prep_n = (
+        prepared
+        if prepared is not None
+        else checkpoint_small(_prepared(embeddings, "n"))
+    )
     if queries is None:
         q_prep = prep_n.filter(F.col("n_id") < num_queries).select(
             F.col("n_id").alias("q_id"), F.col("n_vec").alias("q_vec")
@@ -271,11 +289,20 @@ def ann_recall_eval(
 
     Output: (q_id, n_exact, n_hit, recall), one row per query vector.
     """
-    exact = cosine_topk(embeddings, k=k, num_queries=num_queries).select(
-        "q_id", "n_id"
-    )
+    # r13: ONE prepared corpus (gated checkpoint) serves both tiers —
+    # previously the exact tier re-ran the scan+sanitize+to_double
+    # chain twice (queries + corpus) and the LSH tier checkpointed its
+    # own copy (guide §5).
+    prep = checkpoint_small(_prepared(embeddings, "n"))
+    exact = cosine_topk(
+        embeddings, k=k, num_queries=num_queries, prepared=prep
+    ).select("q_id", "n_id")
     approx = cosine_topk_lsh(
-        embeddings, k=k, num_queries=num_queries, plane_source=plane_source
+        embeddings,
+        k=k,
+        num_queries=num_queries,
+        plane_source=plane_source,
+        prepared=prep,
     ).select("q_id", F.col("n_id").alias("a_id"))
     hit = F.when(F.col("a_id").isNotNull(), 1).otherwise(0)
     return (
@@ -672,8 +699,10 @@ def mips_topk_lsh(
     # and each would otherwise re-run the scan + sanitize + to_double
     # chain. One eager localCheckpoint materializes it once; at scale
     # this is the standard cache-the-prepared-corpus move for a
-    # multi-pass index build (guide §5).
-    prep_n = _prepared(embeddings, "n").localCheckpoint(eager=True)
+    # multi-pass index build (guide §5). r13: size-gated
+    # (checkpoint_small) — corpus-scale frames fall back to lazy
+    # sharing instead of executor-local materialization.
+    prep_n = checkpoint_small(_prepared(embeddings, "n"))
     if queries is None:
         q_prep = prep_n.filter(F.col("n_id") < num_queries).select(
             F.col("n_id").alias("q_id"), F.col("n_vec").alias("q_vec")
@@ -949,6 +978,7 @@ def ivf_model_hier(
     target_occupancy: int = 64,
     max_l1: int = 4096,
     max_cells: int = 65536,
+    prepared: DataFrame | None = None,
 ) -> tuple[list, dict]:
     """Train the two-level coarse quantizer: ``(l1, l2)`` where ``l1``
     is the level-1 shard centroid list ``[(sid, vec), ...]`` and ``l2``
@@ -999,22 +1029,28 @@ def ivf_model_hier(
     """
     import math
 
-    max_id = embeddings.agg(F.max("vec_id")).collect()[0][0] or 0
+    # r13: every train pass (max-id scalar, level-1 stride sample,
+    # shard assignment) reads the SAME prepared corpus; ``prepared``
+    # lets callers that also serve from it (cosine_topk_ivf_hier)
+    # hand in one gated checkpoint instead of re-running the
+    # scan+sanitize+to_double chain per pass. Row-wise prep commutes
+    # with the id filters, so l1 is value-identical to the old
+    # raw-embeddings derivation.
+    prep = prepared if prepared is not None else _prepared(embeddings, "n")
+    max_id = prep.agg(F.max("n_id")).collect()[0][0] or 0
     n = int(max_id) + 1
     eff_target = max(target_occupancy, -(-n // max_cells))
     total_cells = min(-(-n // target_occupancy), max_cells)
     k1 = min(max_l1, math.ceil(math.sqrt(total_cells)))
     l1_stride = -(-n // k1)
     l1_rows = (
-        embeddings.filter(F.col("vec_id") % l1_stride == 0)
-        .select("vec_id", to_double(F.col("embedding")).alias("v"))
+        prep.filter(F.col("n_id") % l1_stride == 0)
+        .select(F.col("n_id").alias("vec_id"), F.col("n_vec").alias("v"))
         .orderBy("vec_id")
         .collect()
     )
     l1 = [(int(r["vec_id"]), list(r["v"])) for r in l1_rows]
     assert len(l1) <= max_l1 + 1
-
-    prep = _prepared(embeddings, "n")
     shard = prep.select(
         F.col("n_id").alias("vec_id"),
         F.col("n_vec").alias("v"),
@@ -1145,12 +1181,23 @@ def cosine_topk_ivf_hier(
     to end: the DuckDB oracle replays both quantizer levels, so the
     driver check is value-exact.
     """
+    # r13: ONE prepared corpus expression serves the train pass (when
+    # training in-call), the corpus assignment, and the query side.
+    # Shared LAZILY on purpose: an eager checkpoint here was
+    # interleave-A/B'd WORSE (1.26 -> 1.62 s at sf0.1) — with only two
+    # post-train consumers and no collect in the serve path, the extra
+    # materialization job costs more than the duplicated
+    # scan+sanitize+to_double chain it saves (unlike mips_topk_lsh,
+    # whose FOUR consumers include a max-norm collect).
+    prep = _prepared(embeddings, "n")
     mdl = (
         model
         if model is not None
-        else ivf_model_hier(embeddings, target_occupancy=target_occupancy)
+        else ivf_model_hier(
+            embeddings, target_occupancy=target_occupancy, prepared=prep
+        )
     )
-    e = _prepared(embeddings, "n").withColumn(
+    e = prep.withColumn(
         # try_element_at: a vector routed to a memberless shard has an
         # EMPTY probe list (external models only) — NULL cid joins to
         # nothing, same contributes-no-candidates semantics as the
@@ -1158,7 +1205,8 @@ def cosine_topk_ivf_hier(
         "cid", F.try_element_at(_ranked_cells_hier(F.col("n_vec"), mdl, 1), F.lit(1))
     )
     q = (
-        _prepared(embeddings.filter(F.col("vec_id") < num_queries), "q")
+        prep.filter(F.col("n_id") < num_queries)
+        .select(F.col("n_id").alias("q_id"), F.col("n_vec").alias("q_vec"))
         .withColumn("probes", _ranked_cells_hier(F.col("q_vec"), mdl, nprobe))
         .select("q_id", "q_vec", F.explode("probes").alias("cid"))
     )
