@@ -918,6 +918,33 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 SIMHASH_COMBO_BLOCKS = 6
 SIMHASH_COMBO_PICK = 3
 SIMHASH_COMBO_MIN_DOCS = 4_000_000
+# Conservative bytes/doc divisor for the stats-based scheme gate below
+# (fixture corpora measure ~120 B/doc compressed; production text runs
+# larger, which only biases the gate TOWARD combo earlier — the safe
+# direction, since both schemes are complete and combo is the one that
+# stays linear).
+SIMHASH_EST_DOC_BYTES = 100
+
+
+def _approx_doc_count(docs: DataFrame) -> int:
+    """Metadata-cheap corpus-size proxy for the combo-vs-classic gate
+    (r13): the optimizer's size estimate over a conservative bytes/doc
+    divisor, replacing the exact ``count()`` job the r12 code paid on
+    EVERY call. Both blocking schemes are COMPLETE for the radius
+    (identical result set), so a misestimate can only shift the perf
+    crossover — bracketed shallow at ~4M docs (the classic/combo ratio
+    moves ~0.9x per corpus doubling), so a 2x divisor error costs at
+    most ~15% near the boundary and nothing elsewhere. Unknown stats
+    (non-file-backed test frames) fall back to the exact count."""
+    try:
+        size = int(
+            docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if 0 <= size < (1 << 50):
+            return size // SIMHASH_EST_DOC_BYTES
+    except Exception:
+        pass
+    return docs.count()
 
 
 def simhash_near_pairs(
@@ -932,14 +959,16 @@ def simhash_near_pairs(
     - ``classic``: the ``max_hamming + 1`` single-block join (any pair
       within the radius agrees exactly on >= 1 block); cheaper per doc
       but with an N^2/2^block_bits collision floor.
-    ``auto`` picks combo above SIMHASH_COMBO_MIN_DOCS documents (one
-    metadata-cheap count — the same bounded-scalar pattern as the IVF
-    centroid count). Either way candidates come from an equi-join —
-    no cross join — and the result set is scheme-independent.
+    ``auto`` picks combo above SIMHASH_COMBO_MIN_DOCS documents, sized
+    from the optimizer's statistics (:func:`_approx_doc_count`, r13 —
+    no per-call count job; safe because the result set is
+    scheme-independent). Either way candidates come from an equi-join —
+    no cross join.
     """
     if scheme == "auto":
         use_combo = (
-            max_hamming == 3 and docs.count() >= SIMHASH_COMBO_MIN_DOCS
+            max_hamming == 3
+            and _approx_doc_count(docs) >= SIMHASH_COMBO_MIN_DOCS
         )
     elif scheme == "combo":
         if max_hamming != 3:

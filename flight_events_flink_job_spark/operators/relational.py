@@ -2277,8 +2277,8 @@ def user_triangles(
     #   redundant — handing the expansion back to the AQE-coalesced
     #   (single-partition) window stage.
     # r13: the count arithmetic lives in util.pinned_partitions
-    # (shared with simhash_near_pairs / prefix_filter_pairs; the plan
-    # keeps the pin — asserted by tests/test_r13_optimizations.py).
+    # (shared with simhash_near_pairs; the plan keeps the pin —
+    # asserted by tests/test_r13_optimizations.py).
     from .util import pinned_partitions
 
     pairs = pairs.repartition(

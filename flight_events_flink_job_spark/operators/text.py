@@ -518,6 +518,13 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
+    # r13 MEASURED NEGATIVE (recorded): repartitioning bg on (w1, w2)
+    # so the model aggregate and the probe join share one exchange
+    # (computing the tokenize+explode once) was interleave-A/B'd WORSE
+    # (2.15 -> 3.46 s at sf0.1) — shuffling the 1.3M-row occurrence
+    # stream costs more than recomputing the explode on the probe
+    # side. Same lesson as the prefix-filter pin: pinned exchanges pay
+    # only for output-heavy pair expansions, not input-heavy joins.
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     vocab = docs.select(

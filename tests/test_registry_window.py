@@ -26,9 +26,9 @@ from flight_events_flink_job_spark.plans import (
 )
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
-# The window was designed against the driver state as of round 11;
-# later records (r12+) must not flip the assertions.
-DESIGN_ROUNDS = range(1, 12)
+# The window was designed against the driver state as of round 12;
+# later records (r13+) must not flip the assertions.
+DESIGN_ROUNDS = range(1, 13)
 
 
 def _last_green() -> dict[str, int]:
