@@ -215,17 +215,19 @@ def lsh_candidate_pairs(
 def verify_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs (two doc_id joins).
 
-    r13: the per-doc shingle-set frame feeds BOTH sides of the pair
-    join, and each side re-ran the collect_list aggregate (two
-    Exchange+ObjectHashAggregate subtrees in the r12 plan) — one gated
-    checkpoint computes it once (guide §5; same budget rule as the
-    shingle prelude). The Jaccard itself now builds ONE set per pair:
-    |A∪B| = |A|+|B|−|A∩B| on distinct-element arrays, so array_union's
-    second hash-set build + array materialization is replaced by two
-    size() lookups — the same integers, hence bit-identical division
-    (the DuckDB twin is unchanged).
+    r13: the Jaccard builds ONE set per pair — |A∪B| = |A|+|B|−|A∩B|
+    on distinct-element arrays, so array_union's second hash-set build
+    + array materialization is replaced by two size() lookups — the
+    same integers, hence bit-identical division (the DuckDB twin is
+    unchanged). MEASURED NEGATIVE (recorded): eagerly checkpointing
+    the shingle-set frame for the two pair sides was interleave-A/B'd
+    neutral-to-worse on all three consumers (ngram 2.83 vs 2.93 s,
+    near_minhash 1.62 vs 1.69 s, incremental 1.69 vs 1.73 s at sf0.1)
+    — AQE's runtime exchange reuse already dedupes the collect_list
+    exchange, so the extra materialization job only serializes the
+    remaining cheap final-aggregate work.
     """
-    ss = shingles  # CKPT_DISABLED_FOR_AB
+    ss = shingles
     sa = ss.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
     )
